@@ -1,0 +1,114 @@
+"""Batch sources.
+
+Covers SURVEY §2.1:
+- S1 CSV scan with the reference's load-bearing reader options
+  (``utils/init_spark.py:22-36``): header, multiLine, quote/escape
+  ``"``, UTF-8, PERMISSIVE. Unlike the reference we prefer an explicit
+  schema (no ``inferSchema`` extra pass over 100 TB of input).
+- S2/S3 table scans: plain ``spark.read.parquet`` over the lakehouse
+  layout; ``tables()`` registers the standard test tables as temp
+  views so ``spark.sql`` works identically to the reference's
+  ``spark.sql("select * from nessie.stg.stg_stock")``.
+- S4 local-collection source: just ``spark.createDataFrame`` — used by
+  the currency lookup seed (see plans/star.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_csv_raw(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """CSV scan with the reference raw-zone contract (S1).
+
+    Reference: ``utils/init_spark.py:22-36`` (multiline quoted
+    ``business_summary`` fields, UTF-8 incl. BOM from utf-8-sig
+    ingest, PERMISSIVE recovery). ``inferSchema`` only when no schema
+    is given — at scale always pass one.
+    """
+    reader = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("encoding", "UTF-8")
+        .option("mode", "PERMISSIVE")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one lakehouse table (S2/S3) from a scale-factor directory.
+
+    Parquet ``timestamp[ns]`` columns (which Spark's reader rejects —
+    TimestampType is microsecond-precision) are read as raw int64
+    nanos and truncated to microsecond timestamps. Truncation (not
+    rounding) matches how columnar engines cast ns→us, so oracle
+    comparisons stay exact. Footer-only schema probe — no data read.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_timestamp_columns(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+    except Exception:
+        return []
+    import pyarrow as pa
+
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every standard table and register each as a temp view.
+
+    Gives the SQL entry point (reference E2: ad-hoc ``spark.sql``)
+    the same names the DuckDB oracle uses.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TESTDATA_TABLES:
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(p):
+            df = read_table(spark, sf_dir, name)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

@@ -1,0 +1,37 @@
+"""The correctness gate, locally: every registered query with an
+oracle is executed on Spark AND DuckDB and compared the way the
+driver's t2 harness does. Queries without an oracle get a rows-run
+smoke check."""
+
+from __future__ import annotations
+
+import pytest
+
+from lambda_lakehouse_spark.registry import load_all
+from tests.conftest import SF_DIR, assert_query_matches_oracle
+
+REGISTRY = load_all()
+WITH_ORACLE = sorted(name for name, q in REGISTRY.items() if q.oracle is not None)
+NO_ORACLE = sorted(name for name, q in REGISTRY.items() if q.oracle is None)
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_query_matches_oracle(spark, ducks, name):
+    assert_query_matches_oracle(spark, ducks, REGISTRY[name])
+
+
+@pytest.mark.parametrize("name", NO_ORACLE)
+def test_query_runs(spark, name):
+    df = REGISTRY[name].spark(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() >= 0
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) == len(REGISTRY)
