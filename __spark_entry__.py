@@ -16,9 +16,9 @@ from lambda_lakehouse_spark.registry import load_all
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from lambda_lakehouse_spark.plans.relational import q5_nation_revenue
+    from lambda_lakehouse_spark.plans.star import fact_assembly_star
 
-    return q5_nation_revenue(spark, "/root/testdata/sf0.001")
+    return fact_assembly_star(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

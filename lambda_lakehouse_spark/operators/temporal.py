@@ -1,0 +1,100 @@
+"""Temporal joins: point-in-time interval join + as-of join.
+
+- ``pit_join`` re-expresses the reference's J5
+  (``curated/fact_stock_daily.py:107-114``): left equi join on entity
+  keys + ``time BETWEEN effective_from AND effective_to``. Catalyst
+  plans the equi part as a hash/sort-merge join and carries the range
+  as a join filter — the right strategy since the dim side is
+  versions (small per entity).
+
+- ``as_of_join`` is the nearest-previous-event join the reference
+  lacks (SURVEY §2.3 notes none exist): for each left row, attach the
+  latest right row with ``right.time <= left.time`` per key. Spark has
+  no native ASOF; rather than a per-group ``merge_asof`` Pandas UDF we
+  express it relationally: union the two sides with a tag, then a
+  single window pass takes ``last(attr, ignorenulls=True)`` over
+  (key, time, tag) — one shuffle, no Python in the row path, and
+  AQE handles skewed keys. This is the scale path: cost is one sort
+  per key-partition, identical to what a native ASOF would do.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def pit_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str],
+    time_col: str,
+    from_col: str = "effective_from",
+    to_col: str = "effective_to",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time join: fact time within the dim version interval.
+
+    Closed interval on both ends — reference parity (SURVEY G3):
+    facts dated exactly on a version boundary fan out to both
+    adjacent versions when the dim was built with
+    ``closed_boundaries=True``.
+    """
+    cond = None
+    for k in keys:
+        c = facts[k] == dim[k]
+        cond = c if cond is None else (cond & c)
+    cond = cond & facts[time_col].between(dim[from_col], dim[to_col])
+    joined = facts.join(dim, cond, how)
+    # drop the dim side's duplicate key columns
+    return joined.drop(*[dim[k] for k in keys])
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Nearest-previous as-of join via union + window (no UDF).
+
+    For each left row, attaches ``value_cols`` from the latest right
+    row with ``right_time <= left_time`` for the same keys (NULLs when
+    no prior right row exists). Ties on the same timestamp resolve to
+    the right row (right sorts before left at equal time).
+    """
+    keys = list(keys)
+    value_cols = list(value_cols)
+
+    lhs = left.select(
+        *keys,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        *[F.col(c) for c in left.columns if c not in keys and c != left_time],
+        F.col(left_time),
+    )
+    rhs_cols = (
+        keys
+        + [F.col(right_time).alias("__t"), F.lit(0).alias("__side")]
+        + [F.col(c).alias(f"__v_{c}") for c in value_cols]
+    )
+    rhs = right.select(*rhs_cols)
+    unioned = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    w = W.partitionBy(*keys).orderBy("__t", "__side").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    for c in value_cols:
+        unioned = unioned.withColumn(
+            f"__v_{c}", F.last(f"__v_{c}", ignorenulls=True).over(w)
+        )
+    out = unioned.where(F.col("__side") == 1)
+    renames = [F.col(f"__v_{c}").alias(c) for c in value_cols]
+    keep = [c for c in left.columns]
+    return out.select(*keep, *renames)

@@ -1,0 +1,120 @@
+"""Operator-level unit tests: SCD2 invariants (FIXTURES.md §3),
+crc32 surrogate-key parity vs zlib, as-of join edge semantics,
+schema alignment."""
+
+from __future__ import annotations
+
+import datetime as dt
+import zlib
+
+from pyspark.sql import functions as F
+
+from lambda_lakehouse_spark.functions.scalar import sk_crc32
+from lambda_lakehouse_spark.operators.align import align_to_contract, union_by_name
+from lambda_lakehouse_spark.operators.scd2 import build_scd2
+from lambda_lakehouse_spark.operators.temporal import as_of_join, pit_join
+
+
+def _snapshots(spark):
+    rows = [
+        # entity A: attr change on day 3, again day 5
+        ("A", dt.date(2024, 1, 1), "x"),
+        ("A", dt.date(2024, 1, 2), "x"),
+        ("A", dt.date(2024, 1, 3), "y"),
+        ("A", dt.date(2024, 1, 4), "y"),
+        ("A", dt.date(2024, 1, 5), "x"),
+        # entity B: never changes
+        ("B", dt.date(2024, 1, 1), "z"),
+        ("B", dt.date(2024, 1, 4), "z"),
+    ]
+    return spark.createDataFrame(rows, "sym string, d date, attr string")
+
+
+def test_scd2_version_intervals(spark):
+    dim = build_scd2(_snapshots(spark), ["sym"], ["attr"], "d").collect()
+    by_key = {}
+    for r in dim:
+        by_key.setdefault(r.sym, []).append(r)
+    for rs in by_key.values():
+        rs.sort(key=lambda r: r.effective_from)
+
+    a = by_key["A"]
+    assert [r.attr for r in a] == ["x", "y", "x"]
+    assert [r.version for r in a] == [1, 2, 3]
+    assert a[0].effective_from == dt.date(2024, 1, 1)
+    # reference G3 closed-boundary parity: effective_to == next from
+    assert a[0].effective_to == dt.date(2024, 1, 3)
+    assert a[1].effective_to == dt.date(2024, 1, 5)
+    assert a[2].effective_to == dt.date(9999, 12, 31)
+
+    # invariants: exactly one open/current version per entity
+    for rs in by_key.values():
+        assert sum(r.is_current for r in rs) == 1
+        assert rs[-1].effective_to == dt.date(9999, 12, 31)
+
+    assert len(by_key["B"]) == 1
+
+
+def test_scd2_open_interval_mode(spark):
+    dim = build_scd2(
+        _snapshots(spark), ["sym"], ["attr"], "d", closed_boundaries=False
+    ).collect()
+    a = sorted([r for r in dim if r.sym == "A"], key=lambda r: r.version)
+    # closed=False: effective_to = day before next version starts
+    assert a[0].effective_to == dt.date(2024, 1, 2)
+    assert a[1].effective_to == dt.date(2024, 1, 4)
+
+
+def test_pit_boundary_fanout(spark):
+    dim = build_scd2(_snapshots(spark), ["sym"], ["attr"], "d")
+    facts = spark.createDataFrame(
+        [("A", dt.date(2024, 1, 3), 1.0)], "sym string, d date, v double"
+    )
+    out = pit_join(facts, dim, ["sym"], "d").collect()
+    # G3: a fact on the version boundary matches both adjacent versions
+    assert len(out) == 2
+    assert sorted(r.version for r in out) == [1, 2]
+
+
+def test_crc32_sk_matches_zlib(spark):
+    df = spark.createDataFrame([("ACME", "VN")], "name string, country string")
+    got = df.select(sk_crc32("name", "country").alias("sk")).first().sk
+    assert got == zlib.crc32(b"ACME||VN")
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [("k", 5, "e1"), ("k", 10, "e2"), ("k", 1, "e0"), ("j", 7, "e3")],
+        "key string, t int, id string",
+    )
+    right = spark.createDataFrame(
+        [("k", 2, 20.0), ("k", 10, 100.0)], "key string, rt int, score double"
+    )
+    out = {
+        r.id: r.score
+        for r in as_of_join(left, right, ["key"], "t", "rt", ["score"]).collect()
+    }
+    assert out["e0"] is None  # before first right row
+    assert out["e1"] == 20.0  # nearest previous
+    assert out["e2"] == 100.0  # equal time matches
+    assert out["e3"] is None  # key with no right rows
+
+
+def test_align_contract_types_and_order(spark):
+    df = spark.createDataFrame([(1, "a", 2.5)], "B int, a string, x double")
+    contract = [("a", "string"), ("b", "bigint"), ("c", "date")]
+    out = align_to_contract(df, contract)
+    assert out.columns == ["a", "b", "c"]
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "string", "bigint", "date",
+    ]
+    row = out.first()
+    assert row.a == "a" and row.b == 1 and row.c is None
+
+
+def test_union_by_name_missing_columns(spark):
+    d1 = spark.createDataFrame([(1, "x")], "id int, a string")
+    d2 = spark.createDataFrame([(2, 9.9)], "id int, b double")
+    out = union_by_name([d1, d2]).orderBy("id").collect()
+    assert out[0].a == "x" and out[0].b is None
+    assert out[1].a is None and out[1].b == 9.9
