@@ -1,1 +1,307 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash and n-gram-Jaccard near-dup detection,
+expressed relationally (higher-order array functions + joins — no
+Python in the row path):
+
+- exact: hash-groupBy on normalized text (one shuffle on the hash).
+- MinHash+LSH: char-shingles → k minhashes → banded signatures →
+  bucket self-join. Minhashes are the *lexicographic min of md5 hex
+  strings* per seeded permutation — deterministic, engine-portable
+  (any ANSI engine computes the identical signature), and the min is
+  order/duplicate-insensitive so no distinct pass is needed. At scale
+  the bucket join shuffles only (band_id, band_hash, doc_id), and hot
+  buckets (boilerplate docs) are the skew to watch — AQE skew-join
+  or a bucket-size cap handle it.
+- SimHash: 16-bit signature; per-token bit votes derived from md5 hex
+  nibbles, integer-summed (order-independent) — one projection, no
+  shuffle.
+- n-gram Jaccard: exact set overlap via the inverted-index formulation
+  (explode distinct shingles → self-join on shingle → count), which is
+  also the scalable shape: the shuffle key is the shingle, and
+  stop-shingle filtering bounds fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lambda_lakehouse_spark.operators.text import normalized_text
+from lambda_lakehouse_spark.registry import register
+from lambda_lakehouse_spark.sources.readers import read_table
+
+MINHASH_K = 16  # signature length
+LSH_BANDS = 8   # bands of 2 rows each → catches jaccard ≳ 0.4
+LSH_ROWS = MINHASH_K // LSH_BANDS
+
+
+_EXACT_ORACLE = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_fp,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+@register(
+    "dedup_exact_docs",
+    _EXACT_ORACLE,
+    doc="Exact dedup: hash-groupBy on normalized text, min-id keeper "
+    "(deterministic survivor rule)",
+    tags=("dedup", "hash", "agg"),
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(normalized_text(F.col("text"))).alias("text_fp"))
+        .groupBy("text_fp")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _signatures(docs: DataFrame, shingle_len: int = 5, k: int = MINHASH_K) -> DataFrame:
+    """doc_id → minhash signature (array of k md5-hex minima)."""
+    shingle_expr = (
+        f"transform(sequence(1, greatest(length(text)-{shingle_len - 1}, 1)),"
+        f" i -> substr(text, i, {shingle_len}))"
+    )
+    sig_expr = (
+        f"transform(sequence(0, {k - 1}),"
+        f" j -> array_min(transform({shingle_expr},"
+        " s -> md5(concat(cast(j as string), ':', s)))))"
+    )
+    return docs.select("doc_id", F.expr(sig_expr).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, shingle_len: int = 5, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH + signature-estimated
+    Jaccard. ``docs`` needs (doc_id, text)."""
+    sig = _signatures(docs, shingle_len, bands * rows)
+    band_elems = lambda b: ", ".join(  # noqa: E731
+        f"element_at(sig, {b * rows + r + 1})" for r in range(rows)
+    )
+    band_structs = ", ".join(
+        f"struct({b} as band_id, md5(concat_ws('|', {band_elems(b)})) as band_hash)"
+        for b in range(bands)
+    )
+    bands_df = sig.select(
+        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bd")
+    ).select("doc_id", "bd.band_id", "bd.band_hash")
+
+    x, y = bands_df.alias("x"), bands_df.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    k = bands * rows
+    # divide by an explicit DOUBLE: bare `16.0` parses as DECIMAL in both
+    # Spark and DuckDB, with engine-specific result scales.
+    est = (
+        f"size(filter(sequence(1, {k}),"
+        f" j -> element_at(sig_a, j) = element_at(sig_b, j))) / CAST({k} AS DOUBLE)"
+    )
+    return (
+        cand.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", "n_shared_bands", F.expr(est).alias("est_jaccard"))
+    )
+
+
+def _minhash_oracle(shingle_len: int = 5, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> str:
+    k = bands * rows
+    band_elems = lambda b: " || '|' || ".join(  # noqa: E731
+        f"sig[{b * rows + r + 1}]" for r in range(rows)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5({band_elems(b)}) AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         [substr(text, i, {shingle_len})
+          FOR i IN range(1, greatest(length(text)-{shingle_len - 1}, 1) + 1)] AS shingles
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         [list_min(list_transform(shingles, s -> md5(CAST(j AS VARCHAR) || ':' || s)))
+          FOR j IN range(0, {k})] AS sig
+  FROM sh
+),
+bands AS ({band_rows}),
+cand AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+  FROM bands x
+  JOIN bands y ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+              AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared_bands,
+       CAST(len(list_filter(range(1, {k + 1}), j -> sa.sig[j] = sb.sig[j])) AS INTEGER)
+         / CAST({k} AS DOUBLE) AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    _minhash_oracle(),
+    doc=f"MinHash({MINHASH_K})+LSH({LSH_BANDS}x{LSH_ROWS}) near-dup candidate "
+    "pairs over 5-char shingles, with signature-estimated Jaccard",
+    tags=("dedup", "lsh", "join"),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_lsh_pairs(docs)
+
+
+def _hexval(expr: str) -> str:
+    """SQL: value 0-15 of the lowercase hex char at ``expr``."""
+    return (
+        f"CASE WHEN ascii({expr}) BETWEEN 48 AND 57 THEN ascii({expr}) - 48 "
+        f"ELSE ascii({expr}) - 87 END"
+    )
+
+
+def _simhash_expr() -> str:
+    """16-bit simhash over whitespace tokens via md5-nibble votes."""
+    bit = _hexval("substr(md5(t), p, 1)")
+    vote = f"CASE WHEN ({bit}) >= 8 THEN 1 ELSE -1 END"
+    return (
+        "concat_ws('', transform(sequence(1, 16), p -> "
+        f"CASE WHEN aggregate(transform(toks, t -> {vote}), 0, (acc, v) -> acc + v) >= 0 "
+        "THEN '1' ELSE '0' END))"
+    )
+
+
+_SIMHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+),
+sigs AS (
+  SELECT doc_id,
+         list_aggregate(
+           [CASE WHEN list_sum([CASE WHEN ({_hexval("substr(md5(t), p, 1)")}) >= 8
+                                THEN 1 ELSE -1 END
+                                FOR t IN toks]) >= 0
+                 THEN '1' ELSE '0' END
+            FOR p IN range(1, 17)], 'string_agg', '') AS simhash
+  FROM tok
+)
+SELECT s.doc_id, s.simhash,
+       CAST(len(list_filter(range(1, 17),
+                 p -> s.simhash[p] <> r.simhash[p])) AS INTEGER) AS hamming_to_doc0
+FROM sigs s, (SELECT simhash FROM sigs WHERE doc_id = 0) r
+"""
+
+
+@register(
+    "dedup_simhash",
+    _SIMHASH_ORACLE,
+    doc="SimHash: 16-bit signatures from integer-summed md5-nibble votes "
+    "(order-independent, no shuffle) + hamming distance to a reference doc",
+    tags=("dedup", "hash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    sigs = docs.select(
+        "doc_id", F.split(F.col("text"), r"\s+").alias("toks")
+    ).select("doc_id", F.expr(_simhash_expr()).alias("simhash"))
+    ref = sigs.where(F.col("doc_id") == 0).select(
+        F.col("simhash").alias("ref_simhash")
+    )
+    ham = (
+        "size(filter(sequence(1, 16),"
+        " p -> substr(simhash, p, 1) <> substr(ref_simhash, p, 1)))"
+    )
+    return (
+        sigs.crossJoin(F.broadcast(ref))
+        .select("doc_id", "simhash", F.expr(ham).alias("hamming_to_doc0"))
+    )
+
+
+_JACCARD_THRESHOLD = 0.35
+
+_NGRAM_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct([substr(text, i, 3)
+                        FOR i IN range(1, greatest(length(text)-2, 1) + 1)]) AS shingles
+  FROM documents
+),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+ex AS (SELECT doc_id, source, unnest(shingles) AS s FROM sh),
+inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM ex x
+  JOIN ex y ON x.source = y.source AND x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {_JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _NGRAM_ORACLE,
+    doc="Exact 3-gram Jaccard near-dup pairs within source, inverted-index "
+    "formulation (shuffle key = shingle — the 100 TB-shaped plan)",
+    tags=("dedup", "join"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source",
+        F.expr(
+            "array_distinct(transform(sequence(1, greatest(length(text)-2, 1)),"
+            " i -> substr(text, i, 3)))"
+        ).alias("shingles"),
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    ex = sh.select("doc_id", "source", F.explode("shingles").alias("s"))
+    x, y = ex.alias("x"), ex.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.source") == F.col("y.source"))
+            & (F.col("x.s") == F.col("y.s"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )

@@ -1,0 +1,98 @@
+"""Multimodal column handling (beyond-reference, north-star surface).
+
+Images/audio/video are opaque ``binary`` columns with typed metadata.
+The Spark-side plumbing here is real — schema, Arrow-batched
+``mapInPandas``, partition behavior — while the actual codec step is
+stubbed: the container ships no image/audio libraries, so
+``decode_features`` computes deterministic pseudo-features from the
+bytes (documented below), and ``decode_image``/``decode_audio`` raise
+``NotImplementedError`` unless PIL/soundfile are importable.
+
+Scale notes: ``mapInPandas`` streams Arrow batches — constant memory
+per task regardless of file count; binary payloads stay off the
+driver; feature extraction parallelism == partition count, so
+``repartition(n)`` before decode controls codec parallelism.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lambda_lakehouse_spark.registry import register
+from lambda_lakehouse_spark.sources.readers import read_table
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, byte_len bigint, payload_md5 string, "
+    "fake_width bigint, fake_height bigint"
+)
+
+
+def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic fake decoder: md5 + byte-length-derived dims.
+
+    Stands in for a real image decode (PIL) / audio decode
+    (soundfile); swap the body, keep the signature + schema.
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "byte_len": payloads.map(len).astype("int64"),
+                "payload_md5": payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
+                "fake_width": payloads.map(lambda b: len(b) % 640).astype("int64"),
+                "fake_height": payloads.map(lambda b: len(b) % 480).astype("int64"),
+            }
+        )
+
+
+def decode_image(payload: bytes):  # pragma: no cover - env-gated
+    """Real image decode — requires PIL, absent in this container."""
+    try:
+        from PIL import Image  # noqa: F401
+        import io
+
+        return Image.open(io.BytesIO(payload))
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image codec not available in this environment; "
+            "use _decode_batch's deterministic fake features"
+        ) from exc
+
+
+def extract_features(binary_df: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) → feature rows via Arrow-batched
+    mapInPandas. Repartition upstream to control codec parallelism."""
+    return binary_df.mapInPandas(_decode_batch, schema=FEATURE_SCHEMA)
+
+
+_MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS byte_len,
+       md5(text) AS payload_md5,
+       CAST(strlen(text) % 640 AS BIGINT) AS fake_width,
+       CAST(strlen(text) % 480 AS BIGINT) AS fake_height
+FROM documents
+"""
+
+
+@register(
+    "multimodal_decode_stub",
+    _MULTIMODAL_ORACLE,
+    doc="Multimodal plumbing: binary payload column → Arrow-batched "
+    "mapInPandas feature extraction (codec stubbed deterministically; "
+    "md5/byte-len features verifiable in SQL)",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # documents.text stands in for the binary payload (utf-8 encoded);
+    # a real pipeline reads `binary` columns from parquet the same way.
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return extract_features(docs)

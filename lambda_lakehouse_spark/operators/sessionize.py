@@ -1,1 +1,81 @@
-"""Placeholder — populated in a later milestone."""
+"""Sessionization (batch formulation; the streaming variant lives in
+streaming/jobs.py via ``session_window``).
+
+Classic gap-based sessionization: order events per user, open a new
+session whenever the gap to the previous event exceeds the threshold,
+assign session ids with a running sum — the same lag→flag→cumsum
+pattern as the SCD2 builder (SURVEY §2.5), applied to time gaps.
+One shuffle on user_id; windows share the partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from lambda_lakehouse_spark.functions.scalar import dsum
+from lambda_lakehouse_spark.registry import register
+from lambda_lakehouse_spark.sources.readers import read_table
+
+GAP_MINUTES = 30
+
+
+def sessionize(
+    events: DataFrame, key: str, ts_col: str, gap_minutes: int = GAP_MINUTES
+) -> DataFrame:
+    """Assign ``session_seq`` (1-based per key) by the gap rule."""
+    w = W.partitionBy(key).orderBy(ts_col, "event_id")
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(
+        F.lag(ts_col).over(w)
+    )
+    new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    return events.withColumn(
+        "session_seq",
+        F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("int"),
+    )
+
+
+_SESSION_ORACLE = f"""
+WITH flagged AS (
+  SELECT event_id, user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR date_diff('second', LAG(ts) OVER w, ts) > {GAP_MINUTES * 60}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       COUNT(*) AS n_events,
+       MIN(CAST(ts AS TIMESTAMP)) AS session_start,
+       MAX(CAST(ts AS TIMESTAMP)) AS session_end,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS session_value
+FROM sess
+GROUP BY user_id, session_seq
+"""
+
+
+@register(
+    "sessionize_events",
+    _SESSION_ORACLE,
+    doc=f"Gap-based sessionization ({GAP_MINUTES}-min inactivity): "
+    "lag→flag→cumsum session ids + per-session rollup",
+    tags=("window", "sessionize", "agg"),
+    bench=True,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    sess = sessionize(ev, "user_id", "ts")
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        dsum("value").alias("session_value"),
+    )

@@ -1,1 +1,173 @@
-"""Placeholder — populated in a later milestone."""
+"""Text analysis for training-data pipelines (beyond-reference §north-star).
+
+Operators a 100 TB corpus pipeline needs, all expressed with built-in
+JVM-side functions (regexp_count / split / md5) — zero Python in the
+row path, so they run inside whole-stage codegen and scale linearly
+with input bytes:
+
+- token counting (whitespace + a BPE-ish regex segmenter)
+- quality scoring (length / punctuation / stopword ratios)
+- language ID (stopword-hit n-gram heuristic, deterministic tie-break)
+- document fingerprinting (normalized-text md5; shingle fingerprints
+  live in operators/dedup.py)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lambda_lakehouse_spark.registry import register
+from lambda_lakehouse_spark.sources.readers import read_table
+
+# BPE-ish segmentation: letter runs, digit runs, single punctuation.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+STOPWORD_RE = r"\b(the|a|of|and|to|in|is|it)\b"
+
+# Per-language stopword alternations for the lang-ID heuristic.
+LANG_STOPWORDS = {
+    "en": r"\b(the|a|and|of|to|is|in)\b",
+    "fr": r"\b(le|la|et|de|un|est|les)\b",
+    "de": r"\b(der|die|und|das|ist|ein)\b",
+    "es": r"\b(el|la|y|de|que|es|los)\b",
+    "zh": r"\b(de|le|shi|bu|wo|zai)\b",
+}
+
+
+def normalized_text(c: Column) -> Column:
+    """Lowercase + whitespace-collapsed canonical form for hashing."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+_TOKEN_QUALITY_ORACLE = """
+SELECT
+  doc_id, lang, source,
+  CAST(LENGTH(text) AS INTEGER) AS n_chars_calc,
+  CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS n_tokens_ws,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER)
+    AS n_tokens_bpe,
+  CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is|it)\\b')) AS INTEGER)
+    AS stopword_hits,
+  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS INTEGER) AS punct_count,
+  CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is|it)\\b') ) AS DOUBLE)
+    / len(string_split_regex(text, '\\s+')) AS stopword_ratio,
+  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / LENGTH(text)
+    AS punct_ratio,
+  (LENGTH(text) >= 100)
+    AND (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         / LENGTH(text) < 0.1) AS passes_quality
+FROM documents
+"""
+
+
+@register(
+    "text_token_quality",
+    _TOKEN_QUALITY_ORACLE,
+    doc="Token counting (whitespace + BPE-ish regex) and quality scoring "
+    "(length/punct/stopword ratios) — all codegen'd regexp_count, no UDF",
+    tags=("text",),
+)
+def text_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tokens_ws = F.size(F.split(t, r"\s+"))
+    stop_hits = F.regexp_count(t, F.lit(STOPWORD_RE))
+    punct = F.regexp_count(t, F.lit(r"[^A-Za-z0-9\s]"))
+    return docs.select(
+        "doc_id", "lang", "source",
+        F.length(t).alias("n_chars_calc"),
+        n_tokens_ws.alias("n_tokens_ws"),
+        F.regexp_count(t, F.lit(BPE_TOKEN_RE)).alias("n_tokens_bpe"),
+        stop_hits.alias("stopword_hits"),
+        punct.alias("punct_count"),
+        (stop_hits.cast("double") / n_tokens_ws).alias("stopword_ratio"),
+        (punct.cast("double") / F.length(t)).alias("punct_ratio"),
+        ((F.length(t) >= 100) & (punct.cast("double") / F.length(t) < 0.1)).alias(
+            "passes_quality"
+        ),
+    )
+
+
+def _lang_oracle() -> str:
+    scores = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER) AS s_{lang}".replace(
+            "\\b", "\\b"
+        )
+        for lang, pat in LANG_STOPWORDS.items()
+    )
+    # deterministic priority order on ties: en > fr > de > es > zh
+    case = (
+        "CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en >= s_zh THEN 'en' "
+        "WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr' "
+        "WHEN s_de >= s_es AND s_de >= s_zh THEN 'de' "
+        "WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END"
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+  {scores}
+  FROM documents
+)
+SELECT doc_id, lang, s_en, s_fr, s_de, s_es, s_zh,
+       {case} AS predicted_lang,
+       {case} = lang AS is_match
+FROM scored
+"""
+
+
+@register(
+    "text_lang_id",
+    _lang_oracle(),
+    doc="Language-ID heuristic: per-language stopword-hit scores with a "
+    "deterministic argmax (n-gram heuristic family)",
+    tags=("text",),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang",
+        *[
+            F.regexp_count(F.col("text"), F.lit(pat)).alias(f"s_{lang}")
+            for lang, pat in LANG_STOPWORDS.items()
+        ],
+    )
+    s = {l: F.col(f"s_{l}") for l in LANG_STOPWORDS}
+    predicted = (
+        F.when(
+            (s["en"] >= s["fr"]) & (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["zh"]),
+            "en",
+        )
+        .when((s["fr"] >= s["de"]) & (s["fr"] >= s["es"]) & (s["fr"] >= s["zh"]), "fr")
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["zh"]), "de")
+        .when(s["es"] >= s["zh"], "es")
+        .otherwise("zh")
+    )
+    return scored.withColumn("predicted_lang", predicted).withColumn(
+        "is_match", predicted == F.col("lang")
+    )
+
+
+_FP_ORACLE = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_fp,
+       md5(substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 64))
+         AS prefix_fp
+FROM documents
+"""
+
+
+@register(
+    "text_fingerprint",
+    _FP_ORACLE,
+    doc="Document fingerprinting: md5 of normalized text + 64-char prefix "
+    "fingerprint for fast prefiltering",
+    tags=("text", "hash"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    norm = normalized_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("text_fp"),
+        F.md5(F.substring(norm, 1, 64)).alias("prefix_fp"),
+    )

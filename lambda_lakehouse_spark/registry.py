@@ -62,6 +62,7 @@ def load_all() -> dict[str, Query]:
     import lambda_lakehouse_spark.plans.relational  # noqa: F401
     import lambda_lakehouse_spark.plans.star  # noqa: F401
     import lambda_lakehouse_spark.operators.dedup  # noqa: F401
+    import lambda_lakehouse_spark.operators.multimodal  # noqa: F401
     import lambda_lakehouse_spark.operators.similarity  # noqa: F401
     import lambda_lakehouse_spark.operators.text  # noqa: F401
     import lambda_lakehouse_spark.operators.sessionize  # noqa: F401
