@@ -79,3 +79,43 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         dsum("value").alias("session_value"),
     )
+
+
+_TUMBLING_SECONDS = 6 * 3600
+
+_TUMBLING_ORACLE = f"""
+SELECT
+  make_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / {_TUMBLING_SECONDS})
+                      * {_TUMBLING_SECONDS} AS BIGINT) * 1000000) AS window_start,
+  make_timestamp((CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / {_TUMBLING_SECONDS})
+                       * {_TUMBLING_SECONDS} AS BIGINT) + {_TUMBLING_SECONDS})
+                 * 1000000) AS window_end,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "window_tumbling_agg",
+    _TUMBLING_ORACLE,
+    doc="Tumbling event-time windows (batch formulation of the streaming "
+    "job streaming/jobs.py:tumbling_counts — F.window epoch-aligned "
+    "6h buckets) with exact value sums",
+    tags=("window", "streaming", "agg"),
+)
+def window_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

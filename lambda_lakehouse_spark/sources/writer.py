@@ -51,10 +51,11 @@ def write_partitioned(
     writer = df.write.format(fmt).mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    if dynamic_overwrite and _table_exists(path):
-        # mode("overwrite") + partitionOverwriteMode=dynamic replaces
-        # only the partitions present in df; static mode would truncate.
-        writer = writer.option("partitionOverwriteMode", "dynamic")
+    # Explicit per-write option so behavior doesn't depend on the
+    # session-level partitionOverwriteMode: dynamic replaces only the
+    # partitions present in df; static truncates the whole table.
+    mode = "dynamic" if (dynamic_overwrite and _table_exists(path)) else "static"
+    writer = writer.option("partitionOverwriteMode", mode)
     writer.save(path)
 
 

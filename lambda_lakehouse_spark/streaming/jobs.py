@@ -1,0 +1,121 @@
+"""Structured Streaming jobs — the lambda architecture's speed layer.
+
+The reference reserves but never implements streaming (SURVEY §2.8:
+Kafka topic ``crypto.trades`` configured, zero code). This module
+completes the lambda greenfield with the Spark-idiomatic equivalents:
+
+- source: any streaming DataFrame (``readStream.format("kafka")`` in
+  production; file/rate sources in tests — semantics identical)
+- event-time watermarks bounding state for late data
+- tumbling / sliding windowed aggregations
+- session windows (the streaming twin of operators/sessionize.py)
+- ``foreachBatch`` sink running the batch writer's dynamic partition
+  overwrite per micro-batch → exactly-once-per-partition, idempotent
+  on replay (same rails as the batch layer, SURVEY §2.1 S6)
+
+Scale: watermark + windowed agg state lives in the state store keyed
+by (window, group) — bounded by watermark horizon × group
+cardinality, independent of stream length. ``foreachBatch`` reuses
+the batch writer, so the serving tables are identical whether a day
+arrives as a batch file or as a stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lambda_lakehouse_spark.functions.scalar import dsum
+from lambda_lakehouse_spark.sources.writer import write_partitioned
+
+
+def tumbling_counts(
+    stream: DataFrame,
+    window: str = "6 hours",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-(window, event_type) counts + exact value sums."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    stream: DataFrame,
+    window: str = "6 hours",
+    slide: str = "3 hours",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Overlapping sliding-window counts per event_type."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_rollup(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    key: str = "user_id",
+) -> DataFrame:
+    """Gap-based session windows per key (streaming twin of
+    operators/sessionize.sessionize)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), key)
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("session_value"))
+        .select(
+            key,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def foreach_batch_overwrite(path: str, partition_by: tuple[str, ...]):
+    """foreachBatch sink: dynamic-partition-overwrite each micro-batch
+    into a parquet table — replays rewrite the same partitions, so the
+    sink is idempotent (the streaming analog of the reference's
+    re-runnable daily batch, init_spark.py:92-109)."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_partitioned(batch_df, path, partition_by=partition_by)
+
+    return _sink
+
+
+def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drive a streaming DF to completion against available input and
+    return the in-memory result table name (test/dev harness)."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name

@@ -1,0 +1,102 @@
+"""Structured Streaming jobs (SURVEY §2.8 greenfield): windowed aggs
+with watermarks, session windows, foreachBatch dynamic-overwrite sink.
+A file stream over the events table drives each query to completion;
+results are compared against the equivalent batch computation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lambda_lakehouse_spark.functions.scalar import dsum
+from lambda_lakehouse_spark.operators.sessionize import sessionize
+from lambda_lakehouse_spark.sources.readers import read_table
+from lambda_lakehouse_spark.streaming.jobs import (
+    foreach_batch_overwrite,
+    run_stream_to_memory,
+    session_rollup,
+    sliding_counts,
+    tumbling_counts,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_src(spark, tmp_path_factory):
+    """Events re-materialized as micros-timestamp parquet so the file
+    stream source can read them (driver testdata is timestamp[ns])."""
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    batch = read_table(spark, SF_DIR, "events")
+    batch.write.mode("overwrite").parquet(path)
+    return path, batch
+
+
+def _stream(spark, path, schema):
+    return spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+
+
+def test_tumbling_window_matches_batch(spark, events_src):
+    path, batch = events_src
+    stream = _stream(spark, path, batch.schema)
+    name = run_stream_to_memory(tumbling_counts(stream), "tumbling_out")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.table(name).collect()
+    }
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in (
+            batch.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_sliding_window_overlap(spark, events_src):
+    path, batch = events_src
+    stream = _stream(spark, path, batch.schema)
+    name = run_stream_to_memory(sliding_counts(stream), "sliding_out")
+    rows = spark.table(name).collect()
+    # every event lands in window_size/slide = 2 overlapping windows
+    assert sum(r.n_events for r in rows) == 2 * batch.count()
+
+
+def test_session_window_matches_batch_sessionize(spark, events_src):
+    path, batch = events_src
+    stream = _stream(spark, path, batch.schema)
+    name = run_stream_to_memory(session_rollup(stream), "session_out")
+    streamed = spark.table(name)
+    # session count per user must equal the batch gap-rule session count
+    got = {
+        r.user_id: r.n_sessions
+        for r in streamed.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_sessions")).collect()
+    }
+    batch_sessions = sessionize(
+        batch.select("event_id", "user_id", "ts", "value"), "user_id", "ts"
+    )
+    expected = {
+        r.user_id: r.n_sessions
+        for r in batch_sessions.groupBy("user_id")
+        .agg(F.max("session_seq").alias("n_sessions"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_foreach_batch_dynamic_overwrite_sink(spark, events_src, tmp_path):
+    path, batch = events_src
+    out = str(tmp_path / "serving")
+    stream = _stream(spark, path, batch.schema).withColumn(
+        "event_date", F.to_date("ts").cast("string")
+    )
+    sink = foreach_batch_overwrite(out, ("event_date",))
+    q = stream.writeStream.outputMode("append").foreachBatch(sink).start()
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == batch.count()
+    # replaying the last batch is idempotent (dynamic overwrite)
+    sink(batch.withColumn("event_date", F.to_date("ts").cast("string")), 999)
+    assert spark.read.parquet(out).count() == batch.count()

@@ -1,0 +1,76 @@
+"""Partitioned writer: create, dynamic partition overwrite semantics
+(only incoming partitions replaced), idempotency, guards —
+SURVEY §2.1 S5/S6 + §5 idempotency tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lambda_lakehouse_spark.sources.writer import write_partitioned
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "country string, datadate string, v int")
+
+
+def test_create_then_read_back(spark, tmp_path):
+    path = str(tmp_path / "t1")
+    df = _df(spark, [("VN", "d1", 1), ("US", "d1", 2)])
+    write_partitioned(df, path, ["country", "datadate"])
+    got = spark.read.parquet(path)
+    assert got.count() == 2
+    assert {r.country for r in got.collect()} == {"VN", "US"}
+
+
+def test_dynamic_overwrite_replaces_only_incoming_partitions(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    base = _df(spark, [("VN", "d1", 1), ("US", "d1", 2), ("JP", "d1", 3)])
+    write_partitioned(base, path, ["country"])
+
+    # re-run the VN slice with a corrected value
+    fix = _df(spark, [("VN", "d1", 99)])
+    write_partitioned(fix, path, ["country"])
+
+    got = {r.country: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {"VN": 99, "US": 2, "JP": 3}
+
+
+def test_overwrite_idempotent(spark, tmp_path):
+    path = str(tmp_path / "t3")
+    df = _df(spark, [("VN", "d1", 1), ("VN", "d2", 2)])
+    write_partitioned(df, path, ["country", "datadate"])
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    write_partitioned(df, path, ["country", "datadate"])  # same batch again
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert before == after
+
+
+def test_static_overwrite_truncates(spark, tmp_path):
+    path = str(tmp_path / "t4")
+    write_partitioned(_df(spark, [("VN", "d1", 1), ("US", "d1", 2)]), path, ["country"])
+    write_partitioned(
+        _df(spark, [("VN", "d1", 9)]), path, ["country"], dynamic_overwrite=False
+    )
+    got = spark.read.parquet(path).collect()
+    assert len(got) == 1 and got[0].v == 9
+
+
+def test_missing_partition_column_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="partition columns"):
+        write_partitioned(_df(spark, [("VN", "d1", 1)]), str(tmp_path / "t5"), ["nope"])
+
+
+def test_partition_pruning_on_read(spark, tmp_path):
+    path = str(tmp_path / "t6")
+    write_partitioned(
+        _df(spark, [("VN", "d1", 1), ("US", "d1", 2)]), path, ["country"]
+    )
+    plan = (
+        spark.read.parquet(path)
+        .where(F.col("country") == "VN")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
