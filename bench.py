@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries (registry entries with
+``bench=True``) at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1)
+on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": <sf>}
+
+Each query executes end-to-end into the noop sink (full computation,
+no driver collect). One tiny warmup query first so JVM/codegen startup
+isn't attributed to the first headline query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lambda_lakehouse_spark.registry import load_all  # noqa: E402
+from lambda_lakehouse_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="lakehouse-bench")
+    registry = load_all()
+    headline = {n: q for n, q in sorted(registry.items()) if q.bench}
+
+    # warmup: JVM + codegen + parquet footer caches
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    next(iter(headline.values())).spark(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name, q in headline.items():
+        t0 = time.perf_counter()
+        q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

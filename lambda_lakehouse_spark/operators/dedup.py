@@ -32,7 +32,11 @@ from lambda_lakehouse_spark.registry import register
 from lambda_lakehouse_spark.sources.readers import read_table
 
 MINHASH_K = 16  # signature length
-LSH_BANDS = 8   # bands of 2 rows each → catches jaccard ≳ 0.4
+# 4 bands × 4 rows → LSH threshold (1/b)^(1/r) ≈ 0.71, the standard
+# near-dup target. Wider bands (e.g. 8×2, threshold 0.35) make the
+# bucket self-join quadratic on corpora with a shared vocabulary —
+# at sf0.1 that meant ~12% of ALL pairs colliding.
+LSH_BANDS = 4
 LSH_ROWS = MINHASH_K // LSH_BANDS
 
 
@@ -63,16 +67,25 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _signatures(docs: DataFrame, shingle_len: int = 5, k: int = MINHASH_K) -> DataFrame:
     """doc_id → minhash signature (array of k md5-hex minima)."""
+    # distinct before hashing: the min over a set equals the min over
+    # the multiset, and hashing each shingle once cuts md5 calls ~3×.
     shingle_expr = (
-        f"transform(sequence(1, greatest(length(text)-{shingle_len - 1}, 1)),"
-        f" i -> substr(text, i, {shingle_len}))"
+        f"array_distinct(transform(sequence(1, greatest(length(text)-{shingle_len - 1}, 1)),"
+        f" i -> substr(text, i, {shingle_len})))"
     )
     sig_expr = (
         f"transform(sequence(0, {k - 1}),"
         f" j -> array_min(transform({shingle_expr},"
         " s -> md5(concat(cast(j as string), ':', s)))))"
     )
-    return docs.select("doc_id", F.expr(sig_expr).alias("sig"))
+    # Hashing is CPU-bound (k × |shingles| md5 per doc) while the input
+    # often arrives in a handful of parquet partitions — spread it
+    # across the cluster before the projection, not after.
+    spark = docs.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    return docs.repartition(n_parts, "doc_id").select(
+        "doc_id", F.expr(sig_expr).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -88,12 +101,24 @@ def minhash_lsh_pairs(
         f"struct({b} as band_id, md5(concat_ws('|', {band_elems(b)})) as band_hash)"
         for b in range(bands)
     )
+    # Carry the signature through the band explode so the (expensive)
+    # signature subtree is computed once — joining it back afterwards
+    # would recompute the md5 hashing per join branch. The extra
+    # shuffle width is k hex strings per doc-band: negligible next to
+    # rehashing, at any scale.
     bands_df = sig.select(
-        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bd")
-    ).select("doc_id", "bd.band_id", "bd.band_hash")
+        "doc_id", "sig", F.explode(F.expr(f"array({band_structs})")).alias("bd")
+    ).select("doc_id", "sig", "bd.band_id", "bd.band_hash")
 
     x, y = bands_df.alias("x"), bands_df.alias("y")
-    cand = (
+    k = bands * rows
+    # divide by an explicit DOUBLE: bare `16.0` parses as DECIMAL in both
+    # Spark and DuckDB, with engine-specific result scales.
+    est = (
+        f"size(filter(sequence(1, {k}),"
+        f" j -> element_at(sig_a, j) = element_at(sig_b, j))) / CAST({k} AS DOUBLE)"
+    )
+    return (
         x.join(
             y,
             (F.col("x.band_id") == F.col("y.band_id"))
@@ -103,20 +128,12 @@ def minhash_lsh_pairs(
         .groupBy(
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
-    )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    k = bands * rows
-    # divide by an explicit DOUBLE: bare `16.0` parses as DECIMAL in both
-    # Spark and DuckDB, with engine-specific result scales.
-    est = (
-        f"size(filter(sequence(1, {k}),"
-        f" j -> element_at(sig_a, j) = element_at(sig_b, j))) / CAST({k} AS DOUBLE)"
-    )
-    return (
-        cand.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_bands"),
+            # sig is functionally determined by doc_id → first() is safe
+            F.first(F.col("x.sig")).alias("sig_a"),
+            F.first(F.col("y.sig")).alias("sig_b"),
+        )
         .select("doc_a", "doc_b", "n_shared_bands", F.expr(est).alias("est_jaccard"))
     )
 
@@ -133,8 +150,8 @@ def _minhash_oracle(shingle_len: int = 5, bands: int = LSH_BANDS, rows: int = LS
     return f"""
 WITH sh AS (
   SELECT doc_id,
-         [substr(text, i, {shingle_len})
-          FOR i IN range(1, greatest(length(text)-{shingle_len - 1}, 1) + 1)] AS shingles
+         list_distinct([substr(text, i, {shingle_len})
+          FOR i IN range(1, greatest(length(text)-{shingle_len - 1}, 1) + 1)]) AS shingles
   FROM documents
 ),
 sig AS (
