@@ -61,6 +61,7 @@ def load_all() -> dict[str, Query]:
     """Import every query-defining module and return the registry."""
     import lambda_lakehouse_spark.plans.relational  # noqa: F401
     import lambda_lakehouse_spark.plans.star  # noqa: F401
+    import lambda_lakehouse_spark.plans.extended  # noqa: F401
     import lambda_lakehouse_spark.operators.dedup  # noqa: F401
     import lambda_lakehouse_spark.operators.multimodal  # noqa: F401
     import lambda_lakehouse_spark.operators.similarity  # noqa: F401
