@@ -156,6 +156,80 @@ def ann_cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, F.col("vec_id") < N_QUERIES)
 
 
+# Near-dup threshold tuned to the synthetic testdata (random-ish
+# vectors, max within-label cosine ≈ 0.45); real embedding corpora use
+# ~0.95. Pairs are restricted to the same coarse cell (label) — the
+# blocked formulation that keeps the pair count sub-quadratic at scale.
+NEAR_DUP_COS = 0.30
+
+
+def _near_dup_oracle(threshold: float) -> str:
+    return f"""
+WITH flat AS (
+  SELECT vec_id, label, pos, CAST(embedding[pos] AS DOUBLE) AS val
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS pos)
+),
+norms AS (
+  SELECT vec_id,
+         CAST(SUM(CAST(FLOOR(val * val * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS n2
+  FROM flat GROUP BY vec_id
+),
+dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(SUM(CAST(FLOOR(a.val * b.val * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS dot
+  FROM flat a
+  JOIN flat b ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b, dot / sqrt(na.n2 * nb.n2) AS cos_sim
+FROM dots
+JOIN norms na ON na.vec_id = vec_a
+JOIN norms nb ON nb.vec_id = vec_b
+WHERE dot / sqrt(na.n2 * nb.n2) >= {threshold}
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    _near_dup_oracle(NEAR_DUP_COS),
+    doc="Embedding-cosine near-dup pairs, blocked by coarse cell (label): "
+    "all within-cell pairs above the cosine threshold — completes the "
+    "dedup family (exact / MinHash-LSH / SimHash / Jaccard / embedding)",
+    tags=("dedup", "similarity", "vector"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    flat = _flat(emb)
+    a = flat.select(
+        F.col("label"), F.col("pos"),
+        F.col("vec_id").alias("vec_a"), F.col("val").alias("val_a"),
+    )
+    b = flat.select(
+        F.col("label"), F.col("pos"),
+        F.col("vec_id").alias("vec_b"), F.col("val").alias("val_b"),
+    )
+    dots = (
+        a.join(b, ["label", "pos"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(_scaled_sum(F.col("val_a") * F.col("val_b")).alias("dot"))
+    )
+    norms = flat.groupBy("vec_id").agg(
+        _scaled_sum(F.col("val") * F.col("val")).alias("n2")
+    )
+    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(F.broadcast(na), "vec_a")
+        .join(F.broadcast(nb), "vec_b")
+        .select(
+            "vec_a", "vec_b",
+            (F.col("dot") / F.sqrt(F.col("na2") * F.col("nb2"))).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= NEAR_DUP_COS)
+    )
+
+
 @register(
     "ann_cosine_topk_ivf",
     _brute_oracle(True, 3),

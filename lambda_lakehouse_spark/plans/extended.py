@@ -175,3 +175,149 @@ def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("P", F.lit(0)).alias("status_p"),
         )
     )
+
+
+_Q6_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register(
+    "q6_selective_filter",
+    _Q6_ORACLE,
+    doc="TPC-H Q6 shape: highly-selective conjunctive filter → global agg. "
+    "Pushdown showcase — all four predicates reach the parquet scan "
+    "(PushedFilters), scan reads 4 columns, shuffle carries one row",
+    tags=("agg", "filter", "pushdown"),
+)
+def q6_selective_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register(
+    "agg_cube",
+    _CUBE_ORACLE,
+    doc="CUBE over (status, priority) — all 4 grouping-set combinations in "
+    "one pass (Catalyst expands to Expand + single hash agg)",
+    tags=("agg", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            dsum("o_totalprice").alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "sum_price", "n",
+            "g_status", "g_priority",
+        )
+    )
+
+
+_HAVING_ORACLE = """
+SELECT p_brand,
+       COUNT(*) AS n_parts,
+       COUNT(*) FILTER (WHERE p_size > 25) AS n_large,
+       CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%' THEN p_retailprice ELSE 0 END
+                 AS DECIMAL(28,6))) AS DOUBLE) AS promo_price
+FROM part
+GROUP BY p_brand
+HAVING COUNT(*) > 10 AND COUNT(*) FILTER (WHERE p_size > 25) >= 1
+"""
+
+
+@register(
+    "agg_having_conditional",
+    _HAVING_ORACLE,
+    doc="Conditional aggregation (CASE/FILTER inside agg, LIKE predicate) "
+    "+ HAVING — post-aggregation filter runs on |groups| rows only",
+    tags=("agg", "having", "filter"),
+)
+def agg_having_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.count(F.when(F.col("p_size") > 25, 1)).alias("n_large"),
+            dsum(
+                F.when(F.col("p_type").like("PROMO%"), F.col("p_retailprice"))
+                .otherwise(F.lit(0.0))
+            ).alias("promo_price"),
+        )
+        .where((F.col("n_parts") > 10) & (F.col("n_large") >= 1))
+    )
+
+
+_ABOVE_AVG_ORACLE = """
+SELECT p.p_partkey, p.p_brand, p.p_retailprice,
+       p.p_retailprice - brand_avg AS premium
+FROM (
+  SELECT p_partkey, p_brand, p_retailprice,
+         CAST(SUM(CAST(p_retailprice AS DECIMAL(28,6))) OVER (PARTITION BY p_brand) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY p_brand) AS brand_avg
+  FROM part
+) p
+WHERE p.p_retailprice > brand_avg
+"""
+
+
+@register(
+    "correlated_above_avg",
+    _ABOVE_AVG_ORACLE,
+    doc="Correlated-subquery pattern (parts priced above their brand "
+    "average), decorrelated to a window aggregate — one shuffle on the "
+    "correlation key instead of a per-row subquery",
+    tags=("window", "subquery", "agg"),
+)
+def correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    part = read_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand")
+    brand_avg = (
+        F.sum(F.col("p_retailprice").cast("decimal(28,6)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        part.withColumn("brand_avg", brand_avg)
+        .where(F.col("p_retailprice") > F.col("brand_avg"))
+        .select(
+            "p_partkey", "p_brand", "p_retailprice",
+            (F.col("p_retailprice") - F.col("brand_avg")).alias("premium"),
+        )
+    )
