@@ -40,11 +40,16 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # best-of-2 per query: the first pass pays codegen compilation and
+    # any transient host noise; the min is the steady-state number.
     timings: dict[str, float] = {}
     for name, q in headline.items():
-        t0 = time.perf_counter()
-        q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -65,27 +65,49 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _seeds(k: int) -> list[int]:
+    """k fixed 60-bit permutation seeds, deterministically derived."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"minhash-seed:{j}".encode()).hexdigest()[:15], 16)
+        for j in range(k)
+    ]
+
+
 def _signatures(docs: DataFrame, shingle_len: int = 5, k: int = MINHASH_K) -> DataFrame:
-    """doc_id → minhash signature (array of k md5-hex minima)."""
-    # distinct before hashing: the min over a set equals the min over
-    # the multiset, and hashing each shingle once cuts md5 calls ~3×.
-    shingle_expr = (
-        f"array_distinct(transform(sequence(1, greatest(length(text)-{shingle_len - 1}, 1)),"
-        f" i -> substr(text, i, {shingle_len})))"
+    """doc_id → minhash signature (array of k bigint minima).
+
+    Each distinct shingle is md5-hashed ONCE to a 60-bit integer; the k
+    permutations are `h XOR seed_j` (xor with a constant is a bijection
+    on the hash domain, so `min(h^seed)` is a valid minhash family).
+    Compared to k md5 calls per shingle this is a ~k× cut in hashing
+    work — the dominant cost.
+    """
+    seeds = _seeds(k)
+    hashes_expr = (
+        f"transform(array_distinct(transform("
+        f"sequence(1, greatest(length(text)-{shingle_len - 1}, 1)),"
+        f" i -> substr(text, i, {shingle_len}))),"
+        " s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint))"
     )
+    seed_arr = "array(" + ", ".join(f"{sd}L" for sd in seeds) + ")"
+    # Bind the (expensive) hash array ONCE via a single-element-array
+    # lambda, then take the k minima inside the same projection — no
+    # explode, no shuffle, one md5 per distinct shingle. The whole
+    # signature is a narrow map: embarrassingly parallel at any scale.
     sig_expr = (
-        f"transform(sequence(0, {k - 1}),"
-        f" j -> array_min(transform({shingle_expr},"
-        " s -> md5(concat(cast(j as string), ':', s)))))"
+        f"transform(array({hashes_expr}),"
+        f" hs -> transform({seed_arr}, sd -> array_min(transform(hs, h -> h ^ sd))))[0]"
     )
-    # Hashing is CPU-bound (k × |shingles| md5 per doc) while the input
-    # often arrives in a handful of parquet partitions — spread it
-    # across the cluster before the projection, not after.
+    # Hashing is CPU-bound; if the input arrives in fewer splits than
+    # cores (small files), spread it first. At real scale the scan
+    # already has enough splits and no shuffle happens.
     spark = docs.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
-    return docs.repartition(n_parts, "doc_id").select(
-        "doc_id", F.expr(sig_expr).alias("sig")
-    )
+    if docs.rdd.getNumPartitions() < n_parts:
+        docs = docs.repartition(n_parts, "doc_id")
+    return docs.select("doc_id", F.expr(sig_expr).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -95,7 +117,7 @@ def minhash_lsh_pairs(
     Jaccard. ``docs`` needs (doc_id, text)."""
     sig = _signatures(docs, shingle_len, bands * rows)
     band_elems = lambda b: ", ".join(  # noqa: E731
-        f"element_at(sig, {b * rows + r + 1})" for r in range(rows)
+        f"cast(element_at(sig, {b * rows + r + 1}) as string)" for r in range(rows)
     )
     band_structs = ", ".join(
         f"struct({b} as band_id, md5(concat_ws('|', {band_elems(b)})) as band_hash)"
@@ -140,25 +162,27 @@ def minhash_lsh_pairs(
 
 def _minhash_oracle(shingle_len: int = 5, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> str:
     k = bands * rows
+    seeds = _seeds(k)
     band_elems = lambda b: " || '|' || ".join(  # noqa: E731
-        f"sig[{b * rows + r + 1}]" for r in range(rows)
+        f"sig[{b * rows + r + 1}]::VARCHAR" for r in range(rows)
     )
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, md5({band_elems(b)}) AS band_hash FROM sig"
         for b in range(bands)
     )
+    min_list = ", ".join(f"MIN(xor(h, {sd}))" for sd in seeds)
     return f"""
 WITH sh AS (
   SELECT doc_id,
-         list_distinct([substr(text, i, {shingle_len})
-          FOR i IN range(1, greatest(length(text)-{shingle_len - 1}, 1) + 1)]) AS shingles
+         unnest(list_distinct([substr(text, i, {shingle_len})
+          FOR i IN range(1, greatest(length(text)-{shingle_len - 1}, 1) + 1)])) AS s
   FROM documents
 ),
+hx AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh
+),
 sig AS (
-  SELECT doc_id,
-         [list_min(list_transform(shingles, s -> md5(CAST(j AS VARCHAR) || ':' || s)))
-          FOR j IN range(0, {k})] AS sig
-  FROM sh
+  SELECT doc_id, [{min_list}] AS sig FROM hx GROUP BY doc_id
 ),
 bands AS ({band_rows}),
 cand AS (
