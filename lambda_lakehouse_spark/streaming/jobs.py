@@ -93,11 +93,59 @@ def session_rollup(
     )
 
 
+def stateful_running_totals(stream: DataFrame, key: str = "user_id") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    cumulative event count/value emitted once per micro-batch.
+
+    Running totals in *append* mode aren't expressible with built-in
+    streaming aggregations (update/complete modes re-emit whole groups);
+    per-key state makes them a one-pass operator. State is two scalars
+    per key — at scale the state store is keyed by ``key`` and stays
+    O(|keys|); production deployments add ``GroupStateTimeout.
+    EventTimeTimeout`` + watermark so idle keys expire instead of
+    accumulating forever.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key_tuple, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        batch_n = 0
+        for pdf in pdfs:
+            batch_n += len(pdf)
+            total += float(pdf["value"].sum())
+        n += batch_n
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"key": [key_tuple[0]], "batch_n": [batch_n],
+             "cum_n": [n], "cum_value": [total]}
+        )
+
+    return (
+        stream.select(F.col(key).alias("key"), "value")
+        .groupBy("key")
+        .applyInPandasWithState(
+            fn,
+            "key bigint, batch_n bigint, cum_n bigint, cum_value double",
+            "n bigint, total double",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def foreach_batch_overwrite(path: str, partition_by: tuple[str, ...]):
     """foreachBatch sink: dynamic-partition-overwrite each micro-batch
     into a parquet table — replays rewrite the same partitions, so the
     sink is idempotent (the streaming analog of the reference's
-    re-runnable daily batch, init_spark.py:92-109)."""
+    re-runnable daily batch, init_spark.py:92-109).
+
+    Contract: each micro-batch must carry COMPLETE partitions (e.g. a
+    finished day per trigger — the file-drop cadence the reference's
+    daily batch implies). If a partition can span micro-batches, use an
+    append sink or a MERGE instead: overwrite would clobber the
+    partition's earlier rows.
+    """
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():

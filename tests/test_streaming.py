@@ -6,6 +6,7 @@ results are compared against the equivalent batch computation."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from lambda_lakehouse_spark.functions.scalar import dsum
@@ -16,6 +17,7 @@ from lambda_lakehouse_spark.streaming.jobs import (
     run_stream_to_memory,
     session_rollup,
     sliding_counts,
+    stateful_running_totals,
     tumbling_counts,
 )
 from tests.conftest import SF_DIR
@@ -27,7 +29,8 @@ def events_src(spark, tmp_path_factory):
     stream source can read them (driver testdata is timestamp[ns])."""
     path = str(tmp_path_factory.mktemp("stream") / "events")
     batch = read_table(spark, SF_DIR, "events")
-    batch.write.mode("overwrite").parquet(path)
+    # several files so maxFilesPerTrigger=1 yields real multi-batch runs
+    batch.repartition(6).write.mode("overwrite").parquet(path)
     return path, batch
 
 
@@ -38,7 +41,9 @@ def _stream(spark, path, schema):
 def test_tumbling_window_matches_batch(spark, events_src):
     path, batch = events_src
     stream = _stream(spark, path, batch.schema)
-    name = run_stream_to_memory(tumbling_counts(stream), "tumbling_out")
+    name = run_stream_to_memory(
+        tumbling_counts(stream, watermark="3650 days"), "tumbling_out"
+    )
     got = {
         (r.window_start, r.event_type): (r.n_events, r.total_value)
         for r in spark.table(name).collect()
@@ -57,7 +62,9 @@ def test_tumbling_window_matches_batch(spark, events_src):
 def test_sliding_window_overlap(spark, events_src):
     path, batch = events_src
     stream = _stream(spark, path, batch.schema)
-    name = run_stream_to_memory(sliding_counts(stream), "sliding_out")
+    name = run_stream_to_memory(
+        sliding_counts(stream, watermark="3650 days"), "sliding_out"
+    )
     rows = spark.table(name).collect()
     # every event lands in window_size/slide = 2 overlapping windows
     assert sum(r.n_events for r in rows) == 2 * batch.count()
@@ -66,7 +73,9 @@ def test_sliding_window_overlap(spark, events_src):
 def test_session_window_matches_batch_sessionize(spark, events_src):
     path, batch = events_src
     stream = _stream(spark, path, batch.schema)
-    name = run_stream_to_memory(session_rollup(stream), "session_out")
+    name = run_stream_to_memory(
+        session_rollup(stream, watermark="3650 days"), "session_out"
+    )
     streamed = spark.table(name)
     # session count per user must equal the batch gap-rule session count
     got = {
@@ -85,18 +94,57 @@ def test_session_window_matches_batch_sessionize(spark, events_src):
     assert got == expected
 
 
-def test_foreach_batch_dynamic_overwrite_sink(spark, events_src, tmp_path):
+def test_stateful_running_totals(spark, events_src):
     path, batch = events_src
-    out = str(tmp_path / "serving")
-    stream = _stream(spark, path, batch.schema).withColumn(
+    stream = _stream(spark, path, batch.schema)
+    name = run_stream_to_memory(
+        stateful_running_totals(stream), "stateful_out", output_mode="append"
+    )
+    out = spark.table(name)
+    # the last emission per key carries the final cumulative totals,
+    # which must equal the batch aggregation
+    final = {
+        r.key: (r.cum_n, r.cum_value)
+        for r in out.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("key").orderBy(F.col("cum_n").desc())
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .collect()
+    }
+    expected = {
+        r.user_id: (r.n, r.total)
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for k, (n, total) in expected.items():
+        assert final[k][0] == n
+        assert final[k][1] == pytest.approx(total, rel=1e-9)
+    # statefulness: with maxFilesPerTrigger=1 most keys span batches,
+    # so there must be more emissions than keys
+    assert out.count() > len(final)
+
+
+def test_foreach_batch_dynamic_overwrite_sink(spark, tmp_path_factory, tmp_path):
+    # the sink's contract requires partition-complete micro-batches:
+    # hash-partition by event_date so no date ever spans two files
+    path = str(tmp_path_factory.mktemp("stream") / "events_by_date")
+    batch = read_table(spark, SF_DIR, "events").withColumn(
         "event_date", F.to_date("ts").cast("string")
     )
+    batch.repartition(6, "event_date").write.mode("overwrite").parquet(path)
+    out = str(tmp_path / "serving")
+    stream = _stream(spark, path, batch.schema)
     sink = foreach_batch_overwrite(out, ("event_date",))
     q = stream.writeStream.outputMode("append").foreachBatch(sink).start()
     q.processAllAvailable()
     q.stop()
     got = spark.read.parquet(out)
     assert got.count() == batch.count()
-    # replaying the last batch is idempotent (dynamic overwrite)
-    sink(batch.withColumn("event_date", F.to_date("ts").cast("string")), 999)
+    # replaying the full input is idempotent (dynamic overwrite)
+    sink(batch, 999)
     assert spark.read.parquet(out).count() == batch.count()
