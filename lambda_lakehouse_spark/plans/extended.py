@@ -283,6 +283,164 @@ def agg_having_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANKING_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       CAST(ROW_NUMBER()   OVER w AS INTEGER) AS rn,
+       CAST(RANK()         OVER w AS INTEGER) AS rnk,
+       CAST(DENSE_RANK()   OVER w AS INTEGER) AS drnk,
+       PERCENT_RANK()      OVER w AS prnk,
+       CAST(NTILE(4)       OVER w AS INTEGER) AS quartile
+FROM orders
+WHERE o_orderkey < 2000
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+@register(
+    "window_ranking_suite",
+    _RANKING_ORACLE,
+    doc="Ranking family (row_number/rank/dense_rank/percent_rank/ntile) "
+    "over a deterministic total order — SURVEY §2.5 notes the reference "
+    "has no ranking functions; a complete engine does",
+    tags=("window", "ranking"),
+)
+def window_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = read_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+_ROLLING_ORACLE = """
+SELECT user_id, event_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(28,6)))
+            OVER (PARTITION BY user_id ORDER BY epoch(CAST(ts AS TIMESTAMP))
+                  RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS rolling_6h_value,
+       CAST(COUNT(*)
+            OVER (PARTITION BY user_id ORDER BY epoch(CAST(ts AS TIMESTAMP))
+                  RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS rolling_6h_events
+FROM events
+"""
+
+
+@register(
+    "window_rolling_range",
+    _ROLLING_ORACLE,
+    doc="Time-based rolling aggregates: rangeBetween over event-time "
+    "seconds (6h trailing window per user) — the frame is a range on the "
+    "ORDER BY value, so ties collapse identically in any engine",
+    tags=("window", "range", "rolling"),
+)
+def window_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-21600, 0)
+    )
+    return ev.select(
+        "user_id", "event_id", "ts",
+        F.sum(F.col("value").cast("decimal(28,6)")).over(w).cast("double")
+        .alias("rolling_6h_value"),
+        F.count(F.lit(1)).over(w).alias("rolling_6h_events"),
+    )
+
+
+_STRING_ORACLE = """
+SELECT p_partkey,
+       substr(p_name, 1, 12) AS name_prefix,
+       upper(p_brand) AS brand_uc,
+       CAST(length(p_name) AS INTEGER) AS name_len,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+       replace(p_type, ' ', '_') AS type_snake,
+       reverse(p_brand) AS brand_rev,
+       CAST(strpos(p_type, 'BRUSHED') AS INTEGER) AS brushed_pos,
+       split_part(p_type, ' ', 1) AS type_head,
+       concat_ws('-', p_brand, CAST(p_size AS VARCHAR)) AS brand_size
+FROM part
+WHERE p_partkey < 1000
+"""
+
+
+@register(
+    "scalar_string_suite",
+    _STRING_ORACLE,
+    doc="String-function census beyond the reference's upper/trim/"
+    "regexp_replace/concat_ws: substr, lpad, replace, reverse, "
+    "position, split_part — all JVM-side, codegen'd",
+    tags=("scalar", "string"),
+)
+def scalar_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part").where(F.col("p_partkey") < 1000)
+    return part.select(
+        "p_partkey",
+        F.substring("p_name", 1, 12).alias("name_prefix"),
+        F.upper("p_brand").alias("brand_uc"),
+        F.length("p_name").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.instr(F.col("p_type"), "BRUSHED").alias("brushed_pos"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.concat_ws("-", "p_brand", F.col("p_size").cast("string")).alias("brand_size"),
+    )
+
+
+_DATE_ORACLE = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       CAST(month(o_orderdate) AS INTEGER) AS mth,
+       CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(o_orderdate AS DATE) + 90 AS due_date,
+       CAST(date_diff('day', CAST(o_orderdate AS TIMESTAMP),
+                      TIMESTAMP '1998-12-01 00:00:00') AS INTEGER) AS days_to_cutoff
+FROM orders
+WHERE o_orderkey < 1000
+"""
+
+
+@register(
+    "scalar_date_suite",
+    _DATE_ORACLE,
+    doc="Date/time census extending the reference's calendar kit: "
+    "trunc, last_day, date arithmetic, ISO week, day deltas",
+    tags=("scalar", "date"),
+)
+def scalar_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mth"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.date_add(d, 90).alias("due_date"),
+        F.datediff(F.lit("1998-12-01").cast("date"), d).alias("days_to_cutoff"),
+    )
+
+
 _ABOVE_AVG_ORACLE = """
 SELECT p.p_partkey, p.p_brand, p.p_retailprice,
        p.p_retailprice - brand_avg AS premium
