@@ -38,13 +38,17 @@ def as_long_clean(c: Column | str) -> Column:
     placeholders (→ NULL via failed cast).
     """
     col = F.col(c) if isinstance(c, str) else c
-    return F.regexp_replace(col.cast("string"), _NON_NUMERIC, "").cast("long")
+    cleaned = F.regexp_replace(col.cast("string"), _NON_NUMERIC, "")
+    # try_cast: "Not found" strips to "" → NULL (the reference ran
+    # pre-ANSI Spark where plain cast returned NULL; ANSI throws).
+    # Route via double so "123.0"-style strings truncate instead of fail.
+    return cleaned.try_cast("double").try_cast("long")
 
 
 def as_double_clean(c: Column | str) -> Column:
     """Strip non-numeric chars, cast to double (``init_spark.py:43-44``)."""
     col = F.col(c) if isinstance(c, str) else c
-    return F.regexp_replace(col.cast("string"), _NON_NUMERIC, "").cast("double")
+    return F.regexp_replace(col.cast("string"), _NON_NUMERIC, "").try_cast("double")
 
 
 def sk_crc32(*cols: Column | str, sep: str = "||") -> Column:
