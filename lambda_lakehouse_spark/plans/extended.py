@@ -283,6 +283,28 @@ def agg_having_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_approx_sketches",
+    None,  # sketch estimates are engine-specific → rows-only check
+    doc="Mergeable approximate aggregates — HyperLogLog distinct counts "
+    "(both the classic approx_count_distinct and a DataSketches HLL "
+    "sketch agg+estimate pair) and t-digest-style percentile_approx. "
+    "The 100 TB path for distinct/quantile: map-side sketches merge in "
+    "O(sketch) instead of shuffling the value domain",
+    tags=("agg", "sketch", "approx"),
+)
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("hll_customers"),
+        F.percentile_approx(
+            "o_totalprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
+        ).alias("price_quantiles"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 _RANKING_ORACLE = """
 SELECT o_orderkey, o_orderstatus, o_totalprice,
        CAST(ROW_NUMBER()   OVER w AS INTEGER) AS rn,

@@ -1,0 +1,81 @@
+"""Scale-path mechanics: salted joins produce plain-join results while
+spreading hot keys; bucketed tables co-locate joins with zero shuffle
+(the 100 TB fact-to-fact join strategy)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lambda_lakehouse_spark.operators.skew import salted_join
+from lambda_lakehouse_spark.sources.readers import read_table
+from tests.conftest import SF_DIR
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = read_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    # simulate skew: map most rows onto one hot key
+    skewed = li.withColumn(
+        "join_key", F.when(F.col("l_orderkey") % 4 != 0, F.lit(1)).otherwise(
+            F.col("l_orderkey")
+        )
+    )
+    dim = (
+        skewed.select(F.col("join_key")).distinct()
+        .withColumn("dim_val", F.col("join_key") * 10)
+    )
+    plain = skewed.join(dim, ["join_key"], "inner")
+    salted = salted_join(skewed, dim, ["join_key"], "inner", buckets=8)
+    assert salted.count() == plain.count()
+    # value parity on an aggregate over the joined result
+    a = plain.agg(F.sum("dim_val"), F.sum("l_quantity")).collect()[0]
+    b = salted.agg(F.sum("dim_val"), F.sum("l_quantity")).collect()[0]
+    assert a == b
+    # left join with unmatched keys also matches
+    dim_partial = dim.where(F.col("join_key") != 1)
+    pl = skewed.join(dim_partial, ["join_key"], "left")
+    sl = salted_join(skewed, dim_partial, ["join_key"], "left", buckets=8)
+    assert sl.count() == pl.count()
+    assert (
+        sl.where(F.col("dim_val").isNull()).count()
+        == pl.where(F.col("dim_val").isNull()).count()
+    )
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bktdb LOCATION '{tmp_path}/bktdb'"
+    )
+    li = read_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    orders = read_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("bktdb.li_bucketed")
+    )
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("bktdb.orders_bucketed")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a non-broadcast plan so bucketing is what avoids the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bktdb.li_bucketed").join(
+            spark.table("bktdb.orders_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        # and it still computes the right thing
+        assert joined.count() == li.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP DATABASE bktdb CASCADE")
