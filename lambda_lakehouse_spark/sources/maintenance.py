@@ -1,0 +1,100 @@
+"""Table maintenance: MERGE-style upsert and small-file compaction for
+path-based (format-agnostic) partitioned tables.
+
+The reference gets MERGE and file management for free from Iceberg
+(`writeTo().overwritePartitions()` + table services); on plain
+parquet the engine provides both as partition-scoped rewrites — the
+same mechanics a `MERGE INTO` compiles to on any copy-on-write table
+format. When Delta/Iceberg jars are on the classpath their native
+MERGE is preferable (it adds snapshot isolation); the call signature
+here is deliberately the same shape so swapping is mechanical.
+
+Scale posture: both operations touch ONLY the partitions present in
+the incoming updates / selected for compaction. A daily upsert into a
+100 TB table reads and rewrites one day's partitions, never the table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lambda_lakehouse_spark.sources.writer import write_partitioned
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    partition_by: Sequence[str] = (),
+) -> None:
+    """Upsert ``updates`` into the table at ``path``: rows matching on
+    ``keys`` are replaced, new keys are inserted (MERGE WHEN MATCHED
+    UPDATE / WHEN NOT MATCHED INSERT semantics).
+
+    Implementation: restrict the target scan to the partitions present
+    in ``updates`` (partition pruning — the pushed-down IN filter keeps
+    the read partition-scoped), anti-join out the updated keys, union
+    the updates, dynamically overwrite only those partitions.
+    """
+    keys = list(keys)
+    partition_by = list(partition_by)
+    import os
+
+    if not (os.path.exists(path) and os.listdir(path)):
+        write_partitioned(updates, path, partition_by=partition_by)
+        return
+
+    target = spark.read.parquet(path).select(*updates.columns)
+    if partition_by:
+        parts = [
+            tuple(r) for r in updates.select(*partition_by).distinct().collect()
+        ]
+        cond = F.struct(*partition_by).isin([F.struct(*[F.lit(v) for v in p]) for p in parts])
+        target = target.where(cond)
+    survivors = target.join(
+        updates.select(*keys).distinct(), keys, "left_anti"
+    )
+    merged = survivors.unionByName(updates)
+    write_partitioned(merged, path, partition_by=partition_by)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_by: Sequence[str],
+    target_files_per_partition: int = 1,
+    partition_filter=None,
+) -> None:
+    """Rewrite (a subset of) partitions into ``target_files_per_partition``
+    files each — the small-file compaction every streaming/micro-batch
+    sink eventually needs (each foreachBatch trigger adds files; scan
+    cost grows with file count, not data size).
+
+    ``partition_filter`` (a Column) restricts which partitions are
+    compacted; by default all. Data is unchanged — only file layout.
+    """
+    partition_by = list(partition_by)
+    df = spark.read.parquet(path)
+    if partition_filter is not None:
+        df = df.where(partition_filter)
+    if target_files_per_partition <= 1:
+        # all rows of a partition value hash to one task → 1 file each
+        compacted = df.repartition(*partition_by)
+    else:
+        # salt splits each partition value across ≤k tasks; dropping the
+        # salt afterwards is a projection — the physical distribution
+        # (and therefore the file fan-out) is preserved
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.lit(target_files_per_partition),
+        )
+        compacted = (
+            df.withColumn("__salt", salt)
+            .repartition(*partition_by, "__salt")
+            .drop("__salt")
+        )
+    write_partitioned(compacted, path, partition_by=partition_by)

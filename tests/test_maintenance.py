@@ -1,0 +1,82 @@
+"""MERGE-style upsert + small-file compaction on partitioned parquet."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from lambda_lakehouse_spark.sources.maintenance import (
+    compact_partitions,
+    merge_upsert,
+)
+from lambda_lakehouse_spark.sources.readers import read_table
+from tests.conftest import SF_DIR
+
+
+def _orders(spark):
+    return (
+        read_table(spark, SF_DIR, "orders")
+        .select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+    )
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+    path = str(tmp_path / "orders_tbl")
+    base = _orders(spark)
+    merge_upsert(spark, path, base, keys=["o_orderkey"], partition_by=["month"])
+    n0 = spark.read.parquet(path).count()
+    assert n0 == base.count()
+
+    # updates: bump price on 10 existing keys + insert 5 new keys,
+    # all within ONE month partition
+    month = base.select("month").orderBy("month").first().month
+    upd_existing = (
+        base.where(F.col("month") == month).limit(10)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+    )
+    upd_new = upd_existing.limit(5).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    updates = upd_existing.unionByName(upd_new)
+    updated_keys = [r.o_orderkey for r in upd_existing.collect()]
+
+    merge_upsert(spark, path, updates, keys=["o_orderkey"], partition_by=["month"])
+    after = spark.read.parquet(path)
+    assert after.count() == n0 + 5  # inserts added, updates replaced
+    # updated rows carry the new price
+    got = after.where(F.col("o_orderkey").isin(updated_keys[:3])).collect()
+    orig = {
+        r.o_orderkey: r.o_totalprice
+        for r in base.where(F.col("o_orderkey").isin(updated_keys[:3])).collect()
+    }
+    for r in got:
+        assert r.o_totalprice == orig[r.o_orderkey] + 1000.0
+    # no duplicate keys
+    assert after.groupBy("o_orderkey").count().where("count > 1").count() == 0
+
+
+def test_compact_partitions_reduces_files(spark, tmp_path):
+    path = str(tmp_path / "fragmented")
+    base = _orders(spark)
+    # fragment: 12 files per partition
+    base.repartition(12).write.partitionBy("month").mode("overwrite").parquet(path)
+    n_rows = spark.read.parquet(path).count()
+    files_before = len(glob.glob(f"{path}/month=*/*.parquet"))
+    n_months = base.select("month").distinct().count()
+    assert files_before > n_months
+
+    compact_partitions(spark, path, ["month"], target_files_per_partition=1)
+    files_after = len(glob.glob(f"{path}/month=*/*.parquet"))
+    assert files_after == n_months
+    # data unchanged
+    assert spark.read.parquet(path).count() == n_rows
+
+    # k-way compaction bounds files per partition
+    compact_partitions(spark, path, ["month"], target_files_per_partition=3)
+    for d in glob.glob(f"{path}/month=*"):
+        assert 1 <= len(glob.glob(f"{d}/*.parquet")) <= 3
+    assert spark.read.parquet(path).count() == n_rows
