@@ -346,11 +346,11 @@ def window_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROLLING_ORACLE = """
 SELECT user_id, event_id, ts,
        CAST(SUM(CAST(value AS DECIMAL(28,6)))
-            OVER (PARTITION BY user_id ORDER BY epoch(CAST(ts AS TIMESTAMP))
+            OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
                   RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW) AS DOUBLE)
          AS rolling_6h_value,
        CAST(COUNT(*)
-            OVER (PARTITION BY user_id ORDER BY epoch(CAST(ts AS TIMESTAMP))
+            OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
                   RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW) AS BIGINT)
          AS rolling_6h_events
 FROM events

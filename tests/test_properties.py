@@ -1,0 +1,160 @@
+"""Property-based tests (hypothesis): the SCD2 builder and the as-of
+join are checked against brute-force pure-Python models on randomized
+inputs — invariants that example-based tests can't sweep.
+
+Strategy notes: hypothesis drives a single shared SparkSession, so
+examples are kept small (Spark job latency, not data size, bounds the
+budget) and deadlines are disabled.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from lambda_lakehouse_spark.operators.scd2 import build_scd2
+from lambda_lakehouse_spark.operators.skew import salted_join
+from lambda_lakehouse_spark.operators.temporal import as_of_join
+
+BASE = dt.date(2025, 1, 1)
+
+# (entity, day-offset, attribute) snapshots: few entities and days so
+# histories collide and version breaks actually occur
+snapshots_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.integers(min_value=0, max_value=9),
+        st.sampled_from(["x", "y", "z"]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _scd2_model(rows):
+    """Pure-Python SCD2: collapse per-entity date-ordered snapshots
+    into attribute runs (last-write-wins per (entity, day) is NOT
+    modeled — duplicates with conflicting attrs are excluded by the
+    test filter)."""
+    by_key: dict[str, dict[int, str]] = {}
+    for k, d, a in rows:
+        by_key.setdefault(k, {})[d] = a
+    versions = {}
+    for k, hist in by_key.items():
+        runs = []
+        for d in sorted(hist):
+            if not runs or runs[-1][1] != hist[d]:
+                runs.append((d, hist[d]))
+        versions[k] = runs
+    return versions
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(snapshots_strategy)
+def test_scd2_matches_model(spark, rows):
+    # drop conflicting duplicates (same entity+day, different attr):
+    # snapshot grain is one observation per entity per day
+    seen: dict[tuple[str, int], str] = {}
+    clean = []
+    for k, d, a in rows:
+        if (k, d) not in seen:
+            seen[(k, d)] = a
+            clean.append((k, d, a))
+    df = spark.createDataFrame(
+        [(k, BASE + dt.timedelta(days=d), a) for k, d, a in clean],
+        ["entity", "snap_date", "attr"],
+    )
+    out = build_scd2(df, keys=("entity",), attrs=("attr",), snapshot_col="snap_date")
+    got = {
+        k: sorted(
+            ((r.effective_from - BASE).days, r.attr)
+            for r in out.where(F.col("entity") == k).collect()
+        )
+        for k in {k for k, _, _ in clean}
+    }
+    model = _scd2_model(clean)
+    assert got == {k: sorted(v) for k, v in model.items()}
+    # invariants: exactly one open version per entity; versions dense 1..n
+    for k in model:
+        vs = out.where(F.col("entity") == k).collect()
+        assert sum(r.is_current for r in vs) == 1
+        assert sorted(r.version for r in vs) == list(range(1, len(vs) + 1))
+        opens = [r for r in vs if r.is_current]
+        assert opens[0].effective_to == dt.date(9999, 12, 31)
+
+
+asof_strategy = st.tuples(
+    st.lists(  # left probes: (key, time)
+        st.tuples(st.sampled_from(["k1", "k2"]), st.integers(0, 20)),
+        min_size=1, max_size=12,
+    ),
+    st.lists(  # right events: (key, time, value)
+        st.tuples(
+            st.sampled_from(["k1", "k2"]),
+            st.integers(0, 20),
+            st.integers(0, 100),
+        ),
+        min_size=0, max_size=12,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(asof_strategy)
+def test_asof_matches_model(spark, data):
+    probes, events = data
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(probes)], ["key", "t", "probe_id"]
+    )
+    right = spark.createDataFrame(events, ["key", "t", "val"]) if events else (
+        spark.createDataFrame([], "key string, t long, val long")
+    )
+    out = as_of_join(
+        left, right, keys=("key",), left_time="t", right_time="t",
+        value_cols=("val",),
+    )
+    got = {r.probe_id: r.val for r in out.collect()}
+    for i, (k, t) in enumerate(probes):
+        prior = [v for (ek, et, v) in events if ek == k and et <= t]
+        latest = None
+        if prior:
+            latest = max(
+                (et, v) for (ek, et, v) in events if ek == k and et <= t
+            )[1]
+        assert got[i] == latest, (i, k, t)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=1, max_size=20,
+    )
+)
+def test_salted_join_matches_plain(spark, rows):
+    large = spark.createDataFrame(rows, ["k", "v"])
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], ["k", "tag"])
+    plain = sorted(
+        (r.k, r.v, r.tag) for r in large.join(small, ["k"], "left").collect()
+    )
+    salted = sorted(
+        (r.k, r.v, r.tag)
+        for r in salted_join(large, small, ["k"], "left", buckets=4).collect()
+    )
+    assert salted == plain
