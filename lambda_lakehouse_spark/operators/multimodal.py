@@ -71,6 +71,46 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
     return binary_df.mapInPandas(_decode_batch, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_md5 string"
+
+
+def _frame_sample_batch(chunk_size: int, stride: int):
+    """Deterministic fake frame sampler: every ``stride``-th
+    ``chunk_size``-byte slice of the payload stands in for a decoded
+    video frame. Real implementation swaps the slicing for a codec's
+    keyframe iterator; the 1→N output shape, Arrow batching, and
+    schema contract are what downstream operators depend on."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                frames = [
+                    b[o : o + chunk_size]
+                    for o in range(0, max(len(b), 1), chunk_size)
+                ][::stride]
+                for i, fr in enumerate(frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(hashlib.md5(fr).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": pd.array(idxs, dtype="int32"),
+                 "frame_md5": hashes}
+            )
+
+    return fn
+
+
+def sample_frames(
+    binary_df: DataFrame, chunk_size: int = 256, stride: int = 2
+) -> DataFrame:
+    """(doc_id, payload) → one row per sampled frame (1→N mapInPandas)."""
+    return binary_df.mapInPandas(
+        _frame_sample_batch(chunk_size, stride), schema=FRAME_SCHEMA
+    )
+
+
 _MULTIMODAL_ORACLE = """
 SELECT doc_id,
        CAST(strlen(text) AS BIGINT) AS byte_len,
@@ -96,3 +136,18 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return extract_features(docs)
+
+
+@register(
+    "multimodal_frame_sample",
+    None,  # 1→N fake-codec output; verified structurally in pytest
+    doc="Frame sampling over opaque video payloads: every-Nth-chunk "
+    "slices via 1→N Arrow-batched mapInPandas (codec stubbed; the "
+    "explode-shaped UDF contract is the real plumbing)",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return sample_frames(docs)
