@@ -652,3 +652,148 @@ def calendar_dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek(d).alias("day_of_week"),
         F.dayofweek(d).isin(1, 7).alias("is_weekend"),
     ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape — EXISTS-filtered priority census
+# ---------------------------------------------------------------------------
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "q4_late_orders",
+    _Q4_ORACLE,
+    doc="TPC-H Q4 shape: correlated EXISTS (orders with a line shipped "
+    ">60 days after order date) decorrelated to a left-semi join on the "
+    "order key — one shuffle, no per-row subquery",
+    tags=("join", "semi", "agg", "subquery"),
+)
+def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape — bilateral nation trade volume by year
+# ---------------------------------------------------------------------------
+
+_Q7_ORACLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey  = l_suppkey
+JOIN customer ON c_custkey  = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "q7_nation_trade",
+    _Q7_ORACLE,
+    doc="TPC-H Q7 shape: 5-way join with a disjunctive cross-table "
+    "predicate, yearly rollup — nation dims broadcast, the disjunction "
+    "evaluated post-join (it references both sides)",
+    tags=("join", "agg", "broadcast"),
+)
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    supp = read_table(spark, sf_dir, "supplier")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nk") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("c_nk") == F.col("c_nationkey"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape — large-volume orders via IN + HAVING
+# ---------------------------------------------------------------------------
+
+_Q18_ORACLE = """
+SELECT c_name, o_orderkey, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(28,6))) > 180
+)
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "q18_large_volume",
+    _Q18_ORACLE,
+    doc="TPC-H Q18 shape: IN-subquery over a grouped HAVING, expressed as "
+    "a semi join against the aggregated key set — the aggregation runs "
+    "once, not per outer row",
+    tags=("join", "semi", "agg", "subquery"),
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("q"))
+        .where(F.col("q") > 180)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+    )

@@ -148,3 +148,36 @@ def test_foreach_batch_dynamic_overwrite_sink(spark, tmp_path_factory, tmp_path)
     # replaying the full input is idempotent (dynamic overwrite)
     sink(batch, 999)
     assert spark.read.parquet(out).count() == batch.count()
+
+
+def test_parse_json_events_stream(spark, tmp_path_factory):
+    from pyspark.sql.types import StructType, StructField, StringType, DoubleType
+
+    from lambda_lakehouse_spark.streaming.sources import file_stream, parse_json_events
+
+    path = str(tmp_path_factory.mktemp("stream") / "json_events")
+    payloads = [
+        ('{"sym": "BTC", "px": 50000.5}',),
+        ('{"sym": "ETH", "px": 3000.25}',),
+        ("not json at all",),
+    ]
+    src = spark.createDataFrame(payloads, ["value"])
+    src.write.mode("overwrite").parquet(path)
+
+    schema = StructType(
+        [StructField("sym", StringType()), StructField("px", DoubleType())]
+    )
+    stream = file_stream(spark, path, src.schema)
+    parsed = parse_json_events(stream, schema)
+    name = run_stream_to_memory(parsed, "json_out", output_mode="append")
+    rows = spark.table(name).collect()
+    got = {(r.sym, r.px) for r in rows}
+    # malformed payload survives as a NULL-struct row (dead-letter-able)
+    assert got == {("BTC", 50000.5), ("ETH", 3000.25), (None, None)}
+
+
+def test_kafka_stream_unavailable_raises(spark):
+    from lambda_lakehouse_spark.streaming.sources import kafka_stream
+
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        kafka_stream(spark, "localhost:9092")
