@@ -501,3 +501,68 @@ def correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p_retailprice") - F.col("brand_avg")).alias("premium"),
         )
     )
+
+
+_JSON_ORACLE = """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+       json_extract_string(props, '$.missing') IS NULL AS missing_is_null,
+       CAST(event_type = 'purchase' AND CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+            AS BOOLEAN) AS big_purchase
+FROM events
+WHERE event_id < 2000
+"""
+
+
+@register(
+    "scalar_json_suite",
+    _JSON_ORACLE,
+    doc="Semi-structured kit: JSON-path extraction from the events.props "
+    "payload column (string + typed), missing-path NULL semantics, and a "
+    "predicate over extracted values — all JVM-side (get_json_object)",
+    tags=("scalar", "json"),
+)
+def scalar_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("bigint").alias("k_num"),
+        F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
+        ((F.col("event_type") == "purchase") & (k.cast("bigint") > 50)).alias(
+            "big_purchase"
+        ),
+    )
+
+
+_ARRAY_ORACLE = """
+SELECT user_id,
+       list_sort(list(DISTINCT event_type)) AS types,
+       CAST(len(list(DISTINCT event_type)) AS INTEGER) AS n_types,
+       list_contains(list(DISTINCT event_type), 'purchase') AS has_purchase,
+       list_sort(list(DISTINCT event_type))[1] AS first_type
+FROM events
+GROUP BY user_id
+"""
+
+
+@register(
+    "array_agg_suite",
+    _ARRAY_ORACLE,
+    doc="Array functions over grouped collection: collect_set → "
+    "deterministic array_sort (collection order is engine/partitioning "
+    "dependent — sorting makes it comparable), size, membership, "
+    "element access",
+    tags=("agg", "array"),
+)
+def array_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    types = F.array_sort(F.collect_set("event_type"))
+    return ev.groupBy("user_id").agg(
+        types.alias("types"),
+        F.size(F.collect_set("event_type")).alias("n_types"),
+        F.array_contains(F.collect_set("event_type"), "purchase").alias("has_purchase"),
+        types.getItem(0).alias("first_type"),
+    )
