@@ -41,8 +41,12 @@ def as_long_clean(c: Column | str) -> Column:
     cleaned = F.regexp_replace(col.cast("string"), _NON_NUMERIC, "")
     # try_cast: "Not found" strips to "" → NULL (the reference ran
     # pre-ANSI Spark where plain cast returned NULL; ANSI throws).
-    # Route via double so "123.0"-style strings truncate instead of fail.
-    return cleaned.try_cast("double").try_cast("long")
+    # Direct long cast first — exact for integral strings of any
+    # magnitude; the double route only catches "123.0"-style decimals
+    # (routing everything through double would corrupt ints > 2^53).
+    return F.coalesce(
+        cleaned.try_cast("long"), cleaned.try_cast("double").try_cast("long")
+    )
 
 
 def as_double_clean(c: Column | str) -> Column:

@@ -102,6 +102,17 @@ def stg_vn(raw: DataFrame, batch_date: str) -> DataFrame:
         .withColumn("datadate", F.lit(batch_date).cast("date"))
         .withColumn("sector", F.col("industry"))
         .withColumn("employees", as_long_clean("no_employees"))
+        # current_price/price_source MUST be derived before ref_price is
+        # replaced below: `cur` references the raw "ref_price" column,
+        # and re-cleaning an already-cleaned double corrupts it (the
+        # scientific-notation 'E' of large doubles gets regex-stripped)
+        .withColumn("current_price", F.coalesce(cur, prev))
+        .withColumn(
+            "price_source",
+            F.when(cur.isNotNull(), F.lit("ref"))
+            .when(prev.isNotNull(), F.lit("prior_close"))
+            .otherwise(F.lit(None).cast("string")),
+        )
         .withColumn("ref_price", cur)
         .withColumn("previous_close", prev)
         .withColumn("ceiling", as_double_clean("ceiling"))
@@ -120,14 +131,7 @@ def stg_vn(raw: DataFrame, batch_date: str) -> DataFrame:
             "exchange", F.coalesce(F.col("exchange_overview"), F.col("exchange_price"))
         )
         .withColumn("currency", F.lit("VND"))
-        .withColumn("current_price", F.coalesce(cur, prev))
-        # price_source is computed then dropped by the contract — G4
-        .withColumn(
-            "price_source",
-            F.when(cur.isNotNull(), F.lit("ref"))
-            .when(prev.isNotNull(), F.lit("prior_close"))
-            .otherwise(F.lit(None).cast("string")),
-        )
+        # price_source is computed (above) then dropped by the contract — G4
         .withColumn(
             "market_cap", F.col("outstanding_share") * F.col("current_price")
         )

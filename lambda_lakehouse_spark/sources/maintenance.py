@@ -21,7 +21,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lambda_lakehouse_spark.sources.writer import write_partitioned
+from lambda_lakehouse_spark.sources.writer import _table_exists, write_partitioned
 
 
 def merge_upsert(
@@ -30,36 +30,49 @@ def merge_upsert(
     updates: DataFrame,
     keys: Sequence[str],
     partition_by: Sequence[str] = (),
+    partition_scoped: bool = True,
 ) -> None:
     """Upsert ``updates`` into the table at ``path``: rows matching on
     ``keys`` are replaced, new keys are inserted (MERGE WHEN MATCHED
     UPDATE / WHEN NOT MATCHED INSERT semantics).
 
-    Implementation: restrict the target scan to the partitions present
-    in ``updates`` (partition pruning — the pushed-down IN filter keeps
-    the read partition-scoped), anti-join out the updated keys, union
-    the updates, dynamically overwrite only those partitions.
+    ``partition_scoped=True`` (default) restricts the target scan to
+    the partitions present in ``updates`` (partition pruning keeps the
+    read partition-scoped — the 100 TB posture), anti-joins out the
+    updated keys, unions the updates, and dynamically overwrites only
+    those partitions. **Contract**: a key's partition value must not
+    change across upserts (true whenever the partition column is
+    derived from the key or from an immutable event date) — a
+    partition-moving update would leave the key's old row untouched in
+    its old partition. When keys CAN move between partitions, pass
+    ``partition_scoped=False``: the whole table is scanned and
+    statically rewritten (what any copy-on-write MERGE without an
+    index does).
     """
     keys = list(keys)
     partition_by = list(partition_by)
-    import os
 
-    if not (os.path.exists(path) and os.listdir(path)):
+    if not _table_exists(path):
         write_partitioned(updates, path, partition_by=partition_by)
         return
 
     target = spark.read.parquet(path).select(*updates.columns)
-    if partition_by:
+    if partition_by and partition_scoped:
         parts = [
             tuple(r) for r in updates.select(*partition_by).distinct().collect()
         ]
-        cond = F.struct(*partition_by).isin([F.struct(*[F.lit(v) for v in p]) for p in parts])
+        cond = F.struct(*partition_by).isin(
+            [F.struct(*[F.lit(v) for v in p]) for p in parts]
+        )
         target = target.where(cond)
     survivors = target.join(
         updates.select(*keys).distinct(), keys, "left_anti"
     )
     merged = survivors.unionByName(updates)
-    write_partitioned(merged, path, partition_by=partition_by)
+    write_partitioned(
+        merged, path, partition_by=partition_by,
+        dynamic_overwrite=partition_scoped,
+    )
 
 
 def compact_partitions(

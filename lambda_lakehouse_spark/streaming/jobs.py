@@ -108,6 +108,8 @@ def stateful_running_totals(stream: DataFrame, key: str = "user_id") -> DataFram
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    key_type = stream.schema[key].dataType.simpleString()
+
     def fn(key_tuple, pdfs, state):
         n, total = state.get if state.exists else (0, 0.0)
         batch_n = 0
@@ -126,7 +128,7 @@ def stateful_running_totals(stream: DataFrame, key: str = "user_id") -> DataFram
         .groupBy("key")
         .applyInPandasWithState(
             fn,
-            "key bigint, batch_n bigint, cum_n bigint, cum_value double",
+            f"key {key_type}, batch_n bigint, cum_n bigint, cum_value double",
             "n bigint, total double",
             "append",
             GroupStateTimeout.NoTimeout,

@@ -83,10 +83,32 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
 def parse_json_events(raw: DataFrame, schema: StructType, value_col: str = "value") -> DataFrame:
     """Parse a JSON payload column into typed columns (the step between
     ``kafka_stream`` and the windowed jobs). Malformed payloads yield
-    NULL structs rather than failing the stream — dead-letter them by
-    filtering ``_parsed IS NULL`` into a side sink."""
-    return (
-        raw.withColumn("_parsed", F.from_json(F.col(value_col), schema))
-        .select("*", "_parsed.*")
-        .drop("_parsed", value_col)
+    rows with NULL payload fields and ``_corrupt = true`` — dead-letter
+    them by filtering on that flag into a side sink.
+
+    Name collisions resolve in the payload's favor: a parsed field that
+    shares a name with a source column (e.g. a payload ``value`` field
+    vs Kafka's raw ``value``) replaces it rather than producing
+    ambiguous duplicates.
+    """
+    from pyspark.sql.types import StringType, StructField
+
+    # PERMISSIVE from_json yields an all-NULL struct for malformed
+    # input (indistinguishable from a legitimately-empty payload); a
+    # corrupt-record field captures the raw string instead.
+    crpt = "_corrupt_record"
+    with_corrupt = StructType(list(schema.fields) + [StructField(crpt, StringType())])
+    parsed = raw.withColumn(
+        "_parsed",
+        F.from_json(
+            F.col(value_col), with_corrupt,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": crpt},
+        ),
+    )
+    fields = [f.name for f in schema.fields]
+    keep = [c for c in raw.columns if c != value_col and c not in fields]
+    return parsed.select(
+        *keep,
+        *[F.col(f"_parsed.{n}").alias(n) for n in fields],
+        F.col(f"_parsed.{crpt}").isNotNull().alias("_corrupt"),
     )

@@ -34,11 +34,13 @@ def test_merge_upsert_updates_and_inserts(spark, tmp_path):
     # updates: bump price on 10 existing keys + insert 5 new keys,
     # all within ONE month partition
     month = base.select("month").orderBy("month").first().month
+    # deterministic pick: limit without orderBy may select different
+    # rows on each evaluation
     upd_existing = (
-        base.where(F.col("month") == month).limit(10)
+        base.where(F.col("month") == month).orderBy("o_orderkey").limit(10)
         .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
     )
-    upd_new = upd_existing.limit(5).withColumn(
+    upd_new = upd_existing.orderBy("o_orderkey").limit(5).withColumn(
         "o_orderkey", F.col("o_orderkey") + 10_000_000
     )
     updates = upd_existing.unionByName(upd_new)
@@ -57,6 +59,34 @@ def test_merge_upsert_updates_and_inserts(spark, tmp_path):
         assert r.o_totalprice == orig[r.o_orderkey] + 1000.0
     # no duplicate keys
     assert after.groupBy("o_orderkey").count().where("count > 1").count() == 0
+
+
+def test_merge_upsert_partition_move_needs_full_scan(spark, tmp_path):
+    path = str(tmp_path / "mv_tbl")
+    base = _orders(spark)
+    merge_upsert(spark, path, base, keys=["o_orderkey"], partition_by=["month"])
+    row = base.orderBy("o_orderkey").first()
+    moved = spark.createDataFrame(
+        [(row.o_orderkey, row.o_custkey, row.o_totalprice, row.o_orderstatus,
+          "2099-01")],
+        base.schema,
+    )
+    # partition-scoped merge cannot see the key's old partition →
+    # documented contract violation leaves a duplicate
+    merge_upsert(spark, path, moved, keys=["o_orderkey"], partition_by=["month"])
+    assert (
+        spark.read.parquet(path)
+        .where(F.col("o_orderkey") == row.o_orderkey).count() == 2
+    )
+    # full-scan mode repairs it: one row, in the new partition
+    merge_upsert(
+        spark, path, moved, keys=["o_orderkey"], partition_by=["month"],
+        partition_scoped=False,
+    )
+    after = spark.read.parquet(path)
+    got = after.where(F.col("o_orderkey") == row.o_orderkey).collect()
+    assert len(got) == 1 and got[0].month == "2099-01"
+    assert after.count() == base.count()
 
 
 def test_compact_partitions_reduces_files(spark, tmp_path):

@@ -118,3 +118,53 @@ def test_union_by_name_missing_columns(spark):
     out = union_by_name([d1, d2]).orderBy("id").collect()
     assert out[0].a == "x" and out[0].b is None
     assert out[1].a is None and out[1].b == 9.9
+
+
+def test_clean_cast_edge_values(spark):
+    from lambda_lakehouse_spark.functions.scalar import as_double_clean, as_long_clean
+
+    df = spark.createDataFrame(
+        [("12,500,000", "9007199254740993", "1.5", "Not found")],
+        ["grouped", "big", "dec", "nf"],
+    )
+    row = df.select(
+        as_double_clean("grouped").alias("d"),
+        as_long_clean("big").alias("b"),
+        as_long_clean("dec").alias("dc"),
+        as_long_clean("nf").alias("nf"),
+    ).collect()[0]
+    assert row.d == 12_500_000.0
+    # exact above 2^53: must NOT round-trip through double
+    assert row.b == 9007199254740993
+    assert row.dc == 1  # decimal string truncates via the double route
+    assert row.nf is None  # placeholder → NULL, not an ANSI cast error
+
+
+def test_stg_vn_large_price_not_recleaned(spark):
+    """Regression: current_price must derive from the RAW ref_price —
+    re-cleaning an already-cleaned double strips the scientific-notation
+    'E' (1.25E7 → '1.257') and corrupts large prices."""
+    from lambda_lakehouse_spark.plans.stock_pipeline import stg_vn
+
+    cols = [
+        "symbol", "company_name", "industry", "website", "no_employees",
+        "ref_price", "prior_close_price", "ceiling", "floor",
+        "foreign_percent", "delta_in_week", "delta_in_month",
+        "delta_in_year", "average_match_volume2_week", "outstanding_share",
+        "issue_share", "exchange_overview", "exchange_price",
+        "trading_status", "trading_status_code", "trading_status_group",
+    ]
+    schema = ", ".join(
+        f"{c} double" if c == "outstanding_share" else f"{c} string"
+        for c in cols
+    )
+    raw = spark.createDataFrame(
+        [("VNM", "Co", "Dairy", "w", "10", "12,500,000", "12,400,000",
+          "13,000,000", "11,000,000", "0.1", "0", "0", "0", "100",
+          1.0, "100", "HOSE", None, "Active", "ACT", "NORMAL")],
+        schema,
+    )
+    row = stg_vn(raw, "2025-10-24").collect()[0]
+    assert row.current_price == 12_500_000.0
+    assert row.ref_price == 12_500_000.0
+    assert row.previous_close == 12_400_000.0

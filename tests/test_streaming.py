@@ -171,9 +171,13 @@ def test_parse_json_events_stream(spark, tmp_path_factory):
     parsed = parse_json_events(stream, schema)
     name = run_stream_to_memory(parsed, "json_out", output_mode="append")
     rows = spark.table(name).collect()
-    got = {(r.sym, r.px) for r in rows}
-    # malformed payload survives as a NULL-struct row (dead-letter-able)
-    assert got == {("BTC", 50000.5), ("ETH", 3000.25), (None, None)}
+    got = {(r.sym, r.px, r._corrupt) for r in rows}
+    # malformed payload survives as a flagged NULL row (dead-letter-able)
+    assert got == {
+        ("BTC", 50000.5, False),
+        ("ETH", 3000.25, False),
+        (None, None, True),
+    }
 
 
 def test_kafka_stream_unavailable_raises(spark):
