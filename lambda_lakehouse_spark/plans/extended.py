@@ -566,3 +566,71 @@ def array_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(F.collect_set("event_type"), "purchase").alias("has_purchase"),
         types.getItem(0).alias("first_type"),
     )
+
+
+_GSETS_ORACLE = """
+SELECT c_mktsegment, c_nationkey,
+       COUNT(*) AS n,
+       CAST(GROUPING(c_mktsegment) AS INTEGER) AS g_seg,
+       CAST(GROUPING(c_nationkey) AS INTEGER) AS g_nat
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+"""
+
+
+@register(
+    "agg_grouping_sets",
+    _GSETS_ORACLE,
+    doc="Explicit GROUPING SETS — two independent groupings in ONE scan "
+    "+ one Expand, instead of two aggregations unioned (half the reads "
+    "at any scale)",
+    tags=("agg", "grouping-sets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey,
+               COUNT(*) AS n,
+               CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+               CAST(GROUPING(c_nationkey) AS INT) AS g_nat
+        FROM customer_v
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+        """
+    )
+
+
+_MOVAVG_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER w AS DOUBLE)
+         / COUNT(*) OVER w AS moving_avg_3
+FROM orders
+WHERE o_custkey < 200
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "window_moving_avg_rows",
+    _MOVAVG_ORACLE,
+    doc="Explicit ROWS frame: trailing 3-row moving average per customer "
+    "over a deterministic total order (date + key tiebreak). Decimal avg "
+    "keeps the value engine-exact",
+    tags=("window", "rows-frame"),
+)
+def window_moving_avg_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = read_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, W.currentRow)
+    )
+    avg3 = (
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return orders.select("o_custkey", "o_orderkey", avg3.alias("moving_avg_3"))
