@@ -18,6 +18,14 @@ by (window, group) — bounded by watermark horizon × group
 cardinality, independent of stream length. ``foreachBatch`` reuses
 the batch writer, so the serving tables are identical whether a day
 arrives as a batch file or as a stream.
+
+Watermark caveat (verified empirically on Spark 4.1): the watermark's
+HARD guarantee is state cleanup, not late-row exclusion — rows later
+than the watermark whose window state was already evicted are dropped,
+but a late row that would CREATE new state may still be aggregated
+("may or may not be dropped" per the Structured Streaming guide).
+Downstream consumers that require exactly-one-window semantics should
+dedup in the ``foreachBatch`` sink, not rely on the drop.
 """
 
 from __future__ import annotations
