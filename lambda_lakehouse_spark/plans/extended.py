@@ -634,3 +634,77 @@ def window_moving_avg_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.count(F.lit(1)).over(w)
     )
     return orders.select("o_custkey", "o_orderkey", avg3.alias("moving_avg_3"))
+
+
+_EXPLODE_ORACLE = """
+SELECT vec_id, CAST(pos AS INTEGER) AS pos,
+       CAST(embedding[pos] AS DOUBLE) AS val
+FROM embeddings, (SELECT unnest(range(1, 65)) AS pos)
+WHERE vec_id < 5
+"""
+
+
+@register(
+    "explode_positional",
+    _EXPLODE_ORACLE,
+    doc="Positional array explode (LATERAL VIEW posexplode) — the "
+    "row-per-element operator under every vector computation here",
+    tags=("array", "explode"),
+)
+def explode_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 5)
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "valf")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("valf").cast("double").alias("val"),
+    )
+
+
+_SAMPLE_ORACLE = """
+WITH hashed AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM documents
+)
+SELECT doc_id, lang, 'uniform_10pct' AS stratum FROM hashed WHERE h % 100 < 10
+UNION ALL
+SELECT doc_id, lang, 'per_lang_top5' FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+  FROM hashed
+) WHERE rn <= 5
+"""
+
+
+@register(
+    "sample_deterministic",
+    _SAMPLE_ORACLE,
+    doc="Reproducible sampling for training-data pipelines: uniform "
+    "10% via seeded hash-mod (stable under re-runs, engine-portable — "
+    "unlike TABLESAMPLE/rand) + stratified per-language top-5 by hash "
+    "order. At scale both are one narrow pass (+ one shuffle for the "
+    "stratified window)",
+    tags=("sample", "window", "hash"),
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = read_table(spark, sf_dir, "documents")
+    h = F.expr(
+        "cast(conv(substr(md5(concat('sample:', cast(doc_id as string))), 1, 15),"
+        " 16, 10) as bigint)"
+    )
+    hashed = docs.select("doc_id", "lang", h.alias("h"))
+    uniform = (
+        hashed.where(F.pmod(F.col("h"), F.lit(100)) < 10)
+        .select("doc_id", "lang", F.lit("uniform_10pct").alias("stratum"))
+    )
+    w = W.partitionBy("lang").orderBy("h", "doc_id")
+    stratified = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("doc_id", "lang", F.lit("per_lang_top5").alias("stratum"))
+    )
+    return uniform.unionByName(stratified)
