@@ -79,3 +79,24 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP DATABASE bktdb CASCADE")
+
+
+def test_no_pathological_join_plans(spark):
+    """Guardrail: no registry query may plan a CartesianProduct, and
+    BroadcastNestedLoopJoin is allowed only where a deliberate 1-row
+    broadcast cross join exists (simhash's reference-signature join).
+    Catches accidental non-equi joins before they reach a cluster."""
+    from lambda_lakehouse_spark.registry import load_all
+
+    bnlj_ok = {"dedup_simhash"}
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    offenders = []
+    for name, q in sorted(load_all().items()):
+        plan = q.spark(spark, SF_DIR)._jdf.queryExecution().explainString(mode)
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, offenders
