@@ -98,3 +98,88 @@ def build_scd2(
         .withColumn("version", F.row_number().over(w_ver))
         .drop("grp")
     )
+
+
+def apply_scd2_increment(
+    dim: DataFrame | None,
+    snapshot: DataFrame,
+    keys: Sequence[str],
+    attrs: Sequence[str],
+    snapshot_date_col: str,
+    closed_boundaries: bool = True,
+) -> DataFrame:
+    """Apply ONE new period's snapshot to an existing SCD2 dimension.
+
+    The incremental twin of ``build_scd2``: instead of recomputing
+    versions from the full snapshot history (O(history) — what the
+    reference does every run by scanning all of stg,
+    ``dim_company.py:57``), compare the new snapshot only against each
+    key's CURRENT version: unchanged fingerprint → no-op; changed →
+    close the current version at the new date and open a new one; new
+    key → first version. Folding daily snapshots through this function
+    produces the identical dimension to a full ``build_scd2`` rebuild
+    (asserted by the property test), while reading |dim_current| +
+    |snapshot| instead of all history — the 100 TB upgrade path.
+
+    Contract: one row per key in ``snapshot`` (conflicting same-key
+    rows are deduplicated arbitrarily), and the snapshot date must be
+    later than every ``effective_from`` already in ``dim``.
+    """
+    keys = list(keys)
+    attrs = list(attrs)
+    open_end = F.lit(OPEN_END_DATE).cast("date")
+    fp = sk_sha256(*[F.coalesce(F.col(a).cast("string"), F.lit("~")) for a in attrs])
+    snap = (
+        snapshot.withColumn("attr_fp", fp)
+        .withColumn("effective_from", F.col(snapshot_date_col).cast("date"))
+        .dropDuplicates(keys)
+        .select(*keys, "effective_from", "attr_fp", *attrs)
+    )
+
+    out_cols = keys + ["effective_from", "attr_fp", *attrs,
+                       "effective_to", "is_current", "version"]
+    if dim is None or not dim.columns:
+        return snap.select(
+            *keys, "effective_from", "attr_fp", *attrs,
+            open_end.alias("effective_to"),
+            F.lit(True).alias("is_current"),
+            F.lit(1).alias("version"),
+        ).select(*out_cols)
+
+    cur = dim.where(F.col("is_current"))
+    hist = dim.where(~F.col("is_current"))
+
+    cur_fp = cur.select(
+        *keys, F.col("attr_fp").alias("_cur_fp"), F.col("version").alias("_cur_v")
+    )
+    cmp = snap.join(cur_fp, keys, "left")
+    changed = cmp.where(
+        F.col("_cur_fp").isNull() | (F.col("attr_fp") != F.col("_cur_fp"))
+    )
+    changed_keys = changed.select(*keys)
+
+    untouched_cur = cur.join(changed_keys, keys, "left_anti")
+    close_at = (
+        F.col("_new_from") if closed_boundaries else F.date_sub(F.col("_new_from"), 1)
+    )
+    closed = (
+        cur.join(
+            changed.select(*keys, F.col("effective_from").alias("_new_from")),
+            keys,
+        )
+        .withColumn("effective_to", close_at)
+        .withColumn("is_current", F.lit(False))
+        .drop("_new_from")
+    )
+    new_versions = changed.select(
+        *keys, "effective_from", "attr_fp", *attrs,
+        open_end.alias("effective_to"),
+        F.lit(True).alias("is_current"),
+        (F.coalesce(F.col("_cur_v"), F.lit(0)) + 1).alias("version"),
+    )
+    return (
+        hist.select(*out_cols)
+        .unionByName(untouched_cur.select(*out_cols))
+        .unionByName(closed.select(*out_cols))
+        .unionByName(new_versions.select(*out_cols))
+    )

@@ -158,3 +158,50 @@ def test_salted_join_matches_plain(spark, rows):
         for r in salted_join(large, small, ["k"], "left", buckets=4).collect()
     )
     assert salted == plain
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(snapshots_strategy)
+def test_scd2_incremental_fold_equals_rebuild(spark, rows):
+    """apply_scd2_increment folded day-by-day must produce the same
+    dimension as a full build_scd2 over all history."""
+    from lambda_lakehouse_spark.operators.scd2 import apply_scd2_increment
+
+    seen: dict[tuple[str, int], str] = {}
+    clean = []
+    for k, d, a in rows:
+        if (k, d) not in seen:
+            seen[(k, d)] = a
+            clean.append((k, d, a))
+
+    full_df = spark.createDataFrame(
+        [(k, BASE + dt.timedelta(days=d), a) for k, d, a in clean],
+        ["entity", "snap_date", "attr"],
+    )
+    rebuilt = build_scd2(
+        full_df, keys=("entity",), attrs=("attr",), snapshot_col="snap_date"
+    )
+
+    dim = None
+    for day in sorted({d for _, d, _ in clean}):
+        day_rows = [(k, BASE + dt.timedelta(days=d), a)
+                    for k, d, a in clean if d == day]
+        snap = spark.createDataFrame(day_rows, ["entity", "snap_date", "attr"])
+        dim = apply_scd2_increment(
+            dim, snap, keys=("entity",), attrs=("attr",),
+            snapshot_date_col="snap_date",
+        )
+        # materialize between days, as a real pipeline would (write →
+        # read); otherwise the folded lineage grows exponentially deep
+        dim = spark.createDataFrame(dim.collect(), dim.schema)
+
+    canon = lambda df: sorted(  # noqa: E731
+        (r.entity, r.effective_from, r.effective_to, r.is_current,
+         r.version, r.attr, r.attr_fp)
+        for r in df.collect()
+    )
+    assert canon(dim) == canon(rebuilt)
