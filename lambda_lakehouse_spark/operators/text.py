@@ -171,3 +171,107 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("text_fp"),
         F.md5(F.substring(norm, 1, 64)).alias("prefix_fp"),
     )
+
+
+_DECON_ORACLE = """
+WITH bench AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 20
+),
+bench_grams AS (
+  SELECT DISTINCT b.doc_id AS bench_id, substr(b.text, i, 24) AS gram
+  FROM bench b, (SELECT unnest(range(1, 5000)) AS i)
+  WHERE i <= length(b.text) - 23
+),
+corpus_grams AS (
+  SELECT DISTINCT d.doc_id, substr(d.text, i, 24) AS gram
+  FROM documents d, (SELECT unnest(range(1, 5000)) AS i)
+  WHERE i <= length(d.text) - 23 AND d.doc_id >= 20
+)
+SELECT c.doc_id, g.bench_id, COUNT(DISTINCT c.gram) AS n_shared_grams
+FROM corpus_grams c
+JOIN bench_grams g ON c.gram = g.gram
+GROUP BY 1, 2
+HAVING COUNT(DISTINCT c.gram) >= 3
+"""
+
+
+@register(
+    "decontaminate_overlap",
+    _DECON_ORACLE,
+    doc="Benchmark decontamination: corpus docs sharing >=3 distinct "
+    "24-char grams with any probe/benchmark doc (doc_id<20 stands in "
+    "for the eval set). Inverted-index shape — the shuffle key is the "
+    "gram and the benchmark side is tiny, so at 100 TB this is a "
+    "broadcast semi-ish join against the benchmark's gram set, one "
+    "pass over the corpus",
+    tags=("text", "dedup", "decontamination"),
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    grams = lambda df, idc: df.select(  # noqa: E731
+        F.col("doc_id").alias(idc),
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, greatest(length(text)-23, 1)),"
+                " i -> substr(text, i, 24)))"
+            )
+        ).alias("gram"),
+    ).where(F.length("gram") == 24)
+    bench = grams(docs.where(F.col("doc_id") < 20), "bench_id")
+    corpus = grams(docs.where(F.col("doc_id") >= 20), "doc_id")
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.countDistinct("gram").alias("n_shared_grams"))
+        .where(F.col("n_shared_grams") >= 3)
+    )
+
+
+_CORPUS_STATS_ORACLE = """
+WITH sized AS (
+  SELECT source, doc_id, length(text) AS n,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY length(text), doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS cnt
+  FROM documents
+)
+SELECT source,
+       CAST(MAX(cnt) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_chars,
+       CAST(MIN(n) AS INTEGER) AS min_chars,
+       CAST(MAX(n) AS INTEGER) AS max_chars,
+       CAST(MAX(CASE WHEN rn = CAST(floor((cnt + 1) / 2) AS BIGINT) THEN n END) AS INTEGER) AS median_lo
+FROM sized
+GROUP BY source
+"""
+
+
+@register(
+    "corpus_stats",
+    _CORPUS_STATS_ORACLE,
+    doc="Per-source corpus statistics with an EXACT distributed median "
+    "(rank-based lower median via row_number — deterministic and "
+    "engine-portable, unlike interpolated percentile variants). One "
+    "shuffle on source for the window + the same partitioning reused "
+    "by the aggregate",
+    tags=("text", "agg", "window"),
+)
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = read_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source", "doc_id", F.length("text").alias("n")
+    ).withColumn(
+        "rn", F.row_number().over(W.partitionBy("source").orderBy("n", "doc_id"))
+    ).withColumn("cnt", F.count(F.lit(1)).over(W.partitionBy("source")))
+    return sized.groupBy("source").agg(
+        F.max("cnt").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("total_chars"),
+        F.min("n").alias("min_chars"),
+        F.max("n").alias("max_chars"),
+        F.max(
+            F.when(
+                F.col("rn") == F.floor((F.col("cnt") + 1) / 2), F.col("n")
+            )
+        ).alias("median_lo"),
+    )
