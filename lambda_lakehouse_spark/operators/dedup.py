@@ -1,8 +1,11 @@
 """Deduplication operators for training-data pipelines.
 
-Exact, MinHash+LSH, SimHash and n-gram-Jaccard near-dup detection,
-expressed relationally (higher-order array functions + joins — no
-Python in the row path):
+Exact, MinHash+LSH (Broder, "On the resemblance and containment of
+documents", SEQUENCES 1997; banding analysis per Leskovec/Rajaraman/
+Ullman, *Mining of Massive Datasets* ch. 3), SimHash (Charikar,
+"Similarity estimation techniques from rounding algorithms", STOC
+2002) and n-gram-Jaccard near-dup detection, expressed relationally
+(higher-order array functions + joins — no Python in the row path):
 
 - exact: hash-groupBy on normalized text (one shuffle on the hash).
 - MinHash+LSH: char-shingles → k minhashes → banded signatures →
