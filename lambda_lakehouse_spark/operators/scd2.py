@@ -118,8 +118,16 @@ def apply_scd2_increment(
     close the current version at the new date and open a new one; new
     key → first version. Folding daily snapshots through this function
     produces the identical dimension to a full ``build_scd2`` rebuild
-    (asserted by the property test), while reading |dim_current| +
-    |snapshot| instead of all history — the 100 TB upgrade path.
+    (asserted by the property test).
+
+    Cost: the COMPARISON work is O(|current| + |snapshot|) instead of
+    O(all history) — no window re-sort over full histories. The return
+    value unions the (unmodified, pass-through) history rows back in
+    for API symmetry with ``build_scd2``; a store-backed deployment
+    avoids rewriting them by partitioning the dimension on
+    ``is_current`` (or an effective_to bucket) and applying only the
+    ``closed`` + ``new_versions`` delta via ``merge_upsert`` — that
+    pairing, not this function alone, is the 100 TB upgrade path.
 
     Contract: one row per key in ``snapshot`` (conflicting same-key
     rows are deduplicated arbitrarily), and the snapshot date must be

@@ -174,18 +174,21 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DECON_ORACLE = """
-WITH bench AS (
-  SELECT doc_id, text FROM documents WHERE doc_id < 20
-),
-bench_grams AS (
-  SELECT DISTINCT b.doc_id AS bench_id, substr(b.text, i, 24) AS gram
-  FROM bench b, (SELECT unnest(range(1, 5000)) AS i)
-  WHERE i <= length(b.text) - 23
+WITH bench_grams AS (
+  SELECT bench_id, gram FROM (
+    SELECT doc_id AS bench_id,
+           unnest(list_distinct([substr(text, i, 24)
+            FOR i IN range(1, greatest(length(text) - 23, 1) + 1)])) AS gram
+    FROM documents WHERE doc_id < 20
+  ) WHERE length(gram) = 24
 ),
 corpus_grams AS (
-  SELECT DISTINCT d.doc_id, substr(d.text, i, 24) AS gram
-  FROM documents d, (SELECT unnest(range(1, 5000)) AS i)
-  WHERE i <= length(d.text) - 23 AND d.doc_id >= 20
+  SELECT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_distinct([substr(text, i, 24)
+            FOR i IN range(1, greatest(length(text) - 23, 1) + 1)])) AS gram
+    FROM documents WHERE doc_id >= 20
+  ) WHERE length(gram) = 24
 )
 SELECT c.doc_id, g.bench_id, COUNT(DISTINCT c.gram) AS n_shared_grams
 FROM corpus_grams c

@@ -587,16 +587,18 @@ GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
     tags=("agg", "grouping-sets"),
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    read_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
-    return spark.sql(
-        """
-        SELECT c_mktsegment, c_nationkey,
-               COUNT(*) AS n,
-               CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
-               CAST(GROUPING(c_nationkey) AS INT) AS g_nat
-        FROM customer_v
-        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
-        """
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        cust.groupingSets(
+            [[F.col("c_mktsegment")], [F.col("c_nationkey")]],
+            F.col("c_mktsegment"), F.col("c_nationkey"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("c_mktsegment").cast("int").alias("g_seg"),
+            F.grouping("c_nationkey").cast("int").alias("g_nat"),
+        )
+        .select("c_mktsegment", "c_nationkey", "n", "g_seg", "g_nat")
     )
 
 
@@ -637,10 +639,12 @@ def window_moving_avg_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EXPLODE_ORACLE = """
-SELECT vec_id, CAST(pos AS INTEGER) AS pos,
-       CAST(embedding[pos] AS DOUBLE) AS val
-FROM embeddings, (SELECT unnest(range(1, 65)) AS pos)
-WHERE vec_id < 5
+SELECT vec_id, CAST(pos AS INTEGER) AS pos, CAST(val AS DOUBLE) AS val
+FROM (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS val
+  FROM embeddings WHERE vec_id < 5
+)
 """
 
 
@@ -696,15 +700,18 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(conv(substr(md5(concat('sample:', cast(doc_id as string))), 1, 15),"
         " 16, 10) as bigint)"
     )
-    hashed = docs.select("doc_id", "lang", h.alias("h"))
-    uniform = (
-        hashed.where(F.pmod(F.col("h"), F.lit(100)) < 10)
-        .select("doc_id", "lang", F.lit("uniform_10pct").alias("stratum"))
-    )
+    # one scan: both strata derived in a single pass (the window is
+    # the only shuffle), then exploded into membership rows — a
+    # two-branch union would scan and hash the corpus twice
     w = W.partitionBy("lang").orderBy("h", "doc_id")
-    stratified = (
-        hashed.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 5)
-        .select("doc_id", "lang", F.lit("per_lang_top5").alias("stratum"))
+    strata = F.array_compact(
+        F.array(
+            F.when(F.pmod(F.col("h"), F.lit(100)) < 10, F.lit("uniform_10pct")),
+            F.when(F.col("rn") <= 5, F.lit("per_lang_top5")),
+        )
     )
-    return uniform.unionByName(stratified)
+    return (
+        docs.select("doc_id", "lang", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "lang", F.explode(strata).alias("stratum"))
+    )
