@@ -797,3 +797,93 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_name", "o_orderkey", "o_totalprice")
         .agg(dsum("l_quantity").alias("sum_qty"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape — promo revenue share (ratio of conditional aggregates)
+# ---------------------------------------------------------------------------
+
+_Q14_ORACLE = """
+SELECT
+  CAST(100.0 AS DOUBLE) *
+    CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+             AS DECIMAL(28,6))) AS DOUBLE)
+    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+    AS promo_revenue_pct,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+"""
+
+
+@register(
+    "q14_promo_revenue",
+    _Q14_ORACLE,
+    doc="TPC-H Q14 shape: ratio of conditional aggregate to total over a "
+    "selective join — part broadcasts, the month filter reaches the "
+    "lineitem scan, both sums share one aggregation pass",
+    tags=("join", "agg", "broadcast"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    part = read_table(spark, sf_dir, "part")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * dsum(F.when(F.col("p_type").like("PROMO%"), net).otherwise(F.lit(0.0)))
+                / dsum(net)
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape — disjunctive multi-attribute join predicate
+# ---------------------------------------------------------------------------
+
+_Q19_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+@register(
+    "q19_disjunctive_join",
+    _Q19_ORACLE,
+    doc="TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides — "
+    "Catalyst extracts the common equi key (p_partkey=l_partkey) for the "
+    "hash join and evaluates the disjunction as a post-join filter, with "
+    "single-side conjuncts (brand/size, quantity) pushed below the join",
+    tags=("join", "filter", "disjunction"),
+)
+def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & q.between(10, 35))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & q.between(20, 50))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .where(cond)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
