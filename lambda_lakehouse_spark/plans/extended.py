@@ -715,3 +715,66 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .select("doc_id", "lang", F.explode(strata).alias("stratum"))
     )
+
+
+_UNPIVOT_ORACLE = """
+SELECT p_partkey, 'retailprice' AS measure, CAST(p_retailprice AS DOUBLE) AS amount
+FROM part WHERE p_partkey < 500
+UNION ALL
+SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part WHERE p_partkey < 500
+"""
+
+
+@register(
+    "unpivot_measures",
+    _UNPIVOT_ORACLE,
+    doc="Unpivot/melt (wide → long): measure columns become rows — the "
+    "inverse of pivot, one narrow Expand, no shuffle",
+    tags=("unpivot", "project"),
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part").where(F.col("p_partkey") < 500)
+    return part.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    ).unpivot("p_partkey", ["retailprice", "size"], "measure", "amount")
+
+
+_NULLSAFE_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS status_key FROM orders
+),
+d AS (
+  SELECT * FROM (VALUES ('F', 'finished'), ('O', 'open'), (NULL, 'pending-null'))
+           AS t(status_key, status_name)
+)
+SELECT status_name, COUNT(*) AS n
+FROM o JOIN d ON o.status_key IS NOT DISTINCT FROM d.status_key
+GROUP BY status_name
+"""
+
+
+@register(
+    "join_null_safe_eq",
+    _NULLSAFE_ORACLE,
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match NULL dim rows — the complement of J4's SQL semantics where "
+    "NULL never matches. Planned as a hash join on the null-safe key",
+    tags=("join", "null-safe"),
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_key")
+    )
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), (None, "pending-null")],
+        "status_key string, status_name string",
+    )
+    return (
+        orders.join(
+            F.broadcast(dim), orders.status_key.eqNullSafe(dim.status_key), "inner"
+        )
+        .groupBy("status_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -144,6 +144,47 @@ def stateful_running_totals(stream: DataFrame, key: str = "user_id") -> DataFram
     )
 
 
+def stream_stream_conversion_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "6 hours",
+    watermark: str = "1 hour",
+    key: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's clicks in the preceding ``within`` interval (conversion
+    attribution).
+
+    Both sides carry watermarks and the join condition bounds event
+    time on BOTH ends — that pair is what lets Spark expire join state:
+    a buffered click can only match purchases up to ``within`` later,
+    so once the purchase-side watermark passes that horizon the click
+    is evicted. State size is O(events within watermark+interval
+    horizon), independent of stream length.
+    """
+    c = clicks.withWatermark(ts_col, watermark).select(
+        F.col(key).alias("c_key"),
+        F.col(ts_col).alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.withWatermark(ts_col, watermark).select(
+        F.col(key).alias("p_key"),
+        F.col(ts_col).alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (F.col("c_key") == F.col("p_key"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return c.join(p, cond, "inner").select(
+        F.col("c_key").alias(key),
+        "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value",
+    )
+
+
 def foreach_batch_overwrite(path: str, partition_by: tuple[str, ...]):
     """foreachBatch sink: dynamic-partition-overwrite each micro-batch
     into a parquet table — replays rewrite the same partitions, so the

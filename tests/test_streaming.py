@@ -185,3 +185,46 @@ def test_kafka_stream_unavailable_raises(spark):
 
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         kafka_stream(spark, "localhost:9092")
+
+
+def test_stream_stream_conversion_join_matches_batch(spark, events_src):
+    from lambda_lakehouse_spark.streaming.jobs import stream_stream_conversion_join
+
+    path, batch = events_src
+    clicks = _stream(spark, path, batch.schema).where(
+        F.col("event_type") == "click"
+    )
+    purchases = _stream(spark, path, batch.schema).where(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream_stream_conversion_join(
+        clicks, purchases, watermark="3650 days"
+    )
+    name = run_stream_to_memory(joined, "conv_out", output_mode="append")
+    got = {
+        (r.click_id, r.purchase_id) for r in spark.table(name).collect()
+    }
+
+    bc = batch.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_key"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    bp = batch.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_key"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    expected = {
+        (r.click_id, r.purchase_id)
+        for r in bc.join(
+            bp,
+            (F.col("c_key") == F.col("p_key"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 6 hours")
+            ),
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
