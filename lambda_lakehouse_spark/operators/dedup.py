@@ -349,3 +349,93 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 30
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    clustering step that turns near-dup PAIRS into dedup GROUPS (each
+    cluster keeps one canonical doc).
+
+    Each vertex repeatedly adopts the minimum label in its
+    neighborhood; convergence in O(component diameter) iterations.
+    Near-dup graphs are unions of small dense cliques, so diameters
+    are tiny and the loop exits in a few rounds. The driver loop is
+    control-plane only (one `count()` per round for the convergence
+    check); all data stays distributed, and `localCheckpoint`
+    truncates the growing lineage each round. At web scale the same
+    skeleton hosts the large-star/small-star optimization
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014); min-propagation is the right tool at near-dup
+    densities.
+
+    Returns (id, cluster_id) for every vertex that appears in
+    ``edges``; cluster_id is the component's minimum vertex id.
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = sym.union(
+        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().localCheckpoint()
+
+    lbl = sym.select(F.col("u").alias("id")).distinct().withColumn(
+        "lbl", F.col("id")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(lbl, sym["v"] == lbl["id"])
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new = (
+            lbl.join(nbr, lbl["id"] == nbr["u"], "left")
+            .select(
+                lbl["id"],
+                F.least(
+                    lbl["lbl"], F.coalesce(nbr["nlbl"], lbl["lbl"])
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(lbl.alias("o"), "id")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        lbl = new
+        if changed == 0:
+            break
+    return lbl.select(F.col("id"), F.col("lbl").alias("cluster_id"))
+
+
+def _components_oracle(threshold: float = 0.5) -> str:
+    return (
+        "WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ("
+        + _minhash_oracle()
+        + f") WHERE est_jaccard >= {threshold}), "
+        "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+        "UNION SELECT doc_b, doc_a FROM pairs "
+        "UNION SELECT doc_a, doc_a FROM pairs "
+        "UNION SELECT doc_b, doc_b FROM pairs), "
+        "reach(u, v) AS (SELECT u, v FROM edges "
+        "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u) "
+        "SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u"
+    )
+
+
+@register(
+    "dedup_connected_components",
+    _components_oracle(),
+    doc="Near-dup clustering: MinHash-LSH pairs (est_jaccard >= 0.5) → "
+    "connected components via iterative min-label propagation → "
+    "(doc_id, cluster_id) with min-id canonical representative. The "
+    "oracle computes the same closure with a recursive CTE",
+    tags=("dedup", "graph", "iterative"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_lsh_pairs(docs).where(F.col("est_jaccard") >= 0.5)
+    return connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
