@@ -387,29 +387,37 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        new = (
+        # the change flag rides along in the same projection — a
+        # separate new-vs-old join per round would add a shuffle
+        stepped = (
             lbl.join(nbr, lbl["id"] == nbr["u"], "left")
             .select(
                 lbl["id"],
                 F.least(
                     lbl["lbl"], F.coalesce(nbr["nlbl"], lbl["lbl"])
                 ).alias("lbl"),
+                (F.coalesce(nbr["nlbl"], lbl["lbl"]) < lbl["lbl"]).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(lbl.alias("o"), "id")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        lbl = new
+        changed = stepped.where(F.col("chg")).count()
+        prev, lbl = lbl, stepped.drop("chg")
+        prev.unpersist()  # best-effort release of superseded label blocks
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(component diameter exceeds max_iter); raise max_iter"
+        )
     return lbl.select(F.col("id"), F.col("lbl").alias("cluster_id"))
 
 
-def _components_oracle(threshold: float = 0.5) -> str:
+# near-dup edge threshold shared by the Spark plan and its oracle
+_COMPONENTS_THRESHOLD = 0.5
+
+
+def _components_oracle(threshold: float = _COMPONENTS_THRESHOLD) -> str:
     return (
         "WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ("
         + _minhash_oracle()
@@ -435,7 +443,9 @@ def _components_oracle(threshold: float = 0.5) -> str:
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = minhash_lsh_pairs(docs).where(F.col("est_jaccard") >= 0.5)
+    pairs = minhash_lsh_pairs(docs).where(
+        F.col("est_jaccard") >= _COMPONENTS_THRESHOLD
+    )
     return connected_components(pairs, src="doc_a", dst="doc_b").select(
         F.col("id").alias("doc_id"), "cluster_id"
     )

@@ -197,8 +197,9 @@ def test_stream_stream_conversion_join_matches_batch(spark, events_src):
     purchases = _stream(spark, path, batch.schema).where(
         F.col("event_type") == "purchase"
     )
+    within = "6 hours"
     joined = stream_stream_conversion_join(
-        clicks, purchases, watermark="3650 days"
+        clicks, purchases, within=within, watermark="3650 days"
     )
     name = run_stream_to_memory(joined, "conv_out", output_mode="append")
     got = {
@@ -223,7 +224,7 @@ def test_stream_stream_conversion_join_matches_batch(spark, events_src):
             & (F.col("purchase_ts") >= F.col("click_ts"))
             & (
                 F.col("purchase_ts")
-                <= F.col("click_ts") + F.expr("INTERVAL 6 hours")
+                <= F.col("click_ts") + F.expr(f"INTERVAL {within}")
             ),
         ).collect()
     }
