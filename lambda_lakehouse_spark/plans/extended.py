@@ -778,3 +778,59 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status_name")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_CDC_ORACLE = """
+WITH old_v AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey % 100 < 95
+),
+new_v AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 100 < 5 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey + 100000000, 'N', 1.0 FROM orders WHERE o_orderkey % 100 = 0
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+            WHEN n.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type
+FROM old_v o
+FULL OUTER JOIN new_v n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.o_orderstatus <> n.o_orderstatus OR o.o_totalprice <> n.o_totalprice
+"""
+
+
+@register(
+    "cdc_table_diff",
+    _CDC_ORACLE,
+    doc="CDC change feed between two table versions via ONE full-outer "
+    "join + row fingerprints (insert/update/delete classification) — "
+    "the full/right-outer join family the reference lacks (§2.3), doing "
+    "real work. Old/new versions synthesized deterministically from "
+    "orders: 5%% price-bumped, 5%% deleted, 1%% inserted",
+    tags=("join", "full-outer", "cdc"),
+)
+def cdc_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lambda_lakehouse_spark.sources.maintenance import table_diff
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old_v = orders.where(F.col("o_orderkey") % 100 < 95)
+    new_v = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 100 < 5, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    ).unionByName(
+        orders.where(F.col("o_orderkey") % 100 == 0).select(
+            (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(1.0).alias("o_totalprice"),
+        )
+    )
+    return table_diff(old_v, new_v, keys=["o_orderkey"])

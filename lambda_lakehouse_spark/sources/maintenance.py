@@ -111,3 +111,41 @@ def compact_partitions(
             .drop("__salt")
         )
     write_partitioned(compacted, path, partition_by=partition_by)
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """CDC-style change set between two table versions: one row per
+    differing key with change_type ∈ {insert, update, delete}.
+
+    A single full-outer join on the keys + a row-fingerprint
+    comparison — the shape every copy-on-write change feed compiles
+    to. Columns: keys + change_type; pair with the source tables to
+    fetch before/after images. At scale this is one shuffle on the
+    keys (or zero with bucketed/co-partitioned versions).
+    """
+    keys = list(keys)
+    cols = [c for c in old.columns if c in set(new.columns)]
+    non_keys = [c for c in cols if c not in keys]
+    fp = F.md5(
+        F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("~")) for c in non_keys]
+        )
+    )
+    o = old.select(*keys, fp.alias("_old_fp"))
+    n = new.select(*keys, fp.alias("_new_fp"))
+    joined = o.join(n, keys, "full_outer")
+    return joined.select(
+        *keys,
+        F.when(F.col("_old_fp").isNull(), F.lit("insert"))
+        .when(F.col("_new_fp").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("change_type"),
+    ).where(
+        F.col("_old_fp").isNull()
+        | F.col("_new_fp").isNull()
+        | (F.col("_old_fp") != F.col("_new_fp"))
+    )
