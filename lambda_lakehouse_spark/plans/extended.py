@@ -834,3 +834,67 @@ def cdc_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return table_diff(old_v, new_v, keys=["o_orderkey"])
+
+
+_LAMBDA_ORACLE = """
+WITH batch AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         CAST('1998-01-01 00:00:00' AS TIMESTAMP) AS layer_ts, 'batch' AS layer
+  FROM orders
+),
+speed AS (
+  SELECT o_orderkey, 'S' AS o_orderstatus, o_totalprice + 10.0 AS o_totalprice,
+         CAST('1998-01-02 00:00:00' AS TIMESTAMP) AS layer_ts, 'speed' AS layer
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+unioned AS (SELECT * FROM batch UNION ALL SELECT * FROM speed)
+SELECT o_orderkey, o_orderstatus, o_totalprice, layer
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                               ORDER BY layer_ts DESC, layer DESC) AS rn
+  FROM unioned
+)
+WHERE rn = 1
+"""
+
+
+@register(
+    "lambda_serving_merge",
+    _LAMBDA_ORACLE,
+    doc="The lambda architecture's serving-layer merge: batch layer "
+    "unioned with speed-layer deltas, latest-wins per key via one "
+    "window (deterministic tiebreak on layer). Speed rows synthesized "
+    "for 10%% of orders; this is the read-side reconciliation the "
+    "reference's reserved-but-unbuilt speed layer would need",
+    tags=("union", "window", "lambda"),
+)
+def lambda_serving_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    batch = orders.select(
+        "*",
+        F.lit("1998-01-01 00:00:00").cast("timestamp").alias("layer_ts"),
+        F.lit("batch").alias("layer"),
+    )
+    speed = (
+        orders.where(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("S").alias("o_orderstatus"),
+            (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+            F.lit("1998-01-02 00:00:00").cast("timestamp").alias("layer_ts"),
+            F.lit("speed").alias("layer"),
+        )
+    )
+    w = W.partitionBy("o_orderkey").orderBy(
+        F.col("layer_ts").desc(), F.col("layer").desc()
+    )
+    return (
+        batch.unionByName(speed)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "layer")
+    )
