@@ -205,3 +205,37 @@ def test_scd2_incremental_fold_equals_rebuild(spark, rows):
         for r in df.collect()
     )
     assert canon(dim) == canon(rebuilt)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(  # old rows: (key, value)
+        st.tuples(st.integers(0, 9), st.integers(0, 3)),
+        min_size=0, max_size=12, unique_by=lambda r: r[0],
+    ),
+    st.lists(  # new rows
+        st.tuples(st.integers(0, 9), st.integers(0, 3)),
+        min_size=0, max_size=12, unique_by=lambda r: r[0],
+    ),
+)
+def test_table_diff_matches_model(spark, old_rows, new_rows):
+    from lambda_lakehouse_spark.sources.maintenance import table_diff
+
+    schema = "k long, v long"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    got = {r.k: r.change_type for r in table_diff(old, new, keys=["k"]).collect()}
+    om, nm = dict(old_rows), dict(new_rows)
+    expected = {}
+    for k in set(om) | set(nm):
+        if k not in om:
+            expected[k] = "insert"
+        elif k not in nm:
+            expected[k] = "delete"
+        elif om[k] != nm[k]:
+            expected[k] = "update"
+    assert got == expected
