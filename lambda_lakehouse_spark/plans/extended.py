@@ -898,3 +898,89 @@ def lambda_serving_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("o_orderkey", "o_orderstatus", "o_totalprice", "layer")
     )
+
+
+_WINDOW_VALUE_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CUME_DIST() OVER w AS cdist,
+       FIRST_VALUE(o_orderkey) OVER w AS cheapest_key,
+       LAST_VALUE(o_orderkey)
+         OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS priciest_key,
+       NTH_VALUE(o_orderkey, 2)
+         OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS second_cheapest_key
+FROM orders
+WHERE o_custkey < 300
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@register(
+    "window_value_functions",
+    _WINDOW_VALUE_ORACLE,
+    doc="Value window functions: cume_dist, first/last/nth_value — "
+    "last/nth need the full-partition ROWS frame (the default frame "
+    "stops at CURRENT ROW, a classic correctness trap both engines "
+    "share)",
+    tags=("window", "value-functions"),
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = read_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 300)
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.cume_dist().over(w).alias("cdist"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.last("o_orderkey").over(wfull).alias("priciest_key"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_cheapest_key"),
+    )
+
+
+_Q10_ORACLE = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+         AS revenue
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON n_nationkey = c_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register(
+    "q10_returned_items",
+    _Q10_ORACLE,
+    doc="TPC-H Q10 shape: returned-item revenue per customer, quarter "
+    "window, deterministic top-20 — selective filters on both fact "
+    "scans, dims broadcast",
+    tags=("join", "agg", "topk"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
