@@ -984,3 +984,34 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+_SQL_FILES_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "sql_over_files",
+    _SQL_FILES_ORACLE,
+    doc="Ad-hoc SQL directly over storage (SURVEY §3 E2/E3 — the "
+    "notebook and Trino/Superset serving paths): a plain SQL string "
+    "against parquet.`path`, no registration, no side effects — the "
+    "interactive surface a BI tool gets from this engine",
+    tags=("sql", "source", "agg"),
+)
+def sql_over_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                 AS total_price
+        FROM parquet.`{sf_dir}/orders.parquet`
+        GROUP BY o_orderpriority
+        """
+    )

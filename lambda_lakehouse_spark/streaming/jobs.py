@@ -151,10 +151,13 @@ def stream_stream_conversion_join(
     watermark: str = "1 hour",
     key: str = "user_id",
     ts_col: str = "ts",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: each purchase matched to the same
+    """Stream-stream join: each purchase matched to the same
     user's clicks in the preceding ``within`` interval (conversion
-    attribution).
+    attribution). ``how="left_outer"`` additionally emits unconverted
+    clicks (purchase columns NULL) once the watermark proves no match
+    can still arrive — the funnel-analysis variant.
 
     Both sides carry watermarks and the join condition bounds event
     time on BOTH ends — that pair is what lets Spark expire join state:
@@ -179,7 +182,7 @@ def stream_stream_conversion_join(
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}"))
     )
-    return c.join(p, cond, "inner").select(
+    return c.join(p, cond, how).select(
         F.col("c_key").alias(key),
         "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value",
     )

@@ -229,3 +229,62 @@ def test_stream_stream_conversion_join_matches_batch(spark, events_src):
         ).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_stream_stream_left_outer_emits_unconverted(spark, events_src):
+    from lambda_lakehouse_spark.streaming.jobs import stream_stream_conversion_join
+
+    # single-file stream: one data batch (no late-arrival drops from
+    # random file order), then the no-data batch advances the watermark
+    # so unconverted clicks older than (max_ts - delay - within) emit
+    _, batch = events_src
+    path = str(
+        __import__("tempfile").mkdtemp(prefix="funnel_")
+    ) + "/events_one"
+    batch.coalesce(1).write.mode("overwrite").parquet(path)
+    within = "6 hours"
+    clicks = _stream(spark, path, batch.schema).where(
+        F.col("event_type") == "click"
+    )
+    purchases = _stream(spark, path, batch.schema).where(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream_stream_conversion_join(
+        clicks, purchases, within=within, watermark="10 minutes",
+        how="left_outer",
+    )
+    name = run_stream_to_memory(joined, "funnel_out", output_mode="append")
+    out = spark.table(name)
+    got_pairs = {
+        (r.click_id, r.purchase_id)
+        for r in out.where(F.col("purchase_id").isNotNull()).collect()
+    }
+    got_null_clicks = {
+        r.click_id for r in out.where(F.col("purchase_id").isNull()).collect()
+    }
+
+    bc = batch.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_key"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    bp = batch.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_key"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    matched = bc.join(
+        bp,
+        (F.col("c_key") == F.col("p_key"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+    )
+    expected_pairs = {(r.click_id, r.purchase_id) for r in matched.collect()}
+    matched_click_ids = {p[0] for p in expected_pairs}
+
+    # matched side is exact; the join must not invent or drop pairs
+    assert got_pairs == expected_pairs
+    # null rows appear only for genuinely unconverted clicks, and the
+    # watermark has provably passed for most of the stream → non-empty
+    assert got_null_clicks, "expected unconverted clicks to be emitted"
+    assert not (got_null_clicks & matched_click_ids)
