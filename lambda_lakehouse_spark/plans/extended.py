@@ -1015,3 +1015,93 @@ def sql_over_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+_SHARE_ORACLE = """
+WITH nation_rev AS (
+  SELECT n_name,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation   ON n_nationkey = c_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, revenue,
+       revenue / CAST(SUM(CAST(revenue AS DECIMAL(28,6))) OVER () AS DOUBLE)
+         AS share_of_total,
+       CAST(RANK() OVER (ORDER BY revenue DESC, n_name) AS INTEGER) AS rev_rank
+FROM nation_rev
+"""
+
+
+@register(
+    "window_share_of_total",
+    _SHARE_ORACLE,
+    doc="Ratio-to-report: per-nation revenue share via an unpartitioned "
+    "window over the aggregated (|nations|-row) result — the global "
+    "window runs on the tiny aggregate, never on the fact table",
+    tags=("window", "agg", "join"),
+)
+def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    rev = (
+        orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    return rev.select(
+        "n_name", "revenue",
+        (
+            F.col("revenue")
+            / F.sum(F.col("revenue").cast("decimal(28,6)"))
+            .over(W.partitionBy())
+            .cast("double")
+        ).alias("share_of_total"),
+        F.rank().over(W.orderBy(F.col("revenue").desc(), "n_name")).alias("rev_rank"),
+    )
+
+
+_SPINE_ORACLE = """
+SELECT CAST(d AS DATE) AS date,
+       CAST(strftime(d, '%Y%m%d') AS INTEGER) AS date_sk,
+       CAST(month(d) AS INTEGER) AS month,
+       CAST(isodow(d) AS INTEGER) AS iso_dow,
+       isodow(d) IN (6, 7) AS is_weekend
+FROM generate_series(DATE '1997-01-01', DATE '1997-12-31', INTERVAL 1 DAY) AS t(d)
+"""
+
+
+@register(
+    "date_spine_generate",
+    _SPINE_ORACLE,
+    doc="Generated date spine (full 1997 calendar) — the reference's "
+    "dim_date only contains OBSERVED dates (gaps on holidays); a "
+    "complete calendar comes from sequence+explode, no source table. "
+    "ISO day-of-week used for engine-portable weekend flags",
+    tags=("source", "date", "generate"),
+)
+def date_spine_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1997-01-01").cast("date"),
+                F.lit("1997-12-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("date")
+    )
+    iso_dow = F.when(
+        F.dayofweek("date") == 1, F.lit(7)
+    ).otherwise(F.dayofweek("date") - 1)
+    return spine.select(
+        "date",
+        F.date_format("date", "yyyyMMdd").cast("int").alias("date_sk"),
+        F.month("date").alias("month"),
+        iso_dow.cast("int").alias("iso_dow"),
+        iso_dow.isin(6, 7).alias("is_weekend"),
+    )
