@@ -288,3 +288,42 @@ def test_stream_stream_left_outer_emits_unconverted(spark, events_src):
     # watermark has provably passed for most of the stream → non-empty
     assert got_null_clicks, "expected unconverted clicks to be emitted"
     assert not (got_null_clicks & matched_click_ids)
+
+
+def test_checkpoint_recovery_exactly_once(spark, events_src, tmp_path):
+    """Kill a streaming query mid-stream and restart it from its
+    checkpoint: the file sink must end up with every input row exactly
+    once (no loss from the kill, no duplicates from the restart)."""
+    import time
+
+    path, batch = events_src
+    out = str(tmp_path / "recovered_out")
+    chk = str(tmp_path / "chk")
+
+    def start():
+        return (
+            _stream(spark, path, batch.schema)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    # wait until at least one batch committed, then kill mid-stream
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p and p["batchId"] >= 1:
+            break
+        time.sleep(0.2)
+    q.stop()
+
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = spark.read.parquet(out)
+    assert got.count() == batch.count()
+    assert got.select("event_id").distinct().count() == batch.count()
