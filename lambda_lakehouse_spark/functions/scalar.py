@@ -73,6 +73,22 @@ def sk_sha256(*cols: Column | str, sep: str = "||") -> Column:
     return F.sha2(F.concat_ws(sep, *parts), 256)
 
 
+def row_fp(*cols: Column | str) -> Column:
+    """Collision-free row fingerprint: md5 per column (fixed 32-hex
+    tokens, so no separator-injection collisions), NULL encoded as a
+    non-hex sentinel, md5 over the concatenation. Used for CDC row
+    comparison; distinct from ``sk_sha256`` which keeps the
+    reference's separator-based SCD2 fingerprint semantics."""
+    parts = [
+        F.coalesce(
+            F.md5((F.col(c) if isinstance(c, str) else c).cast("string")),
+            F.lit("NULL"),
+        )
+        for c in cols
+    ]
+    return F.md5(F.concat(*parts))
+
+
 def date_sk(c: Column | str) -> Column:
     """Smart yyyymmdd integer date key (``dim_date.py:65``)."""
     col = F.col(c) if isinstance(c, str) else c

@@ -783,13 +783,13 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CDC_ORACLE = """
 WITH old_v AS (
   SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
-  WHERE o_orderkey % 100 < 95
 ),
 new_v AS (
   SELECT o_orderkey, o_orderstatus,
          CASE WHEN o_orderkey % 100 < 5 THEN o_totalprice + 1.0
               ELSE o_totalprice END AS o_totalprice
   FROM orders
+  WHERE o_orderkey % 100 < 95
   UNION ALL
   SELECT o_orderkey + 100000000, 'N', 1.0 FROM orders WHERE o_orderkey % 100 = 0
 )
@@ -811,7 +811,7 @@ WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
     "join + row fingerprints (insert/update/delete classification) — "
     "the full/right-outer join family the reference lacks (§2.3), doing "
     "real work. Old/new versions synthesized deterministically from "
-    "orders: 5%% price-bumped, 5%% deleted, 1%% inserted",
+    "orders: 5% price-bumped, 5% deleted, 1% inserted",
     tags=("join", "full-outer", "cdc"),
 )
 def cdc_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -820,8 +820,8 @@ def cdc_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    old_v = orders.where(F.col("o_orderkey") % 100 < 95)
-    new_v = orders.withColumn(
+    old_v = orders
+    new_v = orders.where(F.col("o_orderkey") % 100 < 95).withColumn(
         "o_totalprice",
         F.when(
             F.col("o_orderkey") % 100 < 5, F.col("o_totalprice") + 1.0
@@ -864,7 +864,7 @@ WHERE rn = 1
     doc="The lambda architecture's serving-layer merge: batch layer "
     "unioned with speed-layer deltas, latest-wins per key via one "
     "window (deterministic tiebreak on layer). Speed rows synthesized "
-    "for 10%% of orders; this is the read-side reconciliation the "
+    "for 10% of orders; this is the read-side reconciliation the "
     "reference's reserved-but-unbuilt speed layer would need",
     tags=("union", "window", "lambda"),
 )
@@ -1098,9 +1098,11 @@ def date_spine_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     iso_dow = F.when(
         F.dayofweek("date") == 1, F.lit(7)
     ).otherwise(F.dayofweek("date") - 1)
+    from lambda_lakehouse_spark.functions.scalar import date_sk as _date_sk
+
     return spine.select(
         "date",
-        F.date_format("date", "yyyyMMdd").cast("int").alias("date_sk"),
+        _date_sk("date").alias("date_sk"),
         F.month("date").alias("month"),
         iso_dow.cast("int").alias("iso_dow"),
         iso_dow.isin(6, 7).alias("is_weekend"),

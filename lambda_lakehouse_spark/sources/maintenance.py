@@ -21,6 +21,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lambda_lakehouse_spark.functions.scalar import row_fp
 from lambda_lakehouse_spark.sources.writer import _table_exists, write_partitioned
 
 
@@ -128,13 +129,9 @@ def table_diff(
     keys (or zero with bucketed/co-partitioned versions).
     """
     keys = list(keys)
-    cols = [c for c in old.columns if c in set(new.columns)]
-    non_keys = [c for c in cols if c not in keys]
-    fp = F.md5(
-        F.concat_ws(
-            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("~")) for c in non_keys]
-        )
-    )
+    new_cols = set(new.columns)
+    non_keys = [c for c in old.columns if c in new_cols and c not in keys]
+    fp = row_fp(*non_keys)
     o = old.select(*keys, fp.alias("_old_fp"))
     n = new.select(*keys, fp.alias("_new_fp"))
     joined = o.join(n, keys, "full_outer")

@@ -166,6 +166,11 @@ def stream_stream_conversion_join(
     is evicted. State size is O(events within watermark+interval
     horizon), independent of stream length.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            f"how={how!r} unsupported: right/full outer would emit "
+            "NULL-keyed purchase rows; use 'inner' or 'left_outer'"
+        )
     c = clicks.withWatermark(ts_col, watermark).select(
         F.col(key).alias("c_key"),
         F.col(ts_col).alias("click_ts"),

@@ -231,16 +231,14 @@ def test_stream_stream_conversion_join_matches_batch(spark, events_src):
     assert got == expected and len(got) > 0
 
 
-def test_stream_stream_left_outer_emits_unconverted(spark, events_src):
+def test_stream_stream_left_outer_emits_unconverted(spark, events_src, tmp_path):
     from lambda_lakehouse_spark.streaming.jobs import stream_stream_conversion_join
 
     # single-file stream: one data batch (no late-arrival drops from
     # random file order), then the no-data batch advances the watermark
     # so unconverted clicks older than (max_ts - delay - within) emit
     _, batch = events_src
-    path = str(
-        __import__("tempfile").mkdtemp(prefix="funnel_")
-    ) + "/events_one"
+    path = str(tmp_path / "events_one")
     batch.coalesce(1).write.mode("overwrite").parquet(path)
     within = "6 hours"
     clicks = _stream(spark, path, batch.schema).where(
