@@ -213,23 +213,32 @@ def test_scd2_incremental_fold_equals_rebuild(spark, rows):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
-    st.lists(  # old rows: (key, value)
-        st.tuples(st.integers(0, 9), st.integers(0, 3)),
+    st.lists(  # old rows: (key, v1, v2) — values include separator-attack
+        st.tuples(
+            st.integers(0, 9),
+            st.sampled_from(["a", "a\x1fb", "~", "", None]),
+            st.sampled_from(["c", "b\x1fc", "~", None]),
+        ),
         min_size=0, max_size=12, unique_by=lambda r: r[0],
     ),
     st.lists(  # new rows
-        st.tuples(st.integers(0, 9), st.integers(0, 3)),
+        st.tuples(
+            st.integers(0, 9),
+            st.sampled_from(["a", "a\x1fb", "~", "", None]),
+            st.sampled_from(["c", "b\x1fc", "~", None]),
+        ),
         min_size=0, max_size=12, unique_by=lambda r: r[0],
     ),
 )
 def test_table_diff_matches_model(spark, old_rows, new_rows):
     from lambda_lakehouse_spark.sources.maintenance import table_diff
 
-    schema = "k long, v long"
+    schema = "k long, v1 string, v2 string"
     old = spark.createDataFrame(old_rows, schema)
     new = spark.createDataFrame(new_rows, schema)
     got = {r.k: r.change_type for r in table_diff(old, new, keys=["k"]).collect()}
-    om, nm = dict(old_rows), dict(new_rows)
+    om = {r[0]: r[1:] for r in old_rows}
+    nm = {r[0]: r[1:] for r in new_rows}
     expected = {}
     for k in set(om) | set(nm):
         if k not in om:
