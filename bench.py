@@ -40,12 +40,13 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # best-of-2 per query: the first pass pays codegen compilation and
-    # any transient host noise; the min is the steady-state number.
+    # best-of-3 per query: the first pass pays codegen compilation;
+    # the min over repeats strips transient host noise (shared-host
+    # timing here varies up to 2x run-to-run).
     timings: dict[str, float] = {}
     for name, q in headline.items():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
