@@ -887,3 +887,54 @@ def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape — top supplier via scalar-subquery max
+# ---------------------------------------------------------------------------
+
+_Q15_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+@register(
+    "q15_top_supplier",
+    _Q15_ORACLE,
+    doc="TPC-H Q15 shape: supplier(s) with the quarter's maximum revenue "
+    "— the scalar-subquery-equals-MAX pattern, decorrelated to a global "
+    "window max over the (|suppliers|-row) aggregate so the fact table "
+    "is scanned once",
+    tags=("agg", "subquery", "window", "join"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    top = rev.withColumn(
+        "_max", F.max("total_revenue").over(W.partitionBy())
+    ).where(F.col("total_revenue") == F.col("_max"))
+    return (
+        top.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
