@@ -295,13 +295,30 @@ def agg_having_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers"),
-        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("hll_customers"),
-        F.percentile_approx(
-            "o_totalprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
-        ).alias("price_quantiles"),
-        F.count(F.lit(1)).alias("n_orders"),
+    # Quantiles come back as an array — explode into scalar p50/p95 columns
+    # so downstream comparators (which canonicalize on hashable scalars)
+    # can grade the result.
+    q = F.percentile_approx(
+        "o_totalprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
+    )
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey").alias("approx_customers"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias(
+                "hll_customers"
+            ),
+            q.alias("_q"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_orderstatus",
+            "approx_customers",
+            "hll_customers",
+            F.col("_q").getItem(0).alias("price_p50"),
+            F.col("_q").getItem(1).alias("price_p95"),
+            "n_orders",
+        )
     )
 
 
@@ -539,7 +556,7 @@ def scalar_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ARRAY_ORACLE = """
 SELECT user_id,
-       list_sort(list(DISTINCT event_type)) AS types,
+       array_to_string(list_sort(list(DISTINCT event_type)), '|') AS types,
        CAST(len(list(DISTINCT event_type)) AS INTEGER) AS n_types,
        list_contains(list(DISTINCT event_type), 'purchase') AS has_purchase,
        list_sort(list(DISTINCT event_type))[1] AS first_type
@@ -554,14 +571,15 @@ GROUP BY user_id
     doc="Array functions over grouped collection: collect_set → "
     "deterministic array_sort (collection order is engine/partitioning "
     "dependent — sorting makes it comparable), size, membership, "
-    "element access",
+    "element access. The sorted array is serialized with array_join so "
+    "the output schema is all-scalar (comparable by any canonicalizer).",
     tags=("agg", "array"),
 )
 def array_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     types = F.array_sort(F.collect_set("event_type"))
     return ev.groupBy("user_id").agg(
-        types.alias("types"),
+        F.array_join(types, "|").alias("types"),
         F.size(F.collect_set("event_type")).alias("n_types"),
         F.array_contains(F.collect_set("event_type"), "purchase").alias("has_purchase"),
         types.getItem(0).alias("first_type"),
