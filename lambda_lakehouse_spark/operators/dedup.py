@@ -342,9 +342,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
+    # sa/sb are per-document side tables (one row per doc) — they grow
+    # with the corpus, so no broadcast hint; AQE picks the strategy.
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "n_common", "jaccard")

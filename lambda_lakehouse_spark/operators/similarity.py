@@ -98,8 +98,10 @@ def cosine_topk(
     nc = norms.select(F.col("vec_id").alias("neighbor_id"), F.col("n2").alias("cn2"))
     scored = (
         dots.withColumnRenamed("vec_id", "neighbor_id")
+        # nq is one row per query (bounded) → broadcast; nc is one row
+        # per candidate vector (corpus-sized) → no hint, AQE decides.
         .join(F.broadcast(nq), "query_id")
-        .join(F.broadcast(nc), "neighbor_id")
+        .join(nc, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -226,9 +228,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = norms.select(F.col("vec_id").alias("vec_a"), F.col("n2").alias("na2"))
     nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("n2").alias("nb2"))
+    # na/nb hold one norm per vector — corpus-sized, so no broadcast
+    # hint; at billions of vectors these must be shuffle-joinable.
     return (
-        dots.join(F.broadcast(na), "vec_a")
-        .join(F.broadcast(nb), "vec_b")
+        dots.join(na, "vec_a")
+        .join(nb, "vec_b")
         .select(
             "vec_a", "vec_b",
             (F.col("dot") / F.sqrt(F.col("na2") * F.col("nb2"))).alias("cos_sim"),

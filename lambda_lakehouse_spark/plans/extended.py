@@ -164,7 +164,7 @@ def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(F.count(F.lit(1)))
@@ -995,7 +995,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = read_table(spark, sf_dir, "nation")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
@@ -1067,7 +1067,7 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
     nation = read_table(spark, sf_dir, "nation")
     rev = (
-        orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        orders.join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
         .groupBy("n_name")
         .agg(dsum("o_totalprice").alias("revenue"))

@@ -122,10 +122,11 @@ LIMIT 10
     bench=True,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # customer is tiny relative to lineitem → broadcast both dimension
-    # sides; only lineitem streams. Top-k is a TakeOrderedAndProject —
-    # no full sort at scale. Tie-break on unique l_orderkey keeps the
-    # k-set deterministic for the oracle.
+    # orders and customer grow with SF, so no broadcast hints here —
+    # AQE picks BHJ when a filtered side fits the threshold and falls
+    # back to shuffle join when it doesn't. Top-k is a
+    # TakeOrderedAndProject — no full sort at scale. Tie-break on
+    # unique l_orderkey keeps the k-set deterministic for the oracle.
     cutoff = F.lit("1998-03-15").cast("timestamp")
     cust = read_table(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
@@ -133,8 +134,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
     li = read_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -184,8 +185,8 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = read_table(spark, sf_dir, "nation")
     region = read_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
@@ -233,7 +234,7 @@ def join_left_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = read_table(spark, sf_dir, "nation")
     region = read_table(spark, sf_dir, "region")
     j = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left")
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "left")
         .join(
             F.broadcast(region),
@@ -740,8 +741,8 @@ def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("s_nk") == F.col("s_nationkey"))
         .join(F.broadcast(n2), F.col("c_nk") == F.col("c_nationkey"))
         .where(pair)
@@ -792,7 +793,7 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("c_name", "o_orderkey", "o_totalprice")
         .agg(dsum("l_quantity").alias("sum_qty"))
@@ -834,7 +835,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = read_table(spark, sf_dir, "part")
     net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .agg(
             (
                 F.lit(100.0)
@@ -880,7 +881,7 @@ def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & q.between(20, 50))
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .where(cond)
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
@@ -935,6 +936,6 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_max", F.max("total_revenue").over(W.partitionBy())
     ).where(F.col("total_revenue") == F.col("_max"))
     return (
-        top.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        supp.join(F.broadcast(top), F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )

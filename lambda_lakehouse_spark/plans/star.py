@@ -247,7 +247,8 @@ LEFT JOIN nation sn ON s_nationkey = sn.n_nationkey
     _FACT_ORACLE,
     doc="The fact build (fact_stock_daily.py:56-137): 5 left joins, smart "
     "date key, sha-256 surrogate keys, guarded measures, boolean flags. "
-    "Dims broadcast; the fact side never shuffles.",
+    "Bounded dims (nation) broadcast; customer/supplier grow with SF so "
+    "AQE decides BHJ vs shuffle join for them at runtime.",
     tags=("join", "fact", "scalar"),
     bench=True,
 )
@@ -265,9 +266,9 @@ def fact_assembly_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = (
         li.join(orders, li.l_orderkey == orders.o_orderkey, "left")
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+        .join(cust, orders.o_custkey == cust.c_custkey, "left")
         .join(F.broadcast(cn), cust.c_nationkey == cn.cn_key, "left")
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "left")
+        .join(supp, li.l_suppkey == supp.s_suppkey, "left")
         .join(F.broadcast(sn), supp.s_nationkey == sn.sn_key, "left")
     )
     net = F.col("l_extendedprice") * (1 - F.col("l_discount"))

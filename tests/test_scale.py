@@ -100,3 +100,68 @@ def test_no_pathological_join_plans(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert not offenders, offenders
+
+
+def test_no_forced_broadcast_of_sf_proportional_tables(spark):
+    """Guardrail: with autoBroadcastJoinThreshold=-1 the static plan can
+    only contain a BroadcastExchange that came from an explicit hint.
+    Any such exchange whose subtree scans a table that grows with scale
+    factor (lineitem/orders/customer/supplier/part/documents/embeddings)
+    is an executor-OOM-at-100TB bug. Bounded dims (nation, region, seed
+    lookups, probe sets) may stay hinted."""
+    import re
+
+    from lambda_lakehouse_spark.registry import load_all
+
+    big = (
+        "lineitem.parquet",
+        "orders.parquet",
+        "customer.parquet",
+        "supplier.parquet",
+        "part.parquet",
+        "documents.parquet",
+        "embeddings.parquet",
+    )
+    # Hinted sides that scan a big table but are bounded by construction:
+    # ann queries broadcast the ≤|query-set| filtered vectors; the
+    # decontamination probe is a fixed benchmark slice; simhash
+    # broadcasts a single reference row; q15 broadcasts the
+    # ties-for-max aggregate (|ties| rows). The raw table never ships.
+    bounded_by_construction = {
+        "ann_cosine_topk_brute": {"embeddings.parquet"},
+        "ann_cosine_topk_ivf": {"embeddings.parquet"},
+        "decontaminate_overlap": {"documents.parquet"},
+        "dedup_simhash": {"documents.parquet"},
+        "q15_top_supplier": {"lineitem.parquet"},
+    }
+
+    def depth(line):
+        return len(re.match(r"^([ :]*)", line).group(1))
+
+    def forced_big_broadcasts(df):
+        lines = df._jdf.queryExecution().executedPlan().toString().splitlines()
+        hits = set()
+        for i, line in enumerate(lines):
+            if "BroadcastExchange" not in line:
+                continue
+            d = depth(line)
+            for sub in lines[i + 1 :]:
+                if depth(sub) <= d:
+                    break
+                if "Scan" in sub:
+                    hits.update(t for t in big if t in sub)
+        return sorted(hits)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    offenders = []
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name, q in sorted(load_all().items()):
+            allowed = bounded_by_construction.get(name, set())
+            hit = [t for t in forced_big_broadcasts(q.spark(spark, SF_DIR))
+                   if t not in allowed]
+            if hit:
+                offenders.append((name, hit))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert not offenders, offenders
