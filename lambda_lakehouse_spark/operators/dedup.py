@@ -114,10 +114,23 @@ def _signatures(docs: DataFrame, shingle_len: int = 5, k: int = MINHASH_K) -> Da
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, shingle_len: int = 5, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+    docs: DataFrame,
+    shingle_len: int = 5,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH + signature-estimated
-    Jaccard. ``docs`` needs (doc_id, text)."""
+    Jaccard. ``docs`` needs (doc_id, text).
+
+    ``max_bucket_size`` is the hot-bucket cap: an LSH bucket with more
+    than N docs (boilerplate corpora — headers, license blocks) makes
+    the self-join quadratic *inside that bucket*; capping drops those
+    buckets (with a logged count) before the join. A pair sharing a
+    dropped bucket can still surface through its other b-1 bands, and
+    capped output is always a subset of uncapped output (property-
+    tested). None (default) keeps exact parity with the SQL oracle.
+    """
     sig = _signatures(docs, shingle_len, bands * rows)
     band_elems = lambda b: ", ".join(  # noqa: E731
         f"cast(element_at(sig, {b * rows + r + 1}) as string)" for r in range(rows)
@@ -134,6 +147,27 @@ def minhash_lsh_pairs(
     bands_df = sig.select(
         "doc_id", "sig", F.explode(F.expr(f"array({band_structs})")).alias("bd")
     ).select("doc_id", "sig", "bd.band_id", "bd.band_hash")
+
+    if max_bucket_size is not None:
+        # One extra agg on the same key the self-join shuffles on; the
+        # hot-bucket list itself is tiny (corpus_size / cap rows max).
+        sizes = bands_df.groupBy("band_id", "band_hash").agg(
+            F.count(F.lit(1)).alias("__bsz")
+        )
+        hot = sizes.where(F.col("__bsz") > max_bucket_size).select(
+            "band_id", "band_hash"
+        )
+        n_hot = hot.count()  # control-plane: the promised logged count
+        if n_hot:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash_lsh: dropping %d hot buckets (> %d docs) before "
+                "the candidate self-join",
+                n_hot,
+                max_bucket_size,
+            )
+        bands_df = bands_df.join(hot, ["band_id", "band_hash"], "left_anti")
 
     x, y = bands_df.alias("x"), bands_df.alias("y")
     k = bands * rows
@@ -257,29 +291,44 @@ FROM sigs s, (SELECT simhash FROM sigs WHERE doc_id = 0) r
 """
 
 
+def simhash_hamming(
+    docs: DataFrame,
+    ref_doc_id: int = 0,
+    out_col: str = "hamming_to_ref",
+) -> DataFrame:
+    """16-bit simhash per doc + hamming distance to the signature of
+    ``ref_doc_id``. Raises if the reference doc is absent (a silent
+    empty result was the old failure mode). The reference signature is
+    resolved with a one-row control-plane collect (filter-pushed scan),
+    then distance is a pure projection — no join in the data path.
+    """
+    sigs = docs.select(
+        "doc_id", F.split(F.col("text"), r"\s+").alias("toks")
+    ).select("doc_id", F.expr(_simhash_expr()).alias("simhash"))
+    ref_rows = sigs.where(F.col("doc_id") == ref_doc_id).take(1)
+    if not ref_rows:
+        raise ValueError(
+            f"simhash reference doc_id={ref_doc_id} not present in corpus"
+        )
+    ref_sig = ref_rows[0].simhash
+    ham = (
+        "size(filter(sequence(1, 16),"
+        f" p -> substr(simhash, p, 1) <> substr('{ref_sig}', p, 1)))"
+    )
+    return sigs.select("doc_id", "simhash", F.expr(ham).alias(out_col))
+
+
 @register(
     "dedup_simhash",
     _SIMHASH_ORACLE,
     doc="SimHash: 16-bit signatures from integer-summed md5-nibble votes "
-    "(order-independent, no shuffle) + hamming distance to a reference doc",
+    "(order-independent, no shuffle) + hamming distance to a reference doc "
+    "(parameterized via simhash_hamming; doc 0 here to match the oracle)",
     tags=("dedup", "hash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    sigs = docs.select(
-        "doc_id", F.split(F.col("text"), r"\s+").alias("toks")
-    ).select("doc_id", F.expr(_simhash_expr()).alias("simhash"))
-    ref = sigs.where(F.col("doc_id") == 0).select(
-        F.col("simhash").alias("ref_simhash")
-    )
-    ham = (
-        "size(filter(sequence(1, 16),"
-        " p -> substr(simhash, p, 1) <> substr(ref_simhash, p, 1)))"
-    )
-    return (
-        sigs.crossJoin(F.broadcast(ref))
-        .select("doc_id", "simhash", F.expr(ham).alias("hamming_to_doc0"))
-    )
+    return simhash_hamming(docs, ref_doc_id=0, out_col="hamming_to_doc0")
 
 
 _JACCARD_THRESHOLD = 0.35

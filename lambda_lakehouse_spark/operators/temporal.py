@@ -66,7 +66,11 @@ def as_of_join(
     For each left row, attaches ``value_cols`` from the latest right
     row with ``right_time <= left_time`` for the same keys (NULLs when
     no prior right row exists). Ties on the same timestamp resolve to
-    the right row (right sorts before left at equal time).
+    the right row (right sorts before left at equal time). Multiple
+    right rows tied on ``(keys, right_time)`` resolve deterministically
+    to the one with the greatest ``xxhash64`` of its value columns —
+    an arbitrary but stable total order, so re-runs (and re-tries of a
+    failed stage) attach the same value.
     """
     keys = list(keys)
     value_cols = list(value_cols)
@@ -75,19 +79,24 @@ def as_of_join(
         *keys,
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__side"),
+        F.lit(0).cast("bigint").alias("__tie"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
         *[F.col(c) for c in left.columns if c not in keys and c != left_time],
         F.col(left_time),
     )
     rhs_cols = (
         keys
-        + [F.col(right_time).alias("__t"), F.lit(0).alias("__side")]
+        + [
+            F.col(right_time).alias("__t"),
+            F.lit(0).alias("__side"),
+            F.xxhash64(*[F.col(c) for c in value_cols]).alias("__tie"),
+        ]
         + [F.col(c).alias(f"__v_{c}") for c in value_cols]
     )
     rhs = right.select(*rhs_cols)
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
 
-    w = W.partitionBy(*keys).orderBy("__t", "__side").rowsBetween(
+    w = W.partitionBy(*keys).orderBy("__t", "__side", "__tie").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
     for c in value_cols:

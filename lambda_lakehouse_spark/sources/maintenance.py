@@ -53,11 +53,23 @@ def merge_upsert(
     keys = list(keys)
     partition_by = list(partition_by)
 
-    if not _table_exists(path):
+    if not _table_exists(spark, path):
         write_partitioned(updates, path, partition_by=partition_by)
         return
 
-    target = spark.read.parquet(path).select(*updates.columns)
+    existing = spark.read.parquet(path)
+    # Column-set drift guard: the merge rewrites whole partitions, so a
+    # missing target column would silently drop that column for every
+    # survivor row in the touched partitions.
+    missing = set(existing.columns) - set(updates.columns)
+    extra = set(updates.columns) - set(existing.columns)
+    if missing or extra:
+        raise ValueError(
+            f"merge_upsert schema drift: updates missing target columns "
+            f"{sorted(missing)}, updates-only columns {sorted(extra)} — "
+            f"align schemas before merging"
+        )
+    target = existing.select(*updates.columns)
     if partition_by and partition_scoped:
         parts = [
             tuple(r) for r in updates.select(*partition_by).distinct().collect()

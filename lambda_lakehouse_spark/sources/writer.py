@@ -17,9 +17,7 @@ into silent DAG success. We raise.
 
 from __future__ import annotations
 
-import os
-
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 
 def write_partitioned(
@@ -54,10 +52,27 @@ def write_partitioned(
     # Explicit per-write option so behavior doesn't depend on the
     # session-level partitionOverwriteMode: dynamic replaces only the
     # partitions present in df; static truncates the whole table.
-    mode = "dynamic" if (dynamic_overwrite and _table_exists(path)) else "static"
+    mode = (
+        "dynamic"
+        if (dynamic_overwrite and _table_exists(df.sparkSession, path))
+        else "static"
+    )
     writer = writer.option("partitionOverwriteMode", mode)
     writer.save(path)
 
 
-def _table_exists(path: str) -> bool:
-    return os.path.exists(path) and bool(os.listdir(path))
+def _table_exists(spark: SparkSession, path: str) -> bool:
+    """Non-empty-table check via the Hadoop FileSystem API.
+
+    Resolved through the path's own scheme (``file://``, ``hdfs://``,
+    ``s3a://``, ``abfs://`` — whatever the cluster's Hadoop conf can
+    reach), not ``os.path``: a local-filesystem check is always False
+    for remote URIs, which silently downgraded a partition-scoped daily
+    write to static mode — a full-table truncate. A scheme the Hadoop
+    conf cannot resolve raises (fail-safe) instead of defaulting to
+    "missing".
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(jpath) and len(fs.listStatus(jpath)) > 0

@@ -89,6 +89,29 @@ def test_merge_upsert_partition_move_needs_full_scan(spark, tmp_path):
     assert after.count() == base.count()
 
 
+def test_merge_upsert_schema_drift_raises(spark, tmp_path):
+    """Regression: updates missing a target column used to rewrite the
+    touched partitions WITHOUT that column — silent data loss for every
+    survivor row. Now validated up front."""
+    import pytest
+
+    path = str(tmp_path / "drift_tbl")
+    base = _orders(spark)
+    merge_upsert(spark, path, base, keys=["o_orderkey"], partition_by=["month"])
+
+    narrow = base.drop("o_orderstatus").limit(5)
+    with pytest.raises(ValueError, match="schema drift"):
+        merge_upsert(spark, path, narrow, keys=["o_orderkey"], partition_by=["month"])
+
+    wide = base.withColumn("extra", F.lit(1)).limit(5)
+    with pytest.raises(ValueError, match="schema drift"):
+        merge_upsert(spark, path, wide, keys=["o_orderkey"], partition_by=["month"])
+
+    # table untouched by the rejected merges
+    assert spark.read.parquet(path).count() == base.count()
+    assert set(spark.read.parquet(path).columns) == set(base.columns)
+
+
 def test_compact_partitions_reduces_files(spark, tmp_path):
     path = str(tmp_path / "fragmented")
     base = _orders(spark)

@@ -7,6 +7,7 @@ from __future__ import annotations
 import datetime as dt
 import zlib
 
+import pytest
 from pyspark.sql import functions as F
 
 from lambda_lakehouse_spark.functions.scalar import sk_crc32
@@ -98,6 +99,63 @@ def test_asof_join_semantics(spark):
     assert out["e1"] == 20.0  # nearest previous
     assert out["e2"] == 100.0  # equal time matches
     assert out["e3"] is None  # key with no right rows
+
+
+def test_asof_join_deterministic_on_right_time_ties(spark):
+    """Two right rows tied on (key, right_time): the attached value must
+    be the same on every evaluation (greatest xxhash64 of the value
+    columns — arbitrary but stable), not partition-order-dependent."""
+    left = spark.createDataFrame([("k", 5, "e1")], "key string, t int, id string")
+    right = spark.createDataFrame(
+        [("k", 2, 20.0), ("k", 2, 30.0)], "key string, rt int, score double"
+    )
+    picks = set()
+    for _ in range(3):
+        # vary physical layout to try to flip a nondeterministic pick
+        for r in (right, right.repartition(7), right.coalesce(1)):
+            out = as_of_join(left, r, ["key"], "t", "rt", ["score"]).collect()
+            picks.add(out[0].score)
+    assert len(picks) == 1
+
+
+def test_simhash_missing_reference_doc_raises(spark):
+    from lambda_lakehouse_spark.operators.dedup import simhash_hamming
+
+    docs = spark.createDataFrame(
+        [(7, "some text here"), (8, "other text")], "doc_id long, text string"
+    )
+    out = simhash_hamming(docs, ref_doc_id=7)
+    assert {r.doc_id: r.hamming_to_ref for r in out.collect()}[7] == 0
+    with pytest.raises(ValueError, match="reference doc_id=99"):
+        simhash_hamming(docs, ref_doc_id=99)
+
+
+def test_minhash_lsh_hot_bucket_cap_subset(spark):
+    """Capped candidate pairs are a subset of uncapped; a corpus-wide
+    boilerplate bucket is dropped under the cap instead of going
+    quadratic."""
+    from lambda_lakehouse_spark.operators.dedup import minhash_lsh_pairs
+
+    boiler = "LICENSE HEADER COMMON TO EVERY FILE IN THE CORPUS "
+    docs = spark.createDataFrame(
+        [(i, boiler + f"unique tail {i} " + "x" * (i % 5)) for i in range(20)]
+        + [(100, boiler + "unique tail 3 "), (101, "entirely different document")],
+        "doc_id long, text string",
+    )
+    uncapped = {
+        (r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, max_bucket_size=5).collect()
+    }
+    assert capped <= uncapped
+    assert len(capped) < len(uncapped)  # the boilerplate bucket was dropped
+    tiny = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, max_bucket_size=1).collect()
+    }
+    assert tiny == set()  # every bucket with a pair has >= 2 docs
 
 
 def test_align_contract_types_and_order(spark):

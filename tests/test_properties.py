@@ -248,3 +248,31 @@ def test_table_diff_matches_model(spark, old_rows, new_rows):
         elif om[k] != nm[k]:
             expected[k] = "update"
     assert got == expected
+
+
+def test_hll_sketch_partials_merge_to_global_estimate(spark):
+    """The 100 TB claim behind agg_approx_sketches: HLL sketches built
+    per partition-slice and merged with hll_union_agg give the SAME
+    estimate as one global hll_sketch_agg over all rows — map-side
+    partial sketches are lossless under merge, so distinct-count cost
+    is O(sketch) per partition instead of a value-domain shuffle."""
+    from pyspark.sql import functions as F
+
+    from lambda_lakehouse_spark.sources.readers import read_table
+    from tests.conftest import SF_DIR
+
+    orders = read_table(spark, SF_DIR, "orders").select(
+        "o_custkey", F.pmod(F.col("o_orderkey"), F.lit(13)).alias("slice")
+    )
+    global_est = orders.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("e")
+    ).first().e
+    merged_est = (
+        orders.groupBy("slice")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .first().e
+    )
+    assert merged_est == global_est
+    exact = orders.select("o_custkey").distinct().count()
+    assert abs(merged_est - exact) / exact < 0.05  # HLL error envelope

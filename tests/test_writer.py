@@ -61,6 +61,34 @@ def test_missing_partition_column_raises(spark, tmp_path):
         write_partitioned(_df(spark, [("VN", "d1", 1)]), str(tmp_path / "t5"), ["nope"])
 
 
+def test_dynamic_overwrite_on_uri_scheme_never_truncates(spark, tmp_path):
+    """Regression: existence must resolve through the Hadoop FileSystem
+    API. An ``os.path`` check is always False for scheme-qualified URIs
+    (``file:``, ``s3a:``, ``hdfs:``...), which silently selected static
+    mode and truncated the whole table on the second daily write."""
+    path = "file://" + str(tmp_path / "t7")
+    base = _df(spark, [("VN", "d1", 1), ("US", "d1", 2), ("JP", "d1", 3)])
+    write_partitioned(base, path, ["country"])
+
+    # partition-scoped re-run through the scheme-qualified URI
+    write_partitioned(_df(spark, [("VN", "d1", 99)]), path, ["country"])
+
+    got = {r.country: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {"VN": 99, "US": 2, "JP": 3}
+
+
+def test_unresolvable_scheme_fails_instead_of_truncating(spark, tmp_path):
+    """A URI scheme the Hadoop conf can't resolve must raise — never
+    default to 'table missing' (which would pick static mode and
+    truncate on a real cluster where the scheme IS reachable)."""
+    from py4j.protocol import Py4JJavaError
+
+    from lambda_lakehouse_spark.sources.writer import _table_exists
+
+    with pytest.raises(Py4JJavaError):
+        _table_exists(spark, "nosuchscheme://bucket/table")
+
+
 def test_partition_pruning_on_read(spark, tmp_path):
     path = str(tmp_path / "t6")
     write_partitioned(
