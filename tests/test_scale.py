@@ -123,10 +123,14 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
         "embeddings.parquet",
     )
     # Hinted sides that scan a big table but are bounded by construction:
-    # ann queries broadcast the ≤|query-set| filtered vectors; the
-    # decontamination probe is a fixed benchmark slice; simhash
-    # broadcasts a single reference row; q15 broadcasts the
-    # ties-for-max aggregate (|ties| rows). The raw table never ships.
+    # ann queries broadcast the ≤|query-set| filtered vectors and the
+    # k-means centroid/seed tables (limit- or agg-bounded); the
+    # decontamination probe is a fixed benchmark slice; q15 broadcasts
+    # the ties-for-max aggregate (|ties| rows). The raw table never
+    # ships — enforced below: an allowlisted broadcast subtree must
+    # contain a bounding operator (Filter/Aggregate/Limit) between the
+    # exchange and the scan, so losing a pushed filter fails the test
+    # instead of hiding behind the allowlist.
     bounded_by_construction = {
         "ann_cosine_topk_brute": {"embeddings.parquet"},
         "ann_cosine_topk_ivf": {"embeddings.parquet"},
@@ -134,34 +138,52 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
         "dedup_simhash": {"documents.parquet"},
         "q15_top_supplier": {"lineitem.parquet"},
     }
+    bounding_ops = (
+        "Filter", "HashAggregate", "SortAggregate", "ObjectHashAggregate",
+        "GlobalLimit", "CollectLimit", "TakeOrderedAndProject",
+    )
 
     def depth(line):
         return len(re.match(r"^([ :]*)", line).group(1))
 
     def forced_big_broadcasts(df):
+        """[(table, subtree_has_bounding_op)] per hinted BroadcastExchange
+        scanning a growing table."""
         lines = df._jdf.queryExecution().executedPlan().toString().splitlines()
-        hits = set()
+        hits = []
         for i, line in enumerate(lines):
             if "BroadcastExchange" not in line:
                 continue
             d = depth(line)
+            subtree = []
             for sub in lines[i + 1 :]:
                 if depth(sub) <= d:
                     break
-                if "Scan" in sub:
-                    hits.update(t for t in big if t in sub)
-        return sorted(hits)
+                subtree.append(sub)
+            tables = {
+                t for sub in subtree if "Scan" in sub for t in big if t in sub
+            }
+            bounded = any(op in sub for sub in subtree for op in bounding_ops)
+            hits.extend((t, bounded) for t in sorted(tables))
+        return hits
 
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_meta = spark.conf.get("spark.sql.maxMetadataStringLength")
     offenders = []
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # default 100-char Location truncation can cut the table filename
+        # out of FileScan lines under a long SPARK_GRAFT_TEST_SF_DIR →
+        # silent false negatives in the filename match above
+        spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
         for name, q in sorted(load_all().items()):
             allowed = bounded_by_construction.get(name, set())
-            hit = [t for t in forced_big_broadcasts(q.spark(spark, SF_DIR))
-                   if t not in allowed]
-            if hit:
-                offenders.append((name, hit))
+            for t, bounded in forced_big_broadcasts(q.spark(spark, SF_DIR)):
+                if t not in allowed:
+                    offenders.append((name, t, "not allowlisted"))
+                elif not bounded:
+                    offenders.append((name, t, "allowlisted but unbounded subtree"))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev_meta)
     assert not offenders, offenders
