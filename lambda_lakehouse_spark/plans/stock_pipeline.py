@@ -344,12 +344,16 @@ def fact_stock_daily(
         & (f["trading_status_group"] == d_status["status_group"]),
         "left",
     ).drop("status_code", "status_group")
-    # J5 — PIT range join to the SCD2 company dimension
+    # J5 — PIT range join to the SCD2 company dimension. No broadcast
+    # hint: unlike the calendar/exchange/currency/status dims (bounded
+    # domains), SCD2 company versions accumulate over the years — AQE
+    # broadcasts at runtime only while the dim is actually small, and
+    # falls back to a shuffle join on (symbol, country) once it isn't.
+    # For a permanently shuffle-free plan, bucket both sides by symbol
+    # (proven in tests/test_scale.py::test_pit_join_bucketed_no_shuffle).
     f = pit_join(
         f,
-        F.broadcast(
-            d_company.select("symbol", "country", "effective_from", "effective_to", "company_sk")
-        ),
+        d_company.select("symbol", "country", "effective_from", "effective_to", "company_sk"),
         keys=("symbol", "country"),
         time_col="datadate",
     ).drop("effective_from", "effective_to")

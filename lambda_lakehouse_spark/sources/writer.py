@@ -61,6 +61,52 @@ def write_partitioned(
     writer.save(path)
 
 
+def write_partitioned_table(
+    df: DataFrame,
+    table: str,
+    partition_by: list[str] | tuple[str, ...] = (),
+    fmt: str = "parquet",
+    dynamic_overwrite: bool = True,
+) -> None:
+    """DSv2 catalog-table twin of :func:`write_partitioned` — the
+    reference's Iceberg sink shape (``writeTo(...).overwritePartitions()``
+    with Nessie snapshots, reference ``utils/init_spark.py:84-109``).
+
+    - Missing table → ``writeTo(...).partitionedBy(...).create()``
+      (S5 semantics, CTAS through the catalog).
+    - Existing table + ``dynamic_overwrite`` →
+      ``writeTo(...).overwritePartitions()`` — replaces exactly the
+      partitions present in ``df``, atomically under formats with
+      snapshot isolation (S6 semantics).
+    - Existing table, full refresh → ``createOrReplace()``.
+
+    Existence is resolved through the catalog (not a filesystem probe),
+    so this path has no URI-scheme trap. The overwrite/replace branches
+    require the table's catalog to be a real V2 catalog (Iceberg,
+    Delta, Unity, ...); Spark's built-in session catalog backs tables
+    with v1 and rejects them with ``Cannot write into v1 table`` — in
+    this offline environment that is an un-exercisable dependency, see
+    README "Table formats".
+    """
+    from pyspark.sql import functions as F
+
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"partition columns {missing} not present in DataFrame columns {df.columns}"
+        )
+    spark = df.sparkSession
+    writer = df.writeTo(table).using(fmt)
+    if not spark.catalog.tableExists(table):
+        if partition_by:
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        writer.create()
+    elif dynamic_overwrite:
+        writer.overwritePartitions()
+    else:
+        writer.createOrReplace()
+
+
 def _table_exists(spark: SparkSession, path: str) -> bool:
     """Non-empty-table check via the Hadoop FileSystem API.
 

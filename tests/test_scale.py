@@ -81,6 +81,108 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP DATABASE bktdb CASCADE")
 
 
+def test_pit_join_bucketed_no_shuffle(spark, tmp_path):
+    """The shuffle-free plan for the fact-to-SCD2 PIT join at scale:
+    bucket both sides on the full equi-key set (symbol, country) —
+    Spark requires all cluster keys for co-partition by default — and
+    keep the version interval as a join filter. Proves the strategy
+    recommended in fact_stock_daily's J5 comment."""
+    from lambda_lakehouse_spark.operators.temporal import pit_join
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS pitdb LOCATION '{tmp_path}/pitdb'")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        facts = spark.createDataFrame(
+            [(f"S{i % 50}", "VN", d, float(i))
+             for i in range(2000)
+             for d in ("2024-01-05", "2024-02-05")],
+            "symbol string, country string, datadate string, px double",
+        )
+        dim = spark.createDataFrame(
+            [(f"S{i}", "VN", "2024-01-01", "2024-01-31", i * 10)
+             for i in range(50)]
+            + [(f"S{i}", "VN", "2024-02-01", "9999-12-31", i * 10 + 1)
+               for i in range(50)],
+            "symbol string, country string, effective_from string, "
+            "effective_to string, company_sk long",
+        )
+        (facts.write.mode("overwrite").bucketBy(8, "symbol", "country")
+         .sortBy("symbol", "country").saveAsTable("pitdb.facts_b"))
+        (dim.write.mode("overwrite").bucketBy(8, "symbol", "country")
+         .sortBy("symbol", "country").saveAsTable("pitdb.dim_b"))
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = pit_join(
+            spark.table("pitdb.facts_b"),
+            spark.table("pitdb.dim_b"),
+            keys=("symbol", "country"),
+            time_col="datadate",
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed PIT join must not shuffle"
+        # correctness unchanged: every fact resolves exactly one version
+        out = joined.collect()
+        assert len(out) == 4000
+        jan = [r for r in out if r.datadate == "2024-01-05"]
+        assert all(r.company_sk % 10 == 0 for r in jan)
+        feb = [r for r in out if r.datadate == "2024-02-05"]
+        assert all(r.company_sk % 10 == 1 for r in feb)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP DATABASE pitdb CASCADE")
+
+
+def test_fact_stock_daily_company_dim_not_force_broadcast(spark):
+    """Regression for the one perf-weak site from round 2: the SCD2
+    company dim must NOT be hint-broadcast into the PIT join — its
+    version count grows without bound. With the auto threshold disabled
+    the fact plan may contain hinted BroadcastExchanges only for the
+    bounded dims (date/exchange/currency/status), never above the
+    company-dim scan."""
+    from lambda_lakehouse_spark.plans.stock_pipeline import (
+        dim_company, dim_currency, dim_date, dim_exchange,
+        dim_trading_status, fact_stock_daily, stg_vn,
+    )
+    from lambda_lakehouse_spark.sources.readers import read_csv_raw
+    from tests.test_stock_pipeline import VN_DAYS, VN_HEADER
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(
+            "w", suffix=".csv", encoding="utf-8-sig", delete=False
+        ) as fh:
+            fh.write("\n".join([VN_HEADER, *VN_DAYS["2025-10-22"]]))
+        stg = stg_vn(read_csv_raw(spark, fh.name), "2025-10-22")
+        fact = fact_stock_daily(
+            stg, dim_date(stg), dim_exchange(stg), dim_currency(spark, stg),
+            dim_trading_status(stg), dim_company(stg),
+        )
+        lines = fact._jdf.queryExecution().executedPlan().toString().splitlines()
+        # company_sk comes only from the SCD2 dim subtree; assert no
+        # BroadcastExchange sits above a subtree producing company_sk
+        import re
+
+        def depth(line):
+            return len(re.match(r"^([ :]*)", line).group(1))
+
+        for i, line in enumerate(lines):
+            if "BroadcastExchange" not in line:
+                continue
+            d = depth(line)
+            for sub in lines[i + 1:]:
+                if depth(sub) <= d:
+                    break
+                assert "company_sk" not in sub, (
+                    "SCD2 company dim is hint-broadcast into the PIT join"
+                )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_no_pathological_join_plans(spark):
     """Guardrail: no registry query may plan a CartesianProduct, and
     BroadcastNestedLoopJoin is allowed only where a deliberate 1-row

@@ -89,6 +89,39 @@ def test_unresolvable_scheme_fails_instead_of_truncating(spark, tmp_path):
         _table_exists(spark, "nosuchscheme://bucket/table")
 
 
+def test_write_partitioned_table_dsv2(spark, tmp_path):
+    """DSv2 catalog-table path (the reference's Iceberg sink shape).
+    create() is exercised against the built-in session catalog; the
+    overwritePartitions() round trip completes only under a real V2
+    catalog (Iceberg/Delta jars — unavailable offline, see README
+    'Table formats') and skips with the blocker otherwise."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from lambda_lakehouse_spark.sources.writer import write_partitioned_table
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS v2db LOCATION '{tmp_path}/v2db'")
+    try:
+        base = _df(spark, [("VN", "d1", 1), ("US", "d1", 2), ("JP", "d1", 3)])
+        write_partitioned_table(base, "v2db.t", ["country"])
+        assert {r.country: r.v for r in spark.table("v2db.t").collect()} == {
+            "VN": 1, "US": 2, "JP": 3,
+        }
+        with pytest.raises(ValueError, match="partition columns"):
+            write_partitioned_table(base, "v2db.t2", ["nope"])
+        try:
+            write_partitioned_table(_df(spark, [("VN", "d1", 99)]), "v2db.t", ["country"])
+        except AnalysisException as ex:
+            assert "v1 table" in str(ex)
+            pytest.skip(
+                "DSv2 overwritePartitions needs a V2 catalog; Iceberg/Delta "
+                "jars unavailable offline (README 'Table formats')"
+            )
+        got = {r.country: r.v for r in spark.table("v2db.t").collect()}
+        assert got == {"VN": 99, "US": 2, "JP": 3}
+    finally:
+        spark.sql("DROP DATABASE v2db CASCADE")
+
+
 def test_partition_pruning_on_read(spark, tmp_path):
     path = str(tmp_path / "t6")
     write_partitioned(
