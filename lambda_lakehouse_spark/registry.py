@@ -91,6 +91,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "window_share_of_total",
     "date_spine_generate",
     "window_tumbling_agg",
+    # — round-3 additions (no prior driver row by definition) —
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q17_small_quantity",
+    "q21_waiting_supplier",
+    "q22_idle_balance",
 )
 
 
@@ -104,6 +112,7 @@ def load_all() -> dict[str, Query]:
     import lambda_lakehouse_spark.plans.relational  # noqa: F401
     import lambda_lakehouse_spark.plans.star  # noqa: F401
     import lambda_lakehouse_spark.plans.extended  # noqa: F401
+    import lambda_lakehouse_spark.plans.tpch_extra  # noqa: F401
     import lambda_lakehouse_spark.operators.dedup  # noqa: F401
     import lambda_lakehouse_spark.operators.multimodal  # noqa: F401
     import lambda_lakehouse_spark.operators.similarity  # noqa: F401
