@@ -1,0 +1,242 @@
+"""End-to-end corpus construction operators — the steps a training-data
+pipeline runs AFTER the per-doc signals exist: materialize the deduped
+corpus, mix sources to target weights, filter on quality with recorded
+reasons, and pack documents into token-budgeted shards.
+
+All pure DataFrame ops with DuckDB oracles; selection hashing uses md5
+(engine-portable) and cumulative sums use explicit ROWS windows with
+deterministic total orders, so every query is driver-gradable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from lambda_lakehouse_spark.operators.dedup import (
+    _COMPONENTS_THRESHOLD,
+    _components_oracle,
+    connected_components,
+    minhash_lsh_pairs,
+)
+from lambda_lakehouse_spark.registry import register
+from lambda_lakehouse_spark.sources.readers import read_table
+
+# ---------------------------------------------------------------------------
+# Dedup materialization: clusters → surviving corpus
+# ---------------------------------------------------------------------------
+
+# Splice the recursive-CTE components oracle in as a named CTE: the
+# RECURSIVE keyword must stay on the top-level WITH, so the final
+# SELECT of the base oracle is rewrapped as `comp AS (...)`.
+_COMP_PREFIX, _COMP_FINAL = _components_oracle().rsplit("SELECT u AS doc_id", 1)
+_MATERIALIZE_ORACLE = (
+    _COMP_PREFIX
+    + ", comp AS (SELECT u AS doc_id"
+    + _COMP_FINAL
+    + """)
+SELECT d.doc_id, d.source,
+       c.doc_id IS NOT NULL AS was_clustered
+FROM documents d
+LEFT JOIN comp c ON c.doc_id = d.doc_id
+WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+"""
+)
+
+
+@register(
+    "dedup_materialize_corpus",
+    _MATERIALIZE_ORACLE,
+    doc="Dedup materialization: MinHash-LSH pairs → connected components "
+    "→ keep each cluster's min-id representative plus all unclustered "
+    "docs — the step that turns near-dup detection into the actual "
+    "training corpus",
+    tags=("dedup", "graph", "corpus"),
+)
+def dedup_materialize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The cluster table is |clustered docs| rows — tiny next to the
+    # corpus — but still joined without a hint (it grows with the
+    # corpus; AQE broadcasts while it fits). One anti-style left join
+    # against the corpus: docs keep their row unless a cluster says a
+    # smaller doc_id represents them.
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    pairs = minhash_lsh_pairs(docs.select("doc_id", "text")).where(
+        F.col("est_jaccard") >= _COMPONENTS_THRESHOLD
+    )
+    comp = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    return (
+        docs.join(comp, "doc_id", "left")
+        .where(
+            F.col("cluster_id").isNull()
+            | (F.col("cluster_id") == F.col("doc_id"))
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("cluster_id").isNotNull().alias("was_clustered"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted mixture sampling: per-source target rates
+# ---------------------------------------------------------------------------
+
+# Deterministic per-source sampling rates in integer basis points —
+# the "data mixing" table a training run would supply (upsample scarce
+# sources, downsample boilerplate ones). Integer thresholds avoid the
+# engine-specific double→int cast (Spark truncates, DuckDB rounds).
+# Declared inline so the Spark plan (local-collection source, S4) and
+# the oracle (VALUES list) share one definition.
+MIXTURE_WEIGHTS_BP: dict[str, int] = {
+    f"src{i}": 1500 + 400 * i for i in range(20)
+}
+_SAMPLE_SEED = "mix-seed:1"
+
+
+def _mixture_oracle() -> str:
+    values = ", ".join(
+        f"('{s}', {bp})" for s, bp in sorted(MIXTURE_WEIGHTS_BP.items())
+    )
+    return f"""
+WITH weights(source, rate_bp) AS (VALUES {values})
+SELECT d.doc_id, d.source
+FROM documents d
+JOIN weights w ON w.source = d.source
+WHERE ('0x' || substr(md5('{_SAMPLE_SEED}' || CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT
+      % 10000 < w.rate_bp
+"""
+
+
+@register(
+    "sample_mixture_weighted",
+    _mixture_oracle(),
+    doc="Weighted mixture sampling (data mixing): per-source target "
+    "rates from a seed table, seeded-hash selection so the sample is "
+    "deterministic, reproducible across runs/engines, and "
+    "filter-pushdown-friendly (single scan, no shuffle)",
+    tags=("sampling", "corpus"),
+)
+def sample_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    weights = spark.createDataFrame(
+        sorted(MIXTURE_WEIGHTS_BP.items()), "source string, rate_bp int"
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_SAMPLE_SEED), F.col("doc_id").cast("string"))),
+                1, 7,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 10000
+    )
+    return (
+        docs.join(F.broadcast(weights), "source")
+        .where(bucket < F.col("rate_bp"))
+        .select("doc_id", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality filtering with recorded reject reasons
+# ---------------------------------------------------------------------------
+
+_QUALITY_FILTER_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, source, lang,
+         LENGTH(text) AS n_chars_calc,
+         len(string_split_regex(text, '\\s+')) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+           / LENGTH(text) AS punct_ratio
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE
+         WHEN lang <> 'en' THEN 'non_english'
+         WHEN n_chars_calc < 100 THEN 'too_short'
+         WHEN n_tokens < 20 THEN 'too_few_tokens'
+         WHEN punct_ratio >= 0.1 THEN 'too_much_punct'
+         ELSE 'pass'
+       END AS verdict
+FROM scored
+"""
+
+
+@register(
+    "corpus_quality_filter",
+    _QUALITY_FILTER_ORACLE,
+    doc="Quality filter with recorded reject reasons (first failing rule "
+    "wins): language, length, token-count, punctuation-ratio gates — the "
+    "auditable filtering step between signals and the kept corpus",
+    tags=("text", "filter", "corpus"),
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One projection over the scan — every gate is a codegen'd
+    # expression; recording the reason (not just a boolean) is what
+    # makes corpus filtering debuggable at 100 TB, for free.
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_chars = F.length(t)
+    n_tokens = F.size(F.split(t, r"\s+"))
+    punct_ratio = F.regexp_count(t, F.lit(r"[^A-Za-z0-9\s]")).cast("double") / n_chars
+    verdict = (
+        F.when(F.col("lang") != "en", "non_english")
+        .when(n_chars < 100, "too_short")
+        .when(n_tokens < 20, "too_few_tokens")
+        .when(punct_ratio >= 0.1, "too_much_punct")
+        .otherwise("pass")
+    )
+    return docs.select("doc_id", "source", verdict.alias("verdict"))
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sharding
+# ---------------------------------------------------------------------------
+
+_SHARD_BUDGET = 2000  # chars per shard (token proxy on this testdata)
+
+# FLOOR on both sides (never a bare double→int CAST: Spark truncates,
+# DuckDB rounds); integer/int double division can't round across an
+# integer boundary, so FLOOR agrees exactly.
+_SHARD_ORACLE = f"""
+SELECT doc_id, source,
+       CAST(FLOOR((SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_chars) / {_SHARD_BUDGET}) AS INTEGER) AS shard_id
+FROM documents
+"""
+
+
+@register(
+    "shard_by_token_budget",
+    _SHARD_ORACLE,
+    doc=f"Token-budget sharding: per-source cumulative size over a "
+    f"deterministic doc order packs docs into ~{_SHARD_BUDGET}-char "
+    "shards (exclusive prefix sum / budget) — the writer-side step that "
+    "turns a corpus into training shards",
+    tags=("window", "corpus"),
+)
+def shard_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The window partitions by source, so no single-partition global
+    # sort: each source packs independently (at 100 TB, sources are
+    # further range-split and the prefix sum becomes the classic
+    # two-pass per-range offset + within-range cumsum — same algebra).
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    excl_prefix = F.sum("n_chars").over(w) - F.col("n_chars")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.floor(excl_prefix / _SHARD_BUDGET).cast("int").alias("shard_id"),
+    )

@@ -99,6 +99,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q17_small_quantity",
     "q21_waiting_supplier",
     "q22_idle_balance",
+    "dedup_materialize_corpus",
+    "sample_mixture_weighted",
+    "corpus_quality_filter",
+    "shard_by_token_budget",
 )
 
 
@@ -118,6 +122,7 @@ def load_all() -> dict[str, Query]:
     import lambda_lakehouse_spark.operators.similarity  # noqa: F401
     import lambda_lakehouse_spark.operators.text  # noqa: F401
     import lambda_lakehouse_spark.operators.sessionize  # noqa: F401
+    import lambda_lakehouse_spark.operators.corpus  # noqa: F401
 
     ordered: dict[str, Query] = {}
     for name in DRIVER_PRIORITY:
