@@ -131,22 +131,12 @@ def minhash_lsh_pairs(
     capped output is always a subset of uncapped output (property-
     tested). None (default) keeps exact parity with the SQL oracle.
     """
-    sig = _signatures(docs, shingle_len, bands * rows)
-    band_elems = lambda b: ", ".join(  # noqa: E731
-        f"cast(element_at(sig, {b * rows + r + 1}) as string)" for r in range(rows)
-    )
-    band_structs = ", ".join(
-        f"struct({b} as band_id, md5(concat_ws('|', {band_elems(b)})) as band_hash)"
-        for b in range(bands)
-    )
-    # Carry the signature through the band explode so the (expensive)
-    # signature subtree is computed once — joining it back afterwards
-    # would recompute the md5 hashing per join branch. The extra
-    # shuffle width is k hex strings per doc-band: negligible next to
-    # rehashing, at any scale.
-    bands_df = sig.select(
-        "doc_id", "sig", F.explode(F.expr(f"array({band_structs})")).alias("bd")
-    ).select("doc_id", "sig", "bd.band_id", "bd.band_hash")
+    # The signature rides through the band explode inside band_table so
+    # the (expensive) hashing subtree is computed once — joining it back
+    # afterwards would recompute the md5 hashing per join branch. The
+    # extra shuffle width is k hex strings per doc-band: negligible next
+    # to rehashing, at any scale.
+    bands_df = band_table(docs, shingle_len, bands, rows)
 
     if max_bucket_size is not None:
         # One extra agg on the same key the self-join shuffles on; the
@@ -249,6 +239,116 @@ JOIN sig sb ON sb.doc_id = doc_b
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     return minhash_lsh_pairs(docs)
+
+
+def band_table(
+    docs: DataFrame, shingle_len: int = 5, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """(doc_id, sig, band_id, band_hash) — the LSH index a production
+    pipeline PERSISTS so daily increments join against it instead of
+    re-hashing the corpus."""
+    sig = _signatures(docs, shingle_len, bands * rows)
+    band_elems = lambda b: ", ".join(  # noqa: E731
+        f"cast(element_at(sig, {b * rows + r + 1}) as string)" for r in range(rows)
+    )
+    band_structs = ", ".join(
+        f"struct({b} as band_id, md5(concat_ws('|', {band_elems(b)})) as band_hash)"
+        for b in range(bands)
+    )
+    return sig.select(
+        "doc_id", "sig", F.explode(F.expr(f"array({band_structs})")).alias("bd")
+    ).select("doc_id", "sig", "bd.band_id", "bd.band_hash")
+
+
+def minhash_lsh_incremental(
+    corpus_bands: DataFrame,
+    new_bands: DataFrame,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """Incremental near-dup detection: candidate pairs touching at least
+    one NEW document — new×corpus and new×new — without ever joining
+    corpus×corpus.
+
+    This is the daily-batch shape at 100 TB: the corpus band table is a
+    stored index (`band_table`), the increment re-hashes only its own
+    documents, and the join cost is |new bands| probing the bucket key,
+    not the corpus self-join. Pairs are normalized to doc_a < doc_b;
+    a new×new pair found from both sides collapses in the per-band
+    aggregation.
+    """
+    k = bands * rows
+    all_bands = corpus_bands.unionByName(new_bands)
+    x = new_bands.alias("x")
+    y = all_bands.alias("y")
+    joined = x.join(
+        y,
+        (F.col("x.band_id") == F.col("y.band_id"))
+        & (F.col("x.band_hash") == F.col("y.band_hash"))
+        & (F.col("x.doc_id") != F.col("y.doc_id")),
+    ).select(
+        F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_a"),
+        F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_b"),
+        F.col("x.band_id").alias("band_id"),
+        F.when(F.col("x.doc_id") < F.col("y.doc_id"), F.col("x.sig"))
+        .otherwise(F.col("y.sig"))
+        .alias("sig_a"),
+        F.when(F.col("x.doc_id") < F.col("y.doc_id"), F.col("y.sig"))
+        .otherwise(F.col("x.sig"))
+        .alias("sig_b"),
+    )
+    per_band = joined.groupBy("doc_a", "doc_b", "band_id").agg(
+        F.first("sig_a").alias("sig_a"), F.first("sig_b").alias("sig_b")
+    )
+    est = (
+        f"size(filter(sequence(1, {k}),"
+        f" j -> element_at(sig_a, j) = element_at(sig_b, j))) / CAST({k} AS DOUBLE)"
+    )
+    return (
+        per_band.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_bands"),
+            F.first("sig_a").alias("sig_a"),
+            F.first("sig_b").alias("sig_b"),
+        )
+        .select("doc_a", "doc_b", "n_shared_bands", F.expr(est).alias("est_jaccard"))
+    )
+
+
+_NEW_SOURCES = ("src18", "src19")
+
+_INCREMENTAL_ORACLE = (
+    "WITH base AS ("
+    + _minhash_oracle()
+    + f"""),
+new_docs AS (
+  SELECT doc_id FROM documents
+  WHERE source IN ({", ".join(repr(s) for s in _NEW_SOURCES)})
+)
+SELECT doc_a, doc_b, n_shared_bands, est_jaccard
+FROM base
+WHERE doc_a IN (SELECT doc_id FROM new_docs)
+   OR doc_b IN (SELECT doc_id FROM new_docs)
+"""
+)
+
+
+@register(
+    "dedup_incremental_batch",
+    _INCREMENTAL_ORACLE,
+    doc="Incremental dedup (the daily-batch 100 TB shape): new docs "
+    "(src18/src19) re-hash only themselves and probe the stored corpus "
+    "band index — new×corpus and new×new candidates, never a "
+    "corpus×corpus self-join; equals the full self-join restricted to "
+    "pairs touching a new doc (the oracle)",
+    tags=("dedup", "lsh", "join", "incremental"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    is_new = F.col("source").isin(*_NEW_SOURCES)
+    corpus_bands = band_table(docs.where(~is_new).select("doc_id", "text"))
+    new_bands = band_table(docs.where(is_new).select("doc_id", "text"))
+    return minhash_lsh_incremental(corpus_bands, new_bands)
 
 
 def _hexval(expr: str) -> str:

@@ -119,3 +119,78 @@ def window_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: ordered stage conversion (view → click → purchase)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_after_view,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_after_click
+"""
+
+
+@register(
+    "funnel_conversion",
+    _FUNNEL_ORACLE,
+    doc="Ordered funnel (view → click-after-view → purchase-after-click): "
+    "each stage is one per-user MIN-aggregate joined to the previous "
+    "stage's timestamp — stage k costs one shuffle on user_id (shared "
+    "partitioning), never a per-user sequence scan",
+    tags=("events", "funnel", "agg", "join"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # All three stage aggregates cluster on user_id, so AQE reuses one
+    # exchange layout; the final counts are three scalar aggregates
+    # unioned into a single row (matching the oracle's scalar selects).
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    # Single-row combine WITHOUT a constant-key join (which would
+    # constant-fold into a BroadcastNestedLoopJoin): tag each stage's
+    # per-user rows and take one global aggregate.
+    stages = (
+        v.select(F.lit(1).alias("sv"), F.lit(0).alias("sc"), F.lit(0).alias("sp"))
+        .unionAll(c.select(F.lit(0), F.lit(1), F.lit(0)))
+        .unionAll(p.select(F.lit(0), F.lit(0), F.lit(1)))
+    )
+    return stages.agg(
+        F.sum("sv").alias("n_viewed"),
+        F.sum("sc").alias("n_clicked_after_view"),
+        F.sum("sp").alias("n_purchased_after_click"),
+    )

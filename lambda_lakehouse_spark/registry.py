@@ -103,6 +103,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sample_mixture_weighted",
     "corpus_quality_filter",
     "shard_by_token_budget",
+    "dedup_incremental_batch",
+    "funnel_conversion",
 )
 
 

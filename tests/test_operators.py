@@ -158,6 +158,47 @@ def test_minhash_lsh_hot_bucket_cap_subset(spark):
     assert tiny == set()  # every bucket with a pair has >= 2 docs
 
 
+def test_minhash_incremental_equals_full_restricted_to_new(spark):
+    """Incremental dedup (new docs probe the stored band index) must
+    find exactly the full self-join's pairs that touch a new doc — and
+    never corpus×corpus pairs, which is the point at 100 TB."""
+    from lambda_lakehouse_spark.operators.dedup import (
+        band_table,
+        minhash_lsh_incremental,
+        minhash_lsh_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    docs = [
+        (1, base + "corpus one"),
+        (2, base + "corpus one"),        # corpus×corpus dup (must NOT appear)
+        (3, base + "shared with new"),
+        (10, base + "shared with new"),  # corpus×new dup
+        (11, base + "new twin"),
+        (12, base + "new twin"),         # new×new dup
+        (13, "completely unrelated text with nothing in common xyzzy"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    corpus = df.where(F.col("doc_id") < 10)
+    new = df.where(F.col("doc_id") >= 10)
+
+    inc = {
+        (r.doc_a, r.doc_b, r.n_shared_bands, r.est_jaccard)
+        for r in minhash_lsh_incremental(
+            band_table(corpus), band_table(new)
+        ).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b, r.n_shared_bands, r.est_jaccard)
+        for r in minhash_lsh_pairs(df).collect()
+    }
+    new_ids = {10, 11, 12, 13}
+    expected = {p for p in full if p[0] in new_ids or p[1] in new_ids}
+    assert inc == expected
+    assert (1, 2) not in {(a, b) for a, b, *_ in inc}  # no corpus×corpus
+    assert {(a, b) for a, b, *_ in inc} >= {(3, 10), (11, 12)}
+
+
 def test_align_contract_types_and_order(spark):
     df = spark.createDataFrame([(1, "a", 2.5)], "B int, a string, x double")
     contract = [("a", "string"), ("b", "bigint"), ("c", "date")]
