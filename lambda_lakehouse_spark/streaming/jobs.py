@@ -193,6 +193,29 @@ def stream_stream_conversion_join(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exactly-once dedup on ``keys`` with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key in the state store
+    only until the watermark passes its event time, so at-least-once
+    sources (Kafka redeliveries, file-source replays) collapse to
+    exactly-once within the watermark horizon.
+
+    Contrast with plain ``dropDuplicates`` on a stream, whose state
+    grows with every distinct key forever — the classic unbounded-state
+    leak at 100 TB. The horizon is the dedup guarantee: a duplicate
+    arriving later than ``watermark`` after the original may pass; size
+    the watermark to the source's maximum redelivery lag.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def foreach_batch_overwrite(path: str, partition_by: tuple[str, ...]):
     """foreachBatch sink: dynamic-partition-overwrite each micro-batch
     into a parquet table — replays rewrite the same partitions, so the

@@ -325,3 +325,28 @@ def test_checkpoint_recovery_exactly_once(spark, events_src, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == batch.count()
     assert got.select("event_id").distinct().count() == batch.count()
+
+
+def test_dedup_stream_collapses_redelivery(spark, tmp_path_factory):
+    """At-least-once delivery (the whole input re-appended as a second
+    set of files) collapses to exactly-once through
+    dropDuplicatesWithinWatermark; state is bounded by the watermark."""
+    from lambda_lakehouse_spark.streaming.jobs import dedup_stream
+
+    path = str(tmp_path_factory.mktemp("dedup_stream") / "events")
+    batch = read_table(spark, SF_DIR, "events").limit(500)
+    # original delivery + full redelivery (same rows, separate files)
+    batch.repartition(3).write.mode("overwrite").parquet(path)
+    batch.repartition(2).write.mode("append").parquet(path)
+
+    stream = _stream(spark, path, batch.schema)
+    name = run_stream_to_memory(
+        dedup_stream(stream, keys=("event_id",), watermark="3650 days"),
+        "dedup_stream_out",
+        output_mode="append",
+    )
+    got = [r.event_id for r in spark.table(name).collect()]
+    assert len(got) == len(set(got)), "duplicates survived the stream dedup"
+    assert sorted(got) == sorted(
+        r.event_id for r in batch.select("event_id").collect()
+    )
