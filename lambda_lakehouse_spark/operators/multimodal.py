@@ -151,3 +151,67 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return sample_frames(docs)
+
+
+# ---------------------------------------------------------------------------
+# Format sniffing from magic bytes — pure built-ins, no UDF
+# ---------------------------------------------------------------------------
+
+# Magic-byte prefixes (hex): PNG, JPEG, GIF. The testdata ships no real
+# media, so payloads are synthesized by prepending a header chosen by
+# doc_id % 4 to the utf-8 text bytes — the DETECTION path (hex-prefix
+# dispatch over a binary column) is exactly what runs on real blobs.
+_MAGIC = {"PNG": "89504E47", "JPEG": "FFD8FFE0", "GIF": "47494638"}
+
+_SNIFF_ORACLE = f"""
+WITH payload AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN '{_MAGIC["PNG"]}'
+           WHEN 1 THEN '{_MAGIC["JPEG"]}'
+           WHEN 2 THEN '{_MAGIC["GIF"]}'
+           ELSE ''
+         END || upper(hex(encode(text))) AS payload_hex
+  FROM documents
+)
+SELECT doc_id,
+       CASE
+         WHEN payload_hex LIKE '{_MAGIC["PNG"]}%' THEN 'png'
+         WHEN payload_hex LIKE '{_MAGIC["JPEG"]}%' THEN 'jpeg'
+         WHEN payload_hex LIKE '{_MAGIC["GIF"]}%' THEN 'gif'
+         ELSE 'unknown'
+       END AS detected_format,
+       CAST(length(payload_hex) / 2 AS BIGINT) AS payload_bytes
+FROM payload
+"""
+
+
+@register(
+    "multimodal_format_sniff",
+    _SNIFF_ORACLE,
+    doc="Media-format sniffing from magic bytes (PNG/JPEG/GIF hex "
+    "prefixes) — pure built-in hex/prefix dispatch over the payload "
+    "column, no UDF; headers synthesized since the testdata has no real "
+    "media, detection path identical for real blobs",
+    tags=("multimodal", "binary"),
+)
+def multimodal_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    header = (
+        F.when(F.col("doc_id") % 4 == 0, _MAGIC["PNG"])
+        .when(F.col("doc_id") % 4 == 1, _MAGIC["JPEG"])
+        .when(F.col("doc_id") % 4 == 2, _MAGIC["GIF"])
+        .otherwise("")
+    )
+    payload_hex = F.concat(header, F.upper(F.hex(F.encode("text", "utf-8"))))
+    detected = (
+        F.when(payload_hex.startswith(_MAGIC["PNG"]), "png")
+        .when(payload_hex.startswith(_MAGIC["JPEG"]), "jpeg")
+        .when(payload_hex.startswith(_MAGIC["GIF"]), "gif")
+        .otherwise("unknown")
+    )
+    return docs.select(
+        "doc_id",
+        detected.alias("detected_format"),
+        (F.length(payload_hex) / 2).cast("bigint").alias("payload_bytes"),
+    )

@@ -454,3 +454,56 @@ def q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Argmax family — max_by / min_by with a deterministic tie-break
+# ---------------------------------------------------------------------------
+
+# max_by/min_by tie behavior is engine-defined, so the ordering value is
+# a lexicographic string key (zero-padded shifted balance || customer
+# key) that is UNIQUE by construction — ties impossible, results
+# deterministic on any engine. c_acctbal has 2 decimals and is
+# > -1000, so round((bal+1000)*100) is an exact non-negative integer.
+_ARGMAX_ORACLE = """
+WITH keyed AS (
+  SELECT c_mktsegment, c_name, c_acctbal,
+         lpad(CAST(CAST(round((c_acctbal + 1000) * 100) AS BIGINT) AS VARCHAR), 12, '0')
+           || lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS ord_key
+  FROM customer
+)
+SELECT c_mktsegment,
+       max_by(c_name, ord_key) AS richest_name,
+       min_by(c_name, ord_key) AS poorest_name,
+       MAX(c_acctbal) AS max_bal,
+       MIN(c_acctbal) AS min_bal
+FROM keyed
+GROUP BY c_mktsegment
+"""
+
+
+@register(
+    "agg_argmax_suite",
+    _ARGMAX_ORACLE,
+    doc="Argmax aggregates (max_by/min_by): richest/poorest customer "
+    "name per segment over a unique lexicographic ordering key — "
+    "tie-free by construction, so engine-defined tie behavior can't "
+    "cause drift",
+    tags=("agg", "argmax"),
+)
+def agg_argmax_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    ord_key = F.concat(
+        F.lpad(
+            F.round((F.col("c_acctbal") + 1000) * 100).cast("bigint").cast("string"),
+            12, "0",
+        ),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0"),
+    )
+    keyed = cust.select("c_mktsegment", "c_name", "c_acctbal", ord_key.alias("ord_key"))
+    return keyed.groupBy("c_mktsegment").agg(
+        F.max_by("c_name", F.col("ord_key")).alias("richest_name"),
+        F.min_by("c_name", F.col("ord_key")).alias("poorest_name"),
+        F.max("c_acctbal").alias("max_bal"),
+        F.min("c_acctbal").alias("min_bal"),
+    )

@@ -105,6 +105,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "shard_by_token_budget",
     "dedup_incremental_batch",
     "funnel_conversion",
+    "multimodal_format_sniff",
+    "agg_argmax_suite",
 )
 
 
