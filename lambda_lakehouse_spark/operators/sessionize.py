@@ -194,3 +194,62 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sc").alias("n_clicked_after_view"),
         F.sum("sp").alias("n_purchased_after_click"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct users — first-seen + cumsum formulation
+# ---------------------------------------------------------------------------
+
+_CUM_DISTINCT_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day FROM events
+),
+firsts AS (
+  SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS day
+  FROM events GROUP BY 1, 2
+),
+news AS (
+  SELECT event_type, day, COUNT(*) AS n_new FROM firsts GROUP BY 1, 2
+)
+SELECT d.event_type, d.day,
+       CAST(SUM(COALESCE(n.n_new, 0)) OVER (
+              PARTITION BY d.event_type ORDER BY d.day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS BIGINT) AS cum_distinct_users
+FROM days d
+LEFT JOIN news n ON n.event_type = d.event_type AND n.day = d.day
+"""
+
+
+@register(
+    "window_cumulative_distinct",
+    _CUM_DISTINCT_ORACLE,
+    doc="Cumulative distinct users per event_type by day. Spark has no "
+    "COUNT(DISTINCT) OVER; the scalable formulation is first-seen date "
+    "per (type, user) -> new-user counts per day -> running sum. State "
+    "is one row per user (one shuffle), never a growing distinct set "
+    "per window row - the 100 TB shape a collect_set window would break",
+    tags=("window", "distinct", "agg", "events"),
+)
+def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    )
+    days = ev.select("event_type", "day").distinct()
+    firsts = ev.groupBy("event_type", "user_id").agg(F.min("day").alias("day"))
+    news = firsts.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n_new"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        days.join(news, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
+            .over(w)
+            .alias("cum_distinct_users"),
+        )
+    )

@@ -107,6 +107,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "funnel_conversion",
     "multimodal_format_sniff",
     "agg_argmax_suite",
+    "window_cumulative_distinct",
 )
 
 
