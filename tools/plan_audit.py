@@ -1,10 +1,11 @@
 #!/usr/bin/env python
-"""Plan-quality audit: for each headline (bench=True) query, print the
-physical-plan evidence that the 100 TB design rules hold — join
-strategies chosen, filters pushed to the parquet scan, and the scan's
-column pruning (ReadSchema). Run after changing any query:
+"""Plan-quality audit: for each headline (bench=True) query — or EVERY
+registry query with ``--all`` — print the physical-plan evidence that
+the 100 TB design rules hold: join strategies chosen, filters pushed
+to the parquet scan, and the scan's column pruning (ReadSchema). Run
+after changing any query:
 
-    python tools/plan_audit.py [sf_dir]
+    python tools/plan_audit.py [sf_dir] [--all]
 
 Red flags to look for: CartesianProduct/BroadcastNestedLoopJoin, a
 ReadSchema listing columns the query doesn't use, an empty
@@ -23,13 +24,13 @@ from lambda_lakehouse_spark.registry import load_all  # noqa: E402
 from lambda_lakehouse_spark.session import get_spark  # noqa: E402
 
 
-def audit(sf_dir: str) -> None:
+def audit(sf_dir: str, include_all: bool = False) -> None:
     spark = get_spark(app_name="plan-audit")
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
     for name, q in sorted(load_all().items()):
-        if not q.bench:
+        if not (q.bench or include_all):
             continue
         df = q.spark(spark, sf_dir)
         plan = df._jdf.queryExecution().explainString(mode)
@@ -49,4 +50,8 @@ def audit(sf_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    audit(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    audit(
+        args[0] if args else "/root/testdata/sf0.1",
+        include_all="--all" in sys.argv[1:],
+    )
