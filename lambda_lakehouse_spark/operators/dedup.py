@@ -139,6 +139,11 @@ def minhash_lsh_pairs(
     bands_df = band_table(docs, shingle_len, bands, rows)
 
     if max_bucket_size is not None:
+        # Materialize the band table once (localCheckpoint): the eager
+        # hot-bucket count below and the returned self-join plan would
+        # otherwise each recompute the md5-hashing subtree — the
+        # dominant cost — from scratch.
+        bands_df = bands_df.localCheckpoint()
         # One extra agg on the same key the self-join shuffles on; the
         # hot-bucket list itself is tiny (corpus_size / cap rows max).
         sizes = bands_df.groupBy("band_id", "band_hash").agg(

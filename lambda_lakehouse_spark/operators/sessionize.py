@@ -189,10 +189,12 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(c.select(F.lit(0), F.lit(1), F.lit(0)))
         .unionAll(p.select(F.lit(0), F.lit(0), F.lit(1)))
     )
+    # coalesce to 0: an empty union yields NULL sums, but the oracle's
+    # scalar COUNT(*) subqueries yield 0
     return stages.agg(
-        F.sum("sv").alias("n_viewed"),
-        F.sum("sc").alias("n_clicked_after_view"),
-        F.sum("sp").alias("n_purchased_after_click"),
+        F.coalesce(F.sum("sv"), F.lit(0)).alias("n_viewed"),
+        F.coalesce(F.sum("sc"), F.lit(0)).alias("n_clicked_after_view"),
+        F.coalesce(F.sum("sp"), F.lit(0)).alias("n_purchased_after_click"),
     )
 
 

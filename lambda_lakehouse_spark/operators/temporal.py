@@ -75,12 +75,25 @@ def as_of_join(
     keys = list(keys)
     value_cols = list(value_cols)
 
+    # The value columns travel as ONE struct (__vrow), so the window's
+    # last(ignorenulls) picks the latest right ROW atomically — a
+    # per-column last would mix values from different right rows
+    # whenever the latest row holds a NULL in some value column.
+    # The struct is non-null for every right row even when its members
+    # are null, so member NULLs are faithfully attached.
+    vrow_type = (
+        "struct<"
+        + ",".join(
+            f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
+        )
+        + ">"
+    )
     lhs = left.select(
         *keys,
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__side"),
         F.lit(0).cast("bigint").alias("__tie"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None).cast(vrow_type).alias("__vrow"),
         *[F.col(c) for c in left.columns if c not in keys and c != left_time],
         F.col(left_time),
     )
@@ -90,8 +103,8 @@ def as_of_join(
             F.col(right_time).alias("__t"),
             F.lit(0).alias("__side"),
             F.xxhash64(*[F.col(c) for c in value_cols]).alias("__tie"),
+            F.struct(*[F.col(c) for c in value_cols]).alias("__vrow"),
         ]
-        + [F.col(c).alias(f"__v_{c}") for c in value_cols]
     )
     rhs = right.select(*rhs_cols)
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
@@ -99,11 +112,8 @@ def as_of_join(
     w = W.partitionBy(*keys).orderBy("__t", "__side", "__tie").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
-    for c in value_cols:
-        unioned = unioned.withColumn(
-            f"__v_{c}", F.last(f"__v_{c}", ignorenulls=True).over(w)
-        )
+    unioned = unioned.withColumn("__vrow", F.last("__vrow", ignorenulls=True).over(w))
     out = unioned.where(F.col("__side") == 1)
-    renames = [F.col(f"__v_{c}").alias(c) for c in value_cols]
+    renames = [F.col(f"__vrow.{c}").alias(c) for c in value_cols]
     keep = [c for c in left.columns]
     return out.select(*keep, *renames)

@@ -108,6 +108,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_format_sniff",
     "agg_argmax_suite",
     "window_cumulative_distinct",
+    # rows-only by design (oracle=None since sketch estimates are
+    # engine-specific); prior rounds recorded only an err row for it, so
+    # keep it inside the window until a clean rows-only row lands
+    "agg_approx_sketches",
 )
 
 

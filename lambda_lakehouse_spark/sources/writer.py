@@ -104,6 +104,11 @@ def write_partitioned_table(
     elif dynamic_overwrite:
         writer.overwritePartitions()
     else:
+        # createOrReplace defines a NEW table spec — the partitioning
+        # must be restated or the replacement silently comes out
+        # unpartitioned (losing pruning and partition-scoped overwrites).
+        if partition_by:
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
         writer.createOrReplace()
 
 

@@ -101,6 +101,19 @@ def test_asof_join_semantics(spark):
     assert out["e3"] is None  # key with no right rows
 
 
+def test_asof_join_attaches_whole_row_not_per_column(spark):
+    """The latest right row wins ATOMICALLY: when it holds a NULL in
+    one value column, that NULL is attached — values from an older
+    right row must never be mixed in per-column."""
+    left = spark.createDataFrame([("k", 5, "e1")], "key string, t int, id string")
+    right = spark.createDataFrame(
+        [("k", 1, 5.0, 9.0), ("k", 2, 7.0, None)],
+        "key string, rt int, a double, b double",
+    )
+    out = as_of_join(left, right, ["key"], "t", "rt", ["a", "b"]).collect()[0]
+    assert out.a == 7.0 and out.b is None  # row at rt=2, not a blend
+
+
 def test_asof_join_deterministic_on_right_time_ties(spark):
     """Two right rows tied on (key, right_time): the attached value must
     be the same on every evaluation (greatest xxhash64 of the value

@@ -30,35 +30,49 @@ def test_priority_is_prefix_of_iteration_order():
 
 
 def test_never_graded_queries_fit_in_driver_window():
-    """Every query without a prior driver correctness row must sit
-    inside the first GRADED_WINDOW slots; queries rotated out must all
-    have a prior green row (union coverage across rounds)."""
+    """Every query without a prior GREEN driver row must sit inside the
+    first GRADED_WINDOW slots; queries rotated out must all hold a
+    prior green row (union coverage across rounds). A row counts as
+    green only when its hash matched — or, for oracle-less (rows-only
+    by design) queries, when it ran without error — so an error row
+    can't satisfy the invariant."""
     if not _ROUNDS:
         return  # fresh clone without round artifacts
-    graded_before = set()
+    reg = load_all()
+    certified = set()
     for path in _ROUNDS:
-        graded_before |= set(json.load(open(path)))
-    names = list(load_all())
+        for name, row in json.load(open(path)).items():
+            if name not in reg:
+                continue
+            if row.get("hash_match") is True:
+                certified.add(name)
+            elif reg[name].oracle is None and row.get("spark_rows") is not None:
+                # rows-only by design: ran and produced rows, and the
+                # recorded err (if any) is the expected no_oracle marker
+                if row.get("err") in (None, "no_oracle"):
+                    certified.add(name)
+    names = list(reg)
     window = set(names[:GRADED_WINDOW])
-    ungraded = [n for n in names if n not in graded_before]
-    outside = [n for n in ungraded if n not in window]
+    uncertified = [n for n in names if n not in certified]
+    outside = [n for n in uncertified if n not in window]
     assert not outside, (
-        f"{len(outside)} never-graded queries sit beyond slot "
-        f"{GRADED_WINDOW} and would stay uncertified: {outside[:5]}..."
-        if outside else ""
+        f"{len(outside)} uncertified queries sit beyond slot "
+        f"{GRADED_WINDOW} and would stay uncertified: {outside}"
     )
-    rotated_out = [n for n in names[GRADED_WINDOW:]]
-    no_row_ever = [n for n in rotated_out if n not in graded_before]
+    no_row_ever = [n for n in names[GRADED_WINDOW:] if n not in certified]
     assert not no_row_ever
 
 
-def test_every_query_has_unique_output_columns():
-    """Duplicate column names would break the driver's sort-by-name
-    value compare silently; catch at registration time."""
-    import inspect
+def test_every_query_has_unique_output_columns(spark):
+    """Duplicate output column names would silently corrupt the
+    driver's sort-by-name value compare — build every query's plan and
+    assert column-name uniqueness (no execution beyond what plan
+    construction itself requires)."""
+    from tests.conftest import SF_DIR
 
+    offenders = []
     for name, q in load_all().items():
-        # cheap static check: the registered callable must be a
-        # two-arg (spark, sf_dir) callable
-        sig = inspect.signature(q.spark)
-        assert len(sig.parameters) == 2, name
+        cols = q.spark(spark, SF_DIR).columns
+        if len(set(cols)) != len(cols):
+            offenders.append((name, cols))
+    assert not offenders, offenders
