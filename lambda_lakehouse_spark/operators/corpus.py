@@ -15,10 +15,8 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from lambda_lakehouse_spark.operators.dedup import (
-    _COMPONENTS_THRESHOLD,
-    _components_oracle,
-    connected_components,
-    minhash_lsh_pairs,
+    _components_oracle_cte,
+    doc_clusters,
 )
 from lambda_lakehouse_spark.registry import register
 from lambda_lakehouse_spark.sources.readers import read_table
@@ -27,15 +25,9 @@ from lambda_lakehouse_spark.sources.readers import read_table
 # Dedup materialization: clusters → surviving corpus
 # ---------------------------------------------------------------------------
 
-# Splice the recursive-CTE components oracle in as a named CTE: the
-# RECURSIVE keyword must stay on the top-level WITH, so the final
-# SELECT of the base oracle is rewrapped as `comp AS (...)`.
-_COMP_PREFIX, _COMP_FINAL = _components_oracle().rsplit("SELECT u AS doc_id", 1)
 _MATERIALIZE_ORACLE = (
-    _COMP_PREFIX
-    + ", comp AS (SELECT u AS doc_id"
-    + _COMP_FINAL
-    + """)
+    _components_oracle_cte("comp")
+    + """
 SELECT d.doc_id, d.source,
        c.doc_id IS NOT NULL AS was_clustered
 FROM documents d
@@ -61,12 +53,7 @@ def dedup_materialize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # against the corpus: docs keep their row unless a cluster says a
     # smaller doc_id represents them.
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    pairs = minhash_lsh_pairs(docs.select("doc_id", "text")).where(
-        F.col("est_jaccard") >= _COMPONENTS_THRESHOLD
-    )
-    comp = connected_components(pairs, src="doc_a", dst="doc_b").select(
-        F.col("id").alias("doc_id"), "cluster_id"
-    )
+    comp = doc_clusters(docs)
     return (
         docs.join(comp, "doc_id", "left")
         .where(

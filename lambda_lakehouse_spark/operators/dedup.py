@@ -127,9 +127,14 @@ def minhash_lsh_pairs(
     than N docs (boilerplate corpora — headers, license blocks) makes
     the self-join quadratic *inside that bucket*; capping drops those
     buckets (with a logged count) before the join. A pair sharing a
-    dropped bucket can still surface through its other b-1 bands, and
-    capped output is always a subset of uncapped output (property-
-    tested). None (default) keeps exact parity with the SQL oracle.
+    dropped bucket can still surface through its other b-1 bands, so
+    the capped PAIR SET is always a subset of the uncapped pair set
+    (property-tested). Note ``n_shared_bands`` then counts only the
+    pair's SURVIVING buckets (a pair that also collided in a dropped
+    bucket reports fewer shared bands — collision confidence from
+    buckets that actually fed the join); ``est_jaccard`` comes from the
+    full signatures and is unaffected. None (default) keeps exact
+    parity with the SQL oracle.
     """
     # The signature rides through the band explode inside band_table so
     # the (expensive) hashing subtree is computed once — joining it back
@@ -588,6 +593,35 @@ def _components_oracle(threshold: float = _COMPONENTS_THRESHOLD) -> str:
     )
 
 
+def _components_oracle_cte(cte_name: str = "comp") -> str:
+    """The components oracle rewrapped so its final SELECT becomes a
+    named CTE (``RECURSIVE`` must stay on the top-level WITH). Raises
+    at import time if the rewrap marker drifts, instead of silently
+    splicing different SQL."""
+    base = _components_oracle()
+    marker = "SELECT u AS doc_id"
+    if base.count(marker) != 1:
+        raise AssertionError(
+            "_components_oracle final-SELECT marker drifted; "
+            "update _components_oracle_cte in lockstep"
+        )
+    prefix, final = base.rsplit(marker, 1)
+    return prefix + f", {cte_name} AS ({marker}" + final + ")"
+
+
+def doc_clusters(docs: DataFrame, threshold: float = _COMPONENTS_THRESHOLD) -> DataFrame:
+    """(doc_id, cluster_id) near-dup clusters: MinHash-LSH pairs above
+    ``threshold`` → connected components. The single definition behind
+    both the clustering query and the corpus materialization, so they
+    cannot drift apart."""
+    pairs = minhash_lsh_pairs(docs.select("doc_id", "text")).where(
+        F.col("est_jaccard") >= threshold
+    )
+    return connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
 @register(
     "dedup_connected_components",
     _components_oracle(),
@@ -599,9 +633,4 @@ def _components_oracle(threshold: float = _COMPONENTS_THRESHOLD) -> str:
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = minhash_lsh_pairs(docs).where(
-        F.col("est_jaccard") >= _COMPONENTS_THRESHOLD
-    )
-    return connected_components(pairs, src="doc_a", dst="doc_b").select(
-        F.col("id").alias("doc_id"), "cluster_id"
-    )
+    return doc_clusters(docs)

@@ -71,6 +71,29 @@ def _flat(emb: DataFrame) -> DataFrame:
     )
 
 
+def _score_topk(dots: DataFrame, nq: DataFrame, nc: DataFrame, k: int) -> DataFrame:
+    """Shared scoring tail for the brute and IVF paths (kept single so
+    they cannot diverge; the probe-all==brute test relies on this):
+    ``dots``=(query_id, neighbor_id, dot), ``nq``=(query_id, qn2)
+    bounded → broadcast, ``nc``=(neighbor_id, cn2) corpus-sized → AQE
+    decides. Deterministic top-k per query via (cos desc, neighbor)."""
+    scored = (
+        dots.join(F.broadcast(nq), "query_id")
+        .join(nc, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("dot") / F.sqrt(F.col("qn2") * F.col("cn2"))).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
 def cosine_topk(
     emb: DataFrame,
     query_filter,
@@ -101,24 +124,7 @@ def cosine_topk(
         _scaled_sum(F.col("qval") * F.col("qval")).alias("qn2")
     )
     nc = norms.select(F.col("vec_id").alias("neighbor_id"), F.col("n2").alias("cn2"))
-    scored = (
-        dots.withColumnRenamed("vec_id", "neighbor_id")
-        # nq is one row per query (bounded) → broadcast; nc is one row
-        # per candidate vector (corpus-sized) → no hint, AQE decides.
-        .join(F.broadcast(nq), "query_id")
-        .join(nc, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            (F.col("dot") / F.sqrt(F.col("qn2") * F.col("cn2"))).alias("cos_sim"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rk")
-    )
+    return _score_topk(dots.withColumnRenamed("vec_id", "neighbor_id"), nq, nc, k)
 
 
 def _brute_oracle(same_label: bool, k: int) -> str:
@@ -394,21 +400,7 @@ def ivf_cosine_topk(
         _scaled_sum(F.col("qval") * F.col("qval")).alias("qn2")
     ).withColumnRenamed("q_id", "query_id")
     nc = norms.select(F.col("vec_id").alias("neighbor_id"), F.col("n2").alias("cn2"))
-    scored = (
-        dots.join(F.broadcast(nq), "query_id")
-        .join(nc, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            (F.col("dot") / F.sqrt(F.col("qn2") * F.col("cn2"))).alias("cos_sim"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rk")
-    )
+    return _score_topk(dots, nq, nc, k)
 
 
 def _ivf_oracle(
@@ -436,7 +428,10 @@ def _ivf_oracle(
         "cent0 AS (SELECT s.cell, f.pos, f.val AS cval"
         " FROM flat f JOIN seeds s USING (vec_id))",
     ]
-    for i in range(iters):
+    # one assignment block per round PLUS a final one after the last
+    # centroid update (i == iters); emitted from a single template so
+    # training-time and query-time assignment cannot desynchronize
+    for i in range(iters + 1):
         ctes += [
             f"cn{i} AS (SELECT cell, {ssum('cval * cval')} AS cn2"
             f" FROM cent{i} GROUP BY cell)",
@@ -447,22 +442,16 @@ def _ivf_oracle(
          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cn2 - 2.0 * dot, cell) AS rk
   FROM dots{i} JOIN cn{i} USING (cell)
 )""",
-            f"cent{i + 1} AS (SELECT a.cell, f.pos,"
-            f" {ssum('f.val')} / COUNT(*) AS cval"
-            f" FROM flat f JOIN (SELECT vec_id, cell FROM asg{i} WHERE rk = 1) a"
-            f" USING (vec_id) GROUP BY 1, 2)",
         ]
+        if i < iters:
+            ctes.append(
+                f"cent{i + 1} AS (SELECT a.cell, f.pos,"
+                f" {ssum('f.val')} / COUNT(*) AS cval"
+                f" FROM flat f JOIN (SELECT vec_id, cell FROM asg{i} WHERE rk = 1) a"
+                f" USING (vec_id) GROUP BY 1, 2)"
+            )
     i = iters
     ctes += [
-        f"cn{i} AS (SELECT cell, {ssum('cval * cval')} AS cn2"
-        f" FROM cent{i} GROUP BY cell)",
-        f"dots{i} AS (SELECT f.vec_id, c.cell, {ssum('f.val * c.cval')} AS dot"
-        f" FROM flat f JOIN cent{i} c USING (pos) GROUP BY 1, 2)",
-        f"""asg{i} AS (
-  SELECT vec_id, cell,
-         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cn2 - 2.0 * dot, cell) AS rk
-  FROM dots{i} JOIN cn{i} USING (cell)
-)""",
         f"cells AS (SELECT vec_id, cell FROM asg{i} WHERE rk = 1)",
         f"qcells AS (SELECT vec_id AS query_id, cell FROM asg{i}"
         f" WHERE rk <= {n_probe} AND vec_id < {N_QUERIES})",

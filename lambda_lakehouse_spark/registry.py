@@ -59,13 +59,14 @@ def register(
 
 # The grading driver evaluates queries in dict iteration order and caps
 # the run at 50 queries (rounds 1 and 2 both graded exactly the first-50
-# prefix of this registry's insertion order).  With 72 registered queries
-# a fixed order leaves the same 22 permanently uncertified, so load_all()
-# front-loads the queries that have not yet received a driver correctness
-# row: the whole LLM-pipeline family (dedup / ANN / text / multimodal /
-# sessionize) plus the handful of relational queries beyond slot 50.
-# Queries already certified green in CORRECTNESS_r01/r02 rotate to the
-# back — across consecutive rounds the union covers the full registry.
+# prefix of this registry's insertion order).  With more than 50
+# registered queries a fixed order leaves the tail permanently
+# uncertified, so load_all() front-loads the queries that have not yet
+# received a green driver correctness row; already-certified queries
+# rotate to the back and across consecutive rounds the union of
+# CORRECTNESS_r*.json files covers the full registry.  The invariant
+# (every query beyond slot 50 holds a prior green row) is pinned by
+# tests/test_registry_contract.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # — LLM-pipeline operators, never driver-graded through round 2 —
     "dedup_exact_docs",

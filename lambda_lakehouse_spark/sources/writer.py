@@ -126,4 +126,7 @@ def _table_exists(spark: SparkSession, path: str) -> bool:
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs.exists(jpath) and len(fs.listStatus(jpath)) > 0
+    # listStatusIterator: answers "non-empty" after the FIRST child
+    # entry instead of materializing the whole listing (O(children)
+    # array over py4j for large/remote tables).
+    return fs.exists(jpath) and fs.listStatusIterator(jpath).hasNext()
