@@ -197,7 +197,12 @@ def minhash_lsh_pairs(
     )
 
 
-def _minhash_oracle(shingle_len: int = 5, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> str:
+def _minhash_oracle(
+    shingle_len: int = 5,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    max_bucket_size: int | None = None,
+) -> str:
     k = bands * rows
     seeds = _seeds(k)
     band_elems = lambda b: " || '|' || ".join(  # noqa: E731
@@ -208,6 +213,22 @@ def _minhash_oracle(shingle_len: int = 5, bands: int = LSH_BANDS, rows: int = LS
         for b in range(bands)
     )
     min_list = ", ".join(f"MIN(xor(h, {sd}))" for sd in seeds)
+    if max_bucket_size is None:
+        cand_src = "bands"
+        cap_cte = ""
+    else:
+        # the hot-bucket cap: exactly minhash_lsh_pairs' left-anti drop —
+        # buckets with more than N docs never feed the self-join, and
+        # n_shared_bands counts only surviving buckets
+        cap_cte = f"""
+kept AS (
+  SELECT band_id, band_hash FROM bands
+  GROUP BY 1, 2 HAVING COUNT(*) <= {max_bucket_size}
+),
+fbands AS (
+  SELECT b.* FROM bands b JOIN kept USING (band_id, band_hash)
+),"""
+        cand_src = "fbands"
     return f"""
 WITH sh AS (
   SELECT doc_id,
@@ -221,11 +242,11 @@ hx AS (
 sig AS (
   SELECT doc_id, [{min_list}] AS sig FROM hx GROUP BY doc_id
 ),
-bands AS ({band_rows}),
+bands AS ({band_rows}),{cap_cte}
 cand AS (
   SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_shared_bands
-  FROM bands x
-  JOIN bands y ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+  FROM {cand_src} x
+  JOIN {cand_src} y ON x.band_id = y.band_id AND x.band_hash = y.band_hash
               AND x.doc_id < y.doc_id
   GROUP BY 1, 2
 )
@@ -249,6 +270,29 @@ JOIN sig sb ON sb.doc_id = doc_b
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     return minhash_lsh_pairs(docs)
+
+
+# The cap a 100 TB corpus would actually run with (scaled to sf0.01's
+# bucket histogram: drops the 5 boilerplate buckets of 10-24 docs,
+# keeps the 1643 buckets of <= 8). Registered separately from the
+# uncapped parity query so the SCALE path holds its own driver row.
+_LSH_CAP = 8
+
+
+@register(
+    "dedup_minhash_lsh_capped",
+    _minhash_oracle(max_bucket_size=_LSH_CAP),
+    doc=f"MinHash+LSH near-dup pairs with the hot-bucket cap engaged "
+    f"(max_bucket_size={_LSH_CAP}) — the quadratic-proof plan a "
+    "boilerplate-heavy 100 TB corpus runs; buckets over the cap are "
+    "anti-joined away before the self-join and n_shared_bands counts "
+    "only surviving buckets (oracle: HAVING COUNT(*) <= N on the band "
+    "key)",
+    tags=("dedup", "lsh", "join", "skew"),
+)
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_lsh_pairs(docs, max_bucket_size=_LSH_CAP)
 
 
 def band_table(

@@ -79,7 +79,12 @@ def _frame_sample_batch(chunk_size: int, stride: int):
     ``chunk_size``-byte slice of the payload stands in for a decoded
     video frame. Real implementation swaps the slicing for a codec's
     keyframe iterator; the 1→N output shape, Arrow batching, and
-    schema contract are what downstream operators depend on."""
+    schema contract are what downstream operators depend on.
+
+    The fingerprint is md5 over the slice's lowercase-hex encoding
+    (not the raw bytes) so the DuckDB oracle can replay it exactly —
+    DuckDB 1.0's md5 only accepts VARCHAR and has no BLOB substring,
+    so both engines fingerprint ``md5(lower(hex(slice)))``."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -93,7 +98,7 @@ def _frame_sample_batch(chunk_size: int, stride: int):
                 for i, fr in enumerate(frames):
                     ids.append(doc_id)
                     idxs.append(i)
-                    hashes.append(hashlib.md5(fr).hexdigest())
+                    hashes.append(hashlib.md5(fr.hex().encode()).hexdigest())
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_idx": pd.array(idxs, dtype="int32"),
                  "frame_md5": hashes}
@@ -138,12 +143,41 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(docs)
 
 
+# Oracle replays the byte-slicing in hex space: byte slice
+# b[o : o+chunk] ≡ hex chars [2o : 2o+2*chunk], so
+# substring(lower(hex(payload)), o*2+1, chunk*2) is the exact slice and
+# md5() of it is the exact fingerprint.  DuckDB 1.0 range() rejects
+# lateral column params, so chunk numbers come from one number series
+# sized by the widest document and filtered per-doc.
+_FRAME_ORACLE = """
+WITH payload AS (
+  SELECT doc_id, lower(hex(encode(text))) AS h,
+         greatest(octet_length(encode(text)), 1) AS n
+  FROM documents
+),
+nums AS (
+  SELECT unnest(range(0, (SELECT CAST(ceil(max(n) / 256.0) AS BIGINT)
+                          FROM payload))) AS chunk_no
+),
+chunks AS (
+  SELECT doc_id, h, chunk_no
+  FROM payload CROSS JOIN nums
+  WHERE chunk_no * 256 < n AND chunk_no % 2 = 0
+)
+SELECT doc_id,
+       CAST(chunk_no // 2 AS INT) AS frame_idx,
+       md5(substring(h, chunk_no * 512 + 1, 512)) AS frame_md5
+FROM chunks
+"""
+
+
 @register(
     "multimodal_frame_sample",
-    None,  # 1→N fake-codec output; verified structurally in pytest
+    _FRAME_ORACLE,
     doc="Frame sampling over opaque video payloads: every-Nth-chunk "
     "slices via 1→N Arrow-batched mapInPandas (codec stubbed; the "
-    "explode-shaped UDF contract is the real plumbing)",
+    "explode-shaped UDF contract is the real plumbing; hex-space md5 "
+    "fingerprints are replayed exactly by the DuckDB oracle)",
     tags=("multimodal", "pandas-udf"),
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -68,6 +68,8 @@ def register(
 # (every query beyond slot 50 holds a prior green row) is pinned by
 # tests/test_registry_contract.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
+    # — round-4 additions / changed queries (no green row yet) —
+    "dedup_minhash_lsh_capped",
     # — LLM-pipeline operators, never driver-graded through round 2 —
     "dedup_exact_docs",
     "dedup_minhash_lsh",
