@@ -396,6 +396,7 @@ WHERE doc_a IN (SELECT doc_id FROM new_docs)
     "corpus×corpus self-join; equals the full self-join restricted to "
     "pairs touching a new doc (the oracle)",
     tags=("dedup", "lsh", "join", "incremental"),
+    bench=True,
 )
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "source")

@@ -493,6 +493,7 @@ WHERE rk <= {k}
     f"decimal-exact), queries probe {N_PROBE} cells, exact cosine inside "
     "— the 100 TB scale path; oracle replays training with unrolled CTEs",
     tags=("similarity", "vector", "ivf", "kmeans"),
+    bench=True,
 )
 def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")

@@ -183,6 +183,56 @@ def test_fact_stock_daily_company_dim_not_force_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_aqe_skew_join_engages_on_hot_key(spark):
+    """Complement to the salting test: prove the OTHER skew defense —
+    AQE's runtime skew-join split — actually engages on a hot-symbol
+    fact join. With thresholds scaled to test data, the final adaptive
+    plan's SortMergeJoin must carry ``skew=true`` (the executed-plan
+    marker that the oversized partition was split), and the result must
+    equal the non-AQE join."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # one hot symbol owning ~95% of fact rows — the shape a single
+        # index-heavy ticker gives the stock pipeline at scale
+        facts = (
+            spark.range(100_000)
+            .select(
+                F.when(F.col("id") % 20 != 0, F.lit("HOT"))
+                .otherwise(F.concat(F.lit("S"), (F.col("id") % 997).cast("string")))
+                .alias("symbol"),
+                (F.col("id") % 1000).cast("double").alias("px"),
+            )
+        )
+        dims = spark.range(1000).select(
+            F.concat(F.lit("S"), F.col("id").cast("string")).alias("symbol"),
+            F.col("id").alias("sk"),
+        ).union(spark.createDataFrame([("HOT", -1)], "symbol string, sk long"))
+        joined = facts.join(dims, "symbol")
+        # collect() drives THIS DataFrame's own query execution (count()
+        # would plan a separate one and leave this plan un-finalized)
+        n = len(joined.collect())
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin" in plan
+        assert "skew=true" in plan, (
+            "AQE skew-join did not engage on the hot key:\n" + plan[:2000]
+        )
+        assert n == 100_000  # every fact row resolves exactly one dim
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 def test_no_pathological_join_plans(spark):
     """Guardrail: no registry query may plan a CartesianProduct, and
     BroadcastNestedLoopJoin is allowed only where a deliberate 1-row

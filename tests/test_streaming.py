@@ -327,6 +327,47 @@ def test_checkpoint_recovery_exactly_once(spark, events_src, tmp_path):
     assert got.select("event_id").distinct().count() == batch.count()
 
 
+def test_sf01_stream_end_to_end_exactly_once(spark, tmp_path_factory):
+    """The full speed-layer pipeline at sf0.1 (100k events, 30 days):
+    file-drop source → bounded-state streaming dedup → foreachBatch
+    dynamic-partition-overwrite into a date-partitioned serving table,
+    under at-least-once delivery (the entire input re-dropped as a
+    second wave of files). The serving table must hold every event
+    exactly once — equal to the batch twin.
+
+    Partition-completeness contract: input files are hash-partitioned
+    by event_date, so each date lives in exactly one file and every
+    micro-batch (maxFilesPerTrigger=1) carries complete dates; the
+    redelivery wave collapses to empty batches inside dedup_stream, so
+    the overwrite sink never sees a partial date."""
+    from lambda_lakehouse_spark.streaming.jobs import dedup_stream
+
+    sf01 = "/root/testdata/sf0.1"
+    path = str(tmp_path_factory.mktemp("sf01_stream") / "events")
+    out = str(tmp_path_factory.mktemp("sf01_stream") / "serving")
+    batch = read_table(spark, sf01, "events").withColumn(
+        "event_date", F.to_date("ts").cast("string")
+    )
+    # wave 1: original delivery; wave 2: full redelivery (same rows,
+    # different file layout — the at-least-once failure mode)
+    batch.repartition(6, "event_date").write.mode("overwrite").parquet(path)
+    batch.repartition(3, "event_date").write.mode("append").parquet(path)
+
+    stream = _stream(spark, path, batch.schema)
+    deduped = dedup_stream(stream, keys=("event_id",), watermark="3650 days")
+    sink = foreach_batch_overwrite(out, ("event_date",))
+    sq = deduped.writeStream.outputMode("append").foreachBatch(sink).start()
+    sq.processAllAvailable()
+    sq.stop()
+
+    got = spark.read.parquet(out)
+    n_batch = batch.count()
+    assert got.count() == n_batch, "serving table lost or duplicated rows"
+    assert got.select("event_id").distinct().count() == n_batch
+    # the partitioned layout is the serving contract
+    assert got.select("event_date").distinct().count() == 30
+
+
 def test_dedup_stream_collapses_redelivery(spark, tmp_path_factory):
     """At-least-once delivery (the whole input re-appended as a second
     set of files) collapses to exactly-once through
