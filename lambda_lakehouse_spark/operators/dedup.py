@@ -21,8 +21,11 @@ Ullman, *Mining of Massive Datasets* ch. 3), SimHash (Charikar,
   shuffle.
 - n-gram Jaccard: exact set overlap via the inverted-index formulation
   (explode distinct shingles → self-join on shingle → count), which is
-  also the scalable shape: the shuffle key is the shingle, and
-  stop-shingle filtering bounds fan-out.
+  also the scalable shape: the shuffle key is the shingle. The capped
+  variant (``dedup_ngram_jaccard_capped``) drops stop-shingles (document
+  frequency > N) before the self-join to bound fan-out — a shingle in M
+  docs otherwise costs M² join rows; the uncapped variant keeps exact
+  oracle parity.
 """
 
 from __future__ import annotations
@@ -488,7 +491,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_THRESHOLD = 0.35
 
-_NGRAM_ORACLE = f"""
+# Stop-shingle document-frequency cap for the registered capped query.
+# DF is counted within source (the join is within-source, so that's
+# where the quadratic risk lives); at sf0.01 each of the 20 sources
+# holds ~25 docs, so DF > 20 marks a 3-gram present in >80% of a
+# source's docs — boilerplate vocabulary, not signal.
+_NGRAM_MAX_DF = 20
+
+
+def _ngram_oracle(max_doc_freq: int | None = None) -> str:
+    if max_doc_freq is None:
+        exf_cte = ""
+        inter_src = "ex"
+    else:
+        # the stop-shingle cap: exactly ngram_jaccard_pairs' left-anti
+        # drop — shingles present in more than N docs never feed the
+        # self-join; sizes stay full-universe so capped jaccard is a
+        # lower bound of true jaccard
+        exf_cte = f"""
+kept AS (
+  SELECT source, s FROM ex GROUP BY 1, 2 HAVING COUNT(*) <= {max_doc_freq}
+),
+exf AS (
+  SELECT e.doc_id, e.source, e.s FROM ex e JOIN kept USING (source, s)
+),"""
+        inter_src = "exf"
+    return f"""
 WITH sh AS (
   SELECT doc_id, source,
          list_distinct([substr(text, i, 3)
@@ -496,11 +524,11 @@ WITH sh AS (
   FROM documents
 ),
 sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
-ex AS (SELECT doc_id, source, unnest(shingles) AS s FROM sh),
+ex AS (SELECT doc_id, source, unnest(shingles) AS s FROM sh),{exf_cte}
 inter AS (
   SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM ex x
-  JOIN ex y ON x.source = y.source AND x.s = y.s AND x.doc_id < y.doc_id
+  FROM {inter_src} x
+  JOIN {inter_src} y ON x.source = y.source AND x.s = y.s AND x.doc_id < y.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, n_common,
@@ -512,15 +540,26 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {_JACCARD_THRESHOLD
 """
 
 
-@register(
-    "dedup_ngram_jaccard",
-    _NGRAM_ORACLE,
-    doc="Exact 3-gram Jaccard near-dup pairs within source, inverted-index "
-    "formulation (shuffle key = shingle — the 100 TB-shaped plan)",
-    tags=("dedup", "join"),
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = _JACCARD_THRESHOLD,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs within ``source`` via the
+    inverted-index formulation (shuffle key = shingle). ``docs`` needs
+    (doc_id, source, text).
+
+    ``max_doc_freq`` is the stop-shingle cap: a shingle appearing in M
+    docs contributes M² rows to the self-join, so ubiquitous 3-grams
+    ("th-e", " a ") make the plan quadratic in corpus size. The cap
+    left-anti-drops shingles with document frequency > N before the
+    join. Set sizes (the jaccard denominator) stay FULL-universe while
+    the intersection count is computed over surviving shingles only, so
+    capped jaccard <= true jaccard and the capped PAIR SET is a subset
+    of the uncapped one (property-tested): the cap can only miss pairs
+    whose similarity rests on boilerplate vocabulary. None (default)
+    keeps exact parity with the uncapped SQL oracle.
+    """
     sh = docs.select(
         "doc_id", "source",
         F.expr(
@@ -530,6 +569,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
     ex = sh.select("doc_id", "source", F.explode("shingles").alias("s"))
+    if max_doc_freq is not None:
+        # Materialize the exploded index once (localCheckpoint): the DF
+        # aggregate and both self-join branches reuse it without
+        # re-exploding, and the anti-join computes against a settled
+        # relation. Shingles are distinct per doc, so count(1) per
+        # (source, s) IS the document frequency.
+        ex = ex.localCheckpoint()
+        hot = (
+            ex.groupBy("source", "s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_doc_freq)
+            .select("source", "s")
+        )
+        ex = ex.join(hot, ["source", "s"], "left_anti")
     x, y = ex.alias("x"), ex.alias("y")
     inter = (
         x.join(
@@ -552,9 +605,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("jaccard", jac)
-        .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _ngram_oracle(),
+    doc="Exact 3-gram Jaccard near-dup pairs within source, inverted-index "
+    "formulation (shuffle key = shingle — the 100 TB-shaped plan)",
+    tags=("dedup", "join"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs)
+
+
+@register(
+    "dedup_ngram_jaccard_capped",
+    _ngram_oracle(max_doc_freq=_NGRAM_MAX_DF),
+    doc="n-gram Jaccard with the stop-shingle document-frequency cap "
+    f"(DF > {_NGRAM_MAX_DF} dropped before the self-join) — the "
+    "quadratic-proof plan for boilerplate-heavy corpora; capped jaccard "
+    "lower-bounds true jaccard so the pair set is a certified subset",
+    tags=("dedup", "join", "scale"),
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, max_doc_freq=_NGRAM_MAX_DF)
 
 
 def connected_components(

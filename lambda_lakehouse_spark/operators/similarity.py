@@ -498,3 +498,41 @@ WHERE rk <= {k}
 def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return ivf_cosine_topk(emb, F.col("vec_id") < N_QUERIES)
+
+
+# (applicationId, sf_dir) → materialized centroid table. Keyed by app id
+# so a cached DataFrame can never outlive its SparkSession.
+_CENTROID_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def pretrained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-once centroids for the serve-path query: first call runs
+    seeded k-means and materializes the (n_cells × dim)-bounded
+    centroid table (localCheckpoint already truncates its lineage);
+    later calls reuse it. This is the production IVF split — training
+    is an offline job whose output the serving query reads."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CENTROID_CACHE:
+        emb = read_table(spark, sf_dir, "embeddings")
+        _CENTROID_CACHE[key] = train_ivf_cells(emb)
+    return _CENTROID_CACHE[key]
+
+
+@register(
+    "ann_cosine_topk_ivf_pretrained",
+    _ivf_oracle(),
+    doc="IVF ANN serve path: identical query to ann_cosine_topk_ivf but "
+    "against PRE-TRAINED centroids (train-once-per-session cache), so "
+    "the bench separates training cost from per-query serving cost — "
+    "the split a production vector store actually runs. Same oracle: "
+    "the cached centroids are exactly what in-plan training produces",
+    tags=("similarity", "vector", "ivf", "serving"),
+    bench=True,
+)
+def ann_cosine_topk_ivf_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(
+        emb,
+        F.col("vec_id") < N_QUERIES,
+        centroids=pretrained_centroids(spark, sf_dir),
+    )

@@ -283,42 +283,84 @@ def agg_having_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SKETCH_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS exact_customers,
+       TRUE AS approx_cd_ok,
+       TRUE AS hll_ok,
+       TRUE AS p50_ok,
+       TRUE AS p95_ok,
+       TRUE AS hll_merge_ok
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 @register(
     "agg_approx_sketches",
-    None,  # sketch estimates are engine-specific → rows-only check
+    _SKETCH_ORACLE,
     doc="Mergeable approximate aggregates — HyperLogLog distinct counts "
     "(both the classic approx_count_distinct and a DataSketches HLL "
     "sketch agg+estimate pair) and t-digest-style percentile_approx. "
     "The 100 TB path for distinct/quantile: map-side sketches merge in "
-    "O(sketch) instead of shuffling the value domain",
+    "O(sketch) instead of shuffling the value domain. Raw estimates are "
+    "engine-specific, so the certified output carries the EXACT "
+    "aggregates plus deterministic booleans asserting each sketch's "
+    "contract: estimates within tolerance of exact, and "
+    "union-of-partial-sketches estimate-consistent with the global "
+    "sketch (the mergeability property that makes map-side combine "
+    "correct)",
     tags=("agg", "sketch", "approx"),
 )
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
-    # Quantiles come back as an array — explode into scalar p50/p95 columns
-    # so downstream comparators (which canonicalize on hashable scalars)
-    # can grade the result.
     q = F.percentile_approx(
         "o_totalprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
     )
-    return (
-        orders.groupBy("o_orderstatus")
-        .agg(
-            F.approx_count_distinct("o_custkey").alias("approx_customers"),
-            F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias(
-                "hll_customers"
-            ),
-            q.alias("_q"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
-        .select(
-            "o_orderstatus",
-            "approx_customers",
-            "hll_customers",
-            F.col("_q").getItem(0).alias("price_p50"),
-            F.col("_q").getItem(1).alias("price_p95"),
-            "n_orders",
-        )
+    eq = F.expr("percentile(o_totalprice, array(0.5D, 0.95D))")
+    per = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        # rsd 0.01: the default 0.05 deviates up to ~5.7% on this data —
+        # measured, not assumed — which leaves no headroom under a 5% gate
+        F.approx_count_distinct("o_custkey", 0.01).alias("_acd"),
+        F.hll_sketch_agg("o_custkey").alias("_sk"),
+        q.alias("_q"),
+        eq.alias("_eq"),
+    )
+    # mergeability: the union of per-group sketches must estimate the
+    # same cardinality as one sketch built over all rows. The union path
+    # re-estimates through a different DataSketches target mode, so the
+    # two estimates agree within HLL error (measured ≤0.65% at sf0.1),
+    # not bit-for-bit — the gate asserts ≤2%.
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_union_est")
+    )
+    global_ = orders.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("_glob_est")
+    )
+    merge_flag = merged.crossJoin(global_).select(
+        (
+            F.abs(F.col("_union_est") - F.col("_glob_est")) / F.col("_glob_est")
+            <= 0.02
+        ).alias("hll_merge_ok")
+    )
+    rel = lambda est, ex: F.abs(est - ex) / ex  # noqa: E731
+    return per.crossJoin(F.broadcast(merge_flag)).select(
+        "o_orderstatus",
+        "n_orders",
+        "exact_customers",
+        (rel(F.col("_acd"), F.col("exact_customers")) <= 0.05).alias("approx_cd_ok"),
+        (
+            rel(
+                F.hll_sketch_estimate(F.col("_sk")), F.col("exact_customers")
+            )
+            <= 0.05
+        ).alias("hll_ok"),
+        (rel(F.col("_q")[0], F.col("_eq")[0]) <= 0.02).alias("p50_ok"),
+        (rel(F.col("_q")[1], F.col("_eq")[1]) <= 0.02).alias("p95_ok"),
+        "hll_merge_ok",
     )
 
 

@@ -68,53 +68,54 @@ def register(
 # (every query beyond slot 50 holds a prior green row) is pinned by
 # tests/test_registry_contract.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # — round-4 additions / changed queries (no green row yet) —
-    "dedup_minhash_lsh_capped",
-    # — LLM-pipeline operators, never driver-graded through round 2 —
-    "dedup_exact_docs",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_connected_components",
-    "dedup_embedding_cosine",
-    "ann_cosine_topk_brute",
-    "ann_cosine_topk_ivf",
-    "text_token_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "decontaminate_overlap",
-    "corpus_stats",
-    "sessionize_events",
-    "multimodal_decode_stub",
-    "multimodal_frame_sample",
-    # — relational queries that sat beyond the 50-slot cap —
-    "q10_returned_items",
-    "sql_over_files",
-    "window_value_functions",
-    "window_share_of_total",
-    "date_spine_generate",
-    "window_tumbling_agg",
-    # — round-3 additions (no prior driver row by definition) —
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q17_small_quantity",
-    "q21_waiting_supplier",
-    "q22_idle_balance",
-    "dedup_materialize_corpus",
-    "sample_mixture_weighted",
-    "corpus_quality_filter",
-    "shard_by_token_budget",
-    "dedup_incremental_batch",
-    "funnel_conversion",
-    "multimodal_format_sniff",
-    "agg_argmax_suite",
-    "window_cumulative_distinct",
-    # rows-only by design (oracle=None since sketch estimates are
-    # engine-specific); prior rounds recorded only an err row for it, so
-    # keep it inside the window until a clean rows-only row lands
+    # — round-5 additions / changed queries (no green row yet) —
+    "dedup_ngram_jaccard_capped",
+    # restructured in round 5: now emits exact aggregates + sketch-
+    # contract booleans, so it finally carries a real DuckDB oracle
+    # after four rounds of err:no_oracle rows
     "agg_approx_sketches",
+    "ann_cosine_topk_ivf_pretrained",
+    # — stale rows: last green r2/r3; code unchanged, but fresh rows
+    # guard against environment drift (e.g. the Spark-4 NTZ bump) —
+    "fact_assembly_star",
+    "pit_join_fact_dim",
+    "scd2_user_dim",
+    "asof_join_daily_score",
+    "cdc_table_diff",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having_conditional",
+    "agg_rollup",
+    "array_agg_suite",
+    "calendar_dim_date",
+    "correlated_above_avg",
+    "explode_positional",
+    "join_null_safe_eq",
+    "join_semi_anti",
+    "lambda_serving_merge",
+    "pivot_status_by_segment",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q18_large_volume",
+    "q19_disjunctive_join",
+    "q4_late_orders",
+    "q6_selective_filter",
+    "q7_nation_trade",
+    "sample_deterministic",
+    "scalar_clean_cast",
+    "scalar_date_suite",
+    "scalar_json_suite",
+    "scalar_string_suite",
+    "scalar_surrogate_keys",
+    "seed_lookup_fx",
+    "setops_intersect_except",
+    "unpivot_measures",
+    "window_moving_avg_rows",
+    "window_ranking_suite",
+    "window_rolling_range",
+    "window_topk_per_group",
+    "window_lag_lead_running",
 )
 
 

@@ -49,6 +49,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Spark 4 infers parquet timestamps as TIMESTAMP_NTZ by default;
+        # watermarking rejects NTZ event time
+        # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and the DuckDB oracle
+        # compares against UTC-normalized instants. Keep the Spark-3
+        # behavior: parquet timestamps read as TIMESTAMP (with local
+        # timezone, session tz pinned to UTC above).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # split files finer than the 128 MB default: single-file tables
         # otherwise scan on one core; at cluster scale smaller splits
         # just mean more (cheap) tasks and better core utilization.

@@ -24,6 +24,13 @@ from pyspark.sql import functions as F
 from lambda_lakehouse_spark.functions.scalar import row_fp
 from lambda_lakehouse_spark.sources.writer import _table_exists, write_partitioned
 
+# Ceiling on distinct partition tuples collected to the driver for
+# partition-scoped MERGE. The collect is control-plane (bounded by
+# partition count, not data size), but a mis-keyed call — partitioning
+# on a high-cardinality column by mistake — would otherwise OOM the
+# driver before any executor touched data.
+MAX_MERGE_PARTITIONS = 100_000
+
 
 def merge_upsert(
     spark: SparkSession,
@@ -71,9 +78,18 @@ def merge_upsert(
         )
     target = existing.select(*updates.columns)
     if partition_by and partition_scoped:
-        parts = [
-            tuple(r) for r in updates.select(*partition_by).distinct().collect()
-        ]
+        distinct_parts = updates.select(*partition_by).distinct()
+        n_parts = distinct_parts.limit(MAX_MERGE_PARTITIONS + 1).count()
+        if n_parts > MAX_MERGE_PARTITIONS:
+            raise ValueError(
+                f"merge_upsert: updates span more than {MAX_MERGE_PARTITIONS} "
+                f"distinct partitions of {partition_by} — this looks like a "
+                "mis-keyed partition spec (high-cardinality column?); "
+                "partition-scoped MERGE collects the partition list to the "
+                "driver, so refusing rather than risking a driver OOM. Use "
+                "partition_scoped=False for a full-table rewrite."
+            )
+        parts = [tuple(r) for r in distinct_parts.collect()]
         cond = F.struct(*partition_by).isin(
             [F.struct(*[F.lit(v) for v in p]) for p in parts]
         )

@@ -112,6 +112,30 @@ def test_merge_upsert_schema_drift_raises(spark, tmp_path):
     assert set(spark.read.parquet(path).columns) == set(base.columns)
 
 
+def test_merge_upsert_pathological_partition_count_raises(spark, tmp_path, monkeypatch):
+    """A mis-keyed partition spec (high-cardinality column) must be
+    refused before the driver-side partition-list collect, not after it
+    OOMs. The cap is monkeypatched down so the test stays fast."""
+    import pytest
+
+    from lambda_lakehouse_spark.sources import maintenance
+
+    monkeypatch.setattr(maintenance, "MAX_MERGE_PARTITIONS", 10)
+    path = str(tmp_path / "patho_tbl")
+    base = _orders(spark)
+    # seed the table under a sane layout so the guarded path (existing
+    # table + partition_scoped) is the one exercised
+    merge_upsert(spark, path, base, keys=["o_orderkey"], partition_by=["month"])
+    # "partitioning" by the key itself: every row its own partition —
+    # exactly the mis-keyed call the cap exists for
+    with pytest.raises(ValueError, match="distinct partitions"):
+        merge_upsert(
+            spark, path, base, keys=["o_orderkey"], partition_by=["o_orderkey"]
+        )
+    # the refusal happened before any write — table layout untouched
+    assert spark.read.parquet(path).count() == base.count()
+
+
 def test_compact_partitions_reduces_files(spark, tmp_path):
     path = str(tmp_path / "fragmented")
     base = _orders(spark)

@@ -171,6 +171,44 @@ def test_minhash_lsh_hot_bucket_cap_subset(spark):
     assert tiny == set()  # every bucket with a pair has >= 2 docs
 
 
+def test_ngram_jaccard_stop_shingle_cap_subset(spark):
+    """Capped ngram-jaccard pairs are a subset of uncapped, with
+    jaccard a lower bound: the DF cap drops boilerplate shingles from
+    the intersection only, while set sizes (the denominator) stay
+    full-universe — so capping can shrink but never inflate a pair's
+    score, and never invent a pair."""
+    from lambda_lakehouse_spark.operators.dedup import ngram_jaccard_pairs
+
+    import hashlib
+
+    # boilerplate in every doc → its shingles have DF 12 > cap. Sized
+    # comparable to the body so boilerplate-driven CROSS-pair overlap
+    # clears the threshold uncapped (B/(B+2T) ≈ 0.33) but not capped.
+    boiler = (hashlib.md5(b"boilerplate").hexdigest() * 4) + " "
+    # each doc pair (2i, 2i+1) shares a distinctive body (md5 text →
+    # essentially no shingle overlap across pairs; DF 2 — kept)
+    body = lambda i: hashlib.md5(f"pair:{i}".encode()).hexdigest() * 4  # noqa: E731
+    docs = spark.createDataFrame(
+        [(2 * i + j, "web", boiler + body(i)) for i in range(6) for j in (0, 1)],
+        "doc_id long, source string, text string",
+    )
+    uncapped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.2, max_doc_freq=10).collect()
+    }
+    assert set(capped) <= set(uncapped)
+    # boilerplate-only cross-pair links fall below threshold once the
+    # header shingles stop counting toward the intersection
+    assert len(capped) < len(uncapped)
+    assert all(capped[k] <= uncapped[k] + 1e-12 for k in capped)
+    # pairs sharing a long distinctive body survive the cap
+    assert all((2 * i, 2 * i + 1) in capped for i in range(6))
+
+
 def test_minhash_incremental_equals_full_restricted_to_new(spark):
     """Incremental dedup (new docs probe the stored band index) must
     find exactly the full self-join's pairs that touch a new doc — and
