@@ -536,3 +536,228 @@ def ann_cosine_topk_ivf_pretrained(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("vec_id") < N_QUERIES,
         centroids=pretrained_centroids(spark, sf_dir),
     )
+
+
+# --- Random-hyperplane LSH (sign random projection) -------------------
+#
+# The LSH-bucketed ANN path, complementing IVF: b pseudo-random ±1
+# hyperplanes hash each vector to a b-bit bucket (bit_p = sign of the
+# projection onto plane p — Charikar, STOC 2002: P[bits agree] =
+# 1 - angle/pi). Queries probe their own bucket plus the b buckets at
+# Hamming distance 1 (multi-probe LSH), and candidates are rescored with
+# the same decimal-exact cosine as every other path. No training step —
+# the trade vs IVF: zero build cost and data-independent buckets, at the
+# price of lower recall per candidate touched.
+#
+# Engine-portability: hyperplane components are ±1 derived from the
+# parity of the first hex nibble of md5('<seed>:<plane>:<pos>') — both
+# engines compute the identical md5 hex, so the oracle replays hashing,
+# bucketing, probing and rescoring exactly. Projections ride the same
+# floor-scaled integer sums as the scorers, so the sign-at-zero edge
+# case is integer-deterministic too.
+#
+# At 100 TB: codes are one narrow agg over the flat representation
+# (shuffle key = vec_id), the bucket table is (vec_id, bucket) — tiny —
+# and the candidate join shuffles on the bucket id. Hot buckets are the
+# skew to watch; the same bucket-size cap pattern as MinHash-LSH
+# applies (here bucket occupancy is balanced by construction when
+# embeddings are spread, and probing is bounded at b+1 buckets/query).
+
+N_PLANES = 6  # 64 buckets; multi-probe touches 7 of them per query
+HP_SEED = "hyperplane-seed:1"
+EMB_DIM = 64
+
+
+def _hyperplanes(spark: SparkSession, n_planes: int = N_PLANES, dim: int = EMB_DIM,
+                 seed: str = HP_SEED) -> DataFrame:
+    """(plane, pos, sgn) — ±1 components from md5 nibble parity;
+    n_planes × dim rows, generated in-engine (no Python hashing, so the
+    SQL oracle reproduces the exact same planes)."""
+    # one flat range, decomposed into (plane, pos) — no cross join in
+    # the plan (a range × range cross join would be a BNLJ, tripping
+    # the pathological-plan guardrail for no benefit)
+    grid = spark.range(n_planes * dim).select(
+        (F.col("id") / dim).cast("int").alias("plane"),
+        (F.col("id") % dim + 1).cast("int").alias("pos"),
+    )
+    odd_nibbles = list("13579bdf")
+    return grid.select(
+        "plane",
+        "pos",
+        F.when(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(seed), F.col("plane"), F.col("pos"))),
+                1, 1,
+            ).isin(odd_nibbles),
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)).alias("sgn"),
+    )
+
+
+def hyperplane_codes(flat: DataFrame, planes: DataFrame) -> DataFrame:
+    """(vec_id, bucket): b-bit LSH code as an integer. ``flat`` is the
+    position-exploded (vec_id, pos, val) view; planes are broadcast
+    (b × dim rows, bounded by construction)."""
+    proj = (
+        flat.join(F.broadcast(planes), "pos")
+        .groupBy("vec_id", "plane")
+        .agg(_scaled_sum(F.col("val") * F.col("sgn")).alias("dot"))
+    )
+    return proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("dot") >= 0, F.expr("shiftleft(1L, plane)"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("bucket")
+    )
+
+
+def hyperlsh_cosine_topk(
+    emb: DataFrame,
+    query_filter,
+    k: int = IVF_K,
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """ANN top-k via multi-probe hyperplane LSH: candidates share the
+    query's bucket or any bucket one bit-flip away; exact cosine + 
+    deterministic top-k inside the candidate set."""
+    spark = emb.sparkSession
+    flat = _flat(emb).select("vec_id", "pos", "val")
+    # Materialize the code table once (localCheckpoint): it feeds both
+    # the query side and the corpus side of the candidate join, and
+    # would otherwise recompute the projection agg per branch. In
+    # production this is the persisted LSH index (one narrow (vec_id,
+    # bucket) row per vector).
+    codes = hyperplane_codes(flat, _hyperplanes(spark, n_planes)).localCheckpoint()
+    qcodes = codes.join(
+        flat.where(query_filter).select("vec_id").distinct(), "vec_id"
+    ).select(F.col("vec_id").alias("query_id"), "bucket")
+    # multi-probe: own bucket + b Hamming-1 flips (b+1 probes/query)
+    probe_arr = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+            for i in range(n_planes)
+        ],
+    )
+    qprobes = qcodes.select(
+        "query_id", F.explode(probe_arr).alias("bucket")
+    )
+    # a vector lives in exactly one bucket and probes are distinct, so
+    # the join cannot duplicate (query, neighbor) pairs
+    cand = (
+        qprobes.join(codes, "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    qf = flat.where(query_filter).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("pos").alias("q_pos"),
+        F.col("val").alias("qval"),
+    )
+    nf = flat.select(
+        F.col("vec_id").alias("neighbor_id"), "pos", F.col("val").alias("nval")
+    )
+    dots = (
+        cand.join(nf, "neighbor_id")
+        .join(
+            F.broadcast(qf),
+            (F.col("query_id") == F.col("q_id")) & (F.col("pos") == F.col("q_pos")),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(_scaled_sum(F.col("qval") * F.col("nval")).alias("dot"))
+    )
+    norms = flat.groupBy("vec_id").agg(
+        _scaled_sum(F.col("val") * F.col("val")).alias("n2")
+    )
+    nq = (
+        qf.groupBy("q_id")
+        .agg(_scaled_sum(F.col("qval") * F.col("qval")).alias("qn2"))
+        .withColumnRenamed("q_id", "query_id")
+    )
+    nc = norms.select(F.col("vec_id").alias("neighbor_id"), F.col("n2").alias("cn2"))
+    return _score_topk(dots, nq, nc, k)
+
+
+def _hyperlsh_oracle(
+    n_planes: int = N_PLANES,
+    k: int = IVF_K,
+    seed: str = HP_SEED,
+) -> str:
+    ssum = lambda e: (  # noqa: E731
+        f"CAST(SUM(CAST(FLOOR(({e}) * 1e15) AS BIGINT)) AS DOUBLE) / 1e15"
+    )
+    return f"""
+WITH flat AS (
+  SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS val
+  FROM embeddings, (SELECT unnest(range(1, {EMB_DIM + 1})) AS pos)
+),
+planes AS (
+  SELECT p.plane, s.pos,
+         CASE WHEN substr(md5('{seed}' || ':' || CAST(p.plane AS VARCHAR)
+                            || ':' || CAST(s.pos AS VARCHAR)), 1, 1)
+              IN ('1','3','5','7','9','b','d','f')
+              THEN 1.0 ELSE -1.0 END AS sgn
+  FROM (SELECT CAST(unnest(range(0, {n_planes})) AS INTEGER) AS plane) p,
+       (SELECT CAST(unnest(range(1, {EMB_DIM + 1})) AS INTEGER) AS pos) s
+),
+proj AS (
+  SELECT f.vec_id, pl.plane, {ssum('f.val * pl.sgn')} AS dot
+  FROM flat f JOIN planes pl USING (pos)
+  GROUP BY 1, 2
+),
+codes AS (
+  SELECT vec_id,
+         SUM(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << plane ELSE 0 END) AS bucket
+  FROM proj GROUP BY vec_id
+),
+qprobes AS (
+  SELECT c.vec_id AS query_id, xor(c.bucket, CAST(1 AS BIGINT) << fl.i) AS bucket
+  FROM codes c, (SELECT CAST(unnest(range(0, {n_planes})) AS INTEGER) AS i) fl
+  WHERE c.vec_id < {N_QUERIES}
+  UNION ALL
+  SELECT vec_id AS query_id, bucket FROM codes WHERE vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id
+  FROM qprobes q JOIN codes v USING (bucket)
+  WHERE v.vec_id <> q.query_id
+),
+dotsf AS (
+  SELECT c.query_id, c.neighbor_id, {ssum('qf.val * nf.val')} AS dot
+  FROM cand c
+  JOIN flat qf ON qf.vec_id = c.query_id
+  JOIN flat nf ON nf.vec_id = c.neighbor_id AND nf.pos = qf.pos
+  GROUP BY 1, 2
+),
+norms AS (SELECT vec_id, {ssum('val * val')} AS n2 FROM flat GROUP BY vec_id),
+scored AS (
+  SELECT query_id, neighbor_id, dot / sqrt(nq.n2 * nc.n2) AS cos_sim
+  FROM dotsf
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rk
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rk
+  FROM scored
+)
+WHERE rk <= {k}
+"""
+
+
+@register(
+    "ann_cosine_topk_hyperlsh",
+    _hyperlsh_oracle(),
+    doc=f"ANN via multi-probe random-hyperplane LSH (Charikar sign "
+    f"projection): {N_PLANES} md5-derived ±1 planes → {2**N_PLANES} "
+    f"buckets, queries probe own bucket + {N_PLANES} Hamming-1 flips, "
+    "exact decimal cosine rescoring inside. The training-free "
+    "LSH-bucketed scale path beside IVF; oracle replays planes, codes, "
+    "probes and scores exactly",
+    tags=("similarity", "vector", "lsh"),
+    bench=True,
+)
+def ann_cosine_topk_hyperlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return hyperlsh_cosine_topk(emb, F.col("vec_id") < N_QUERIES)

@@ -66,12 +66,66 @@ STG_CONTRACT: list[tuple[str, str]] = [
 ]
 
 # Seed data (SURVEY G9): currency display names (reference builds the
-# list from pycountry + a manual VND append, ``dim_currency.py:60-66``)
-# and hard-coded FX-to-VND rates (``dim_currency.py:77-82``).
+# list from pycountry + a manual VND append, ``dim_currency.py:60-66``;
+# pycountry is unavailable here, so the active ISO 4217 table — public
+# standard data — is seeded inline) and hard-coded FX-to-VND rates
+# (``dim_currency.py:77-82``).
 CURRENCY_NAMES: list[tuple[str, str]] = [
-    ("VND", "Vietnamese Dong"),
-    ("USD", "US Dollar"),
-    ("JPY", "Japanese Yen"),
+    ("AED", "UAE Dirham"), ("AFN", "Afghani"), ("ALL", "Lek"),
+    ("AMD", "Armenian Dram"), ("ANG", "Netherlands Antillean Guilder"),
+    ("AOA", "Kwanza"), ("ARS", "Argentine Peso"), ("AUD", "Australian Dollar"),
+    ("AWG", "Aruban Florin"), ("AZN", "Azerbaijan Manat"),
+    ("BAM", "Convertible Mark"), ("BBD", "Barbados Dollar"), ("BDT", "Taka"),
+    ("BGN", "Bulgarian Lev"), ("BHD", "Bahraini Dinar"), ("BIF", "Burundi Franc"),
+    ("BMD", "Bermudian Dollar"), ("BND", "Brunei Dollar"), ("BOB", "Boliviano"),
+    ("BRL", "Brazilian Real"), ("BSD", "Bahamian Dollar"), ("BTN", "Ngultrum"),
+    ("BWP", "Pula"), ("BYN", "Belarusian Ruble"), ("BZD", "Belize Dollar"),
+    ("CAD", "Canadian Dollar"), ("CDF", "Congolese Franc"), ("CHF", "Swiss Franc"),
+    ("CLP", "Chilean Peso"), ("CNY", "Yuan Renminbi"), ("COP", "Colombian Peso"),
+    ("CRC", "Costa Rican Colon"), ("CUP", "Cuban Peso"),
+    ("CVE", "Cabo Verde Escudo"), ("CZK", "Czech Koruna"),
+    ("DJF", "Djibouti Franc"), ("DKK", "Danish Krone"), ("DOP", "Dominican Peso"),
+    ("DZD", "Algerian Dinar"), ("EGP", "Egyptian Pound"), ("ERN", "Nakfa"),
+    ("ETB", "Ethiopian Birr"), ("EUR", "Euro"), ("FJD", "Fiji Dollar"),
+    ("FKP", "Falkland Islands Pound"), ("GBP", "Pound Sterling"), ("GEL", "Lari"),
+    ("GHS", "Ghana Cedi"), ("GIP", "Gibraltar Pound"), ("GMD", "Dalasi"),
+    ("GNF", "Guinean Franc"), ("GTQ", "Quetzal"), ("GYD", "Guyana Dollar"),
+    ("HKD", "Hong Kong Dollar"), ("HNL", "Lempira"), ("HTG", "Gourde"),
+    ("HUF", "Forint"), ("IDR", "Rupiah"), ("ILS", "New Israeli Sheqel"),
+    ("INR", "Indian Rupee"), ("IQD", "Iraqi Dinar"), ("IRR", "Iranian Rial"),
+    ("ISK", "Iceland Krona"), ("JMD", "Jamaican Dollar"), ("JOD", "Jordanian Dinar"),
+    ("JPY", "Japanese Yen"), ("KES", "Kenyan Shilling"), ("KGS", "Som"),
+    ("KHR", "Riel"), ("KMF", "Comorian Franc"), ("KPW", "North Korean Won"),
+    ("KRW", "Won"), ("KWD", "Kuwaiti Dinar"), ("KYD", "Cayman Islands Dollar"),
+    ("KZT", "Tenge"), ("LAK", "Lao Kip"), ("LBP", "Lebanese Pound"),
+    ("LKR", "Sri Lanka Rupee"), ("LRD", "Liberian Dollar"), ("LSL", "Loti"),
+    ("LYD", "Libyan Dinar"), ("MAD", "Moroccan Dirham"), ("MDL", "Moldovan Leu"),
+    ("MGA", "Malagasy Ariary"), ("MKD", "Denar"), ("MMK", "Kyat"),
+    ("MNT", "Tugrik"), ("MOP", "Pataca"), ("MRU", "Ouguiya"),
+    ("MUR", "Mauritius Rupee"), ("MVR", "Rufiyaa"), ("MWK", "Malawi Kwacha"),
+    ("MXN", "Mexican Peso"), ("MYR", "Malaysian Ringgit"),
+    ("MZN", "Mozambique Metical"), ("NAD", "Namibia Dollar"), ("NGN", "Naira"),
+    ("NIO", "Cordoba Oro"), ("NOK", "Norwegian Krone"), ("NPR", "Nepalese Rupee"),
+    ("NZD", "New Zealand Dollar"), ("OMR", "Rial Omani"), ("PAB", "Balboa"),
+    ("PEN", "Sol"), ("PGK", "Kina"), ("PHP", "Philippine Peso"),
+    ("PKR", "Pakistan Rupee"), ("PLN", "Zloty"), ("PYG", "Guarani"),
+    ("QAR", "Qatari Rial"), ("RON", "Romanian Leu"), ("RSD", "Serbian Dinar"),
+    ("RUB", "Russian Ruble"), ("RWF", "Rwanda Franc"), ("SAR", "Saudi Riyal"),
+    ("SBD", "Solomon Islands Dollar"), ("SCR", "Seychelles Rupee"),
+    ("SDG", "Sudanese Pound"), ("SEK", "Swedish Krona"),
+    ("SGD", "Singapore Dollar"), ("SHP", "Saint Helena Pound"),
+    ("SLE", "Leone"), ("SOS", "Somali Shilling"), ("SRD", "Surinam Dollar"),
+    ("SSP", "South Sudanese Pound"), ("STN", "Dobra"),
+    ("SVC", "El Salvador Colon"), ("SYP", "Syrian Pound"), ("SZL", "Lilangeni"),
+    ("THB", "Baht"), ("TJS", "Somoni"), ("TMT", "Turkmenistan New Manat"),
+    ("TND", "Tunisian Dinar"), ("TOP", "Pa'anga"), ("TRY", "Turkish Lira"),
+    ("TTD", "Trinidad and Tobago Dollar"), ("TWD", "New Taiwan Dollar"),
+    ("TZS", "Tanzanian Shilling"), ("UAH", "Hryvnia"), ("UGX", "Uganda Shilling"),
+    ("USD", "US Dollar"), ("UYU", "Peso Uruguayo"), ("UZS", "Uzbekistan Sum"),
+    ("VES", "Bolivar Soberano"), ("VND", "Vietnamese Dong"), ("VUV", "Vatu"),
+    ("WST", "Tala"), ("XAF", "CFA Franc BEAC"), ("XCD", "East Caribbean Dollar"),
+    ("XOF", "CFA Franc BCEAO"), ("XPF", "CFP Franc"), ("YER", "Yemeni Rial"),
+    ("ZAR", "Rand"), ("ZMW", "Zambian Kwacha"), ("ZWG", "Zimbabwe Gold"),
 ]
 FX_RATES_VND: list[tuple[str, float]] = [
     ("VND", 1.0),
@@ -398,10 +452,70 @@ def run_pipeline(
     partition overwrite, so re-running any batch is idempotent.
     Returns the curated DataFrames (read back from the written store).
     """
+    return run_pipeline_resilient(
+        spark, raw_batches, out_dir, retries=0, resume=False
+    )
+
+
+def run_pipeline_resilient(
+    spark: SparkSession,
+    raw_batches: list[tuple[str, DataFrame, str]],
+    out_dir: str,
+    retries: int = 2,
+    retry_delay_s: float = 0.0,
+    resume: bool = True,
+) -> dict[str, DataFrame]:
+    """``run_pipeline`` with the reference's orchestration resilience
+    semantics (SURVEY §2.10): per-task retry with a fixed delay
+    (``lakehouse_dags.py:22-27`` — Airflow ``retries=2`` +
+    ``retry_delay``) and marker-based resume so a re-run after a crash
+    skips completed stages (``python_ingestion/vnstock.py:184-244``'s
+    resumable-ingest pattern, applied to the curated DAG).
+
+    Every stage write is idempotent (dynamic partition overwrite /
+    static dim overwrite), so retry-after-partial-write is safe: the
+    stage re-executes and overwrites its own output. Markers are
+    committed only AFTER a stage's write returns, giving at-least-once
+    execution with exactly-once effect. Marker state lives under
+    ``{out_dir}/_pipeline_state`` — at cluster scale that directory sits
+    in the same store as the data (the same pattern as Spark's own
+    ``_SUCCESS`` files); here it is plain-file IO because ``out_dir``
+    is a filesystem path.
+    """
+    import os
+    import time
+
+    state_dir = os.path.join(out_dir, "_pipeline_state")
+    os.makedirs(state_dir, exist_ok=True)
+
+    def _run_stage(stage: str, fn) -> None:
+        marker = os.path.join(state_dir, f"{stage}.done")
+        if resume and os.path.exists(marker):
+            return
+        attempt = 0
+        while True:
+            try:
+                fn()
+                break
+            except Exception:
+                attempt += 1
+                if attempt > retries:
+                    raise
+                if retry_delay_s:
+                    time.sleep(retry_delay_s)
+        with open(marker, "w") as f:
+            f.write("done\n")
+
     for country, raw, batch_date in raw_batches:
-        stg_df = STG_JOBS[country](raw, batch_date)
-        write_partitioned(
-            stg_df, f"{out_dir}/stg_stock", partition_by=("country", "datadate")
+        _run_stage(
+            f"stg_{country}_{batch_date}",
+            lambda country=country, raw=raw, batch_date=batch_date: (
+                write_partitioned(
+                    STG_JOBS[country](raw, batch_date),
+                    f"{out_dir}/stg_stock",
+                    partition_by=("country", "datadate"),
+                )
+            ),
         )
     # partitioned reads append partition cols last; restore the contract
     # order and exact types (partition inference can widen types)
@@ -409,26 +523,37 @@ def run_pipeline(
         spark.read.parquet(f"{out_dir}/stg_stock"), STG_CONTRACT
     )
 
-    dims = {
-        "dim_date": dim_date(stg),
-        "dim_exchange": dim_exchange(stg),
-        "dim_currency": dim_currency(spark, stg),
-        "dim_trading_status": dim_trading_status(stg),
-        "dim_company": dim_company(stg),
+    dim_builders = {
+        "dim_date": lambda: dim_date(stg),
+        "dim_exchange": lambda: dim_exchange(stg),
+        "dim_currency": lambda: dim_currency(spark, stg),
+        "dim_trading_status": lambda: dim_trading_status(stg),
+        "dim_company": lambda: dim_company(stg),
     }
-    for name, df in dims.items():
-        df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
-    loaded = {n: spark.read.parquet(f"{out_dir}/{n}") for n in dims}
+    for name, build in dim_builders.items():
+        _run_stage(
+            name,
+            lambda name=name, build=build: build()
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/{name}"),
+        )
+    loaded = {n: spark.read.parquet(f"{out_dir}/{n}") for n in dim_builders}
 
-    fact = fact_stock_daily(
-        stg,
-        loaded["dim_date"],
-        loaded["dim_exchange"],
-        loaded["dim_currency"],
-        loaded["dim_trading_status"],
-        loaded["dim_company"],
+    _run_stage(
+        "fact_stock_daily",
+        lambda: write_partitioned(
+            fact_stock_daily(
+                stg,
+                loaded["dim_date"],
+                loaded["dim_exchange"],
+                loaded["dim_currency"],
+                loaded["dim_trading_status"],
+                loaded["dim_company"],
+            ),
+            f"{out_dir}/fact_stock_daily",
+            partition_by=("date_sk",),
+        ),
     )
-    write_partitioned(fact, f"{out_dir}/fact_stock_daily", partition_by=("date_sk",))
     loaded["stg_stock"] = stg
     loaded["fact_stock_daily"] = spark.read.parquet(f"{out_dir}/fact_stock_daily")
     return loaded

@@ -75,6 +75,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # after four rounds of err:no_oracle rows
     "agg_approx_sketches",
     "ann_cosine_topk_ivf_pretrained",
+    "ann_cosine_topk_hyperlsh",
     # — stale rows: last green r2/r3; code unchanged, but fresh rows
     # guard against environment drift (e.g. the Spark-4 NTZ bump) —
     "fact_assembly_star",

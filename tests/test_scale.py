@@ -286,6 +286,8 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
     bounded_by_construction = {
         "ann_cosine_topk_brute": {"embeddings.parquet"},
         "ann_cosine_topk_ivf": {"embeddings.parquet"},
+        "ann_cosine_topk_ivf_pretrained": {"embeddings.parquet"},
+        "ann_cosine_topk_hyperlsh": {"embeddings.parquet"},
         "decontaminate_overlap": {"documents.parquet"},
         "dedup_simhash": {"documents.parquet"},
         "q15_top_supplier": {"lineitem.parquet"},

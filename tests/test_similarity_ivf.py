@@ -104,3 +104,89 @@ def test_kmeans_iterations_reduce_quantization_error(spark):
         cent = _update_centroids(flat, assign).localCheckpoint()
     d_trained = distortion(cent)
     assert d_trained <= d0
+
+
+# --- random-hyperplane LSH (training-free bucketed path) --------------
+
+
+def test_hyperplane_codes_deterministic_across_layouts(spark):
+    """Bucket codes are a pure function of the vector (md5-derived
+    planes + integer-floored sums) — physical layout must not flip a
+    sign at the dot>=0 boundary."""
+    from lambda_lakehouse_spark.operators.similarity import (
+        _flat,
+        _hyperplanes,
+        hyperplane_codes,
+    )
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    flat = _flat(emb).select("vec_id", "pos", "val")
+    planes = _hyperplanes(spark)
+    base = {r.vec_id: r.bucket for r in hyperplane_codes(flat, planes).collect()}
+    for layout in (flat.repartition(7), flat.coalesce(1)):
+        again = {r.vec_id: r.bucket for r in hyperplane_codes(layout, planes).collect()}
+        assert again == base
+
+
+def test_hyperlsh_recall_beats_random_probe_baseline(spark):
+    """Multi-probe touches ~(b+1)/2^b of the corpus (7/64 ≈ 11% here);
+    a random 11% subset would hit ~11% of true neighbors. Sign-random
+    projection must do better (measured 0.20 on this data), and every
+    query must still fill its top-k."""
+    from lambda_lakehouse_spark.operators.similarity import hyperlsh_cosine_topk
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    k = 3
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, _queries(), k=k).collect()
+    }
+    lsh = {
+        (r.query_id, r.neighbor_id)
+        for r in hyperlsh_cosine_topk(emb, _queries(), k=k).collect()
+    }
+    recall = len(brute & lsh) / len(brute)
+    assert recall >= 0.15, f"recall@{k}={recall} below the random baseline band"
+    assert len(lsh) == len(brute)  # buckets populated, top-k filled
+
+
+def test_hyperlsh_candidates_sublinear(spark):
+    """The point of bucketing: candidates per query stay well under the
+    corpus size (brute force would score corpus-1 per query)."""
+    from lambda_lakehouse_spark.operators.similarity import (
+        N_PLANES,
+        _flat,
+        _hyperplanes,
+        hyperplane_codes,
+    )
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    corpus = emb.count()
+    flat = _flat(emb).select("vec_id", "pos", "val")
+    codes = hyperplane_codes(flat, _hyperplanes(spark))
+    qcodes = codes.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "bucket"
+    )
+    probes = qcodes.select(
+        "query_id",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                    for i in range(N_PLANES)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    cand_per_q = (
+        probes.join(codes, "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .first()
+        .m
+    )
+    # 7 of 64 buckets ≈ 11% expected; allow 3x slack for occupancy skew
+    assert cand_per_q < corpus * 0.33, (cand_per_q, corpus)

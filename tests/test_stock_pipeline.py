@@ -215,3 +215,86 @@ def test_rerun_idempotent(spark, pipeline_out):
     tables2 = run_pipeline(spark, rerun, out)
     assert tables2["stg_stock"].count() == 9
     assert tables2["fact_stock_daily"].count() == before
+
+
+def test_pipeline_retry_recovers_transient_failure(
+    spark, pipeline_out, tmp_path, monkeypatch
+):
+    """§2.10 retry semantics (Airflow retries=2 in the reference): a
+    stage that fails transiently is re-executed and the DAG completes;
+    with retries exhausted the failure propagates."""
+    from lambda_lakehouse_spark.plans import stock_pipeline as sp
+
+    _, _, batches = pipeline_out
+    out = str(tmp_path / "retry_out")
+
+    real_stg_us = sp.STG_JOBS["US"]
+    calls = {"n": 0}
+
+    def flaky_us(raw, batch_date):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient: simulated executor loss")
+        return real_stg_us(raw, batch_date)
+
+    monkeypatch.setitem(sp.STG_JOBS, "US", flaky_us)
+    tables = sp.run_pipeline_resilient(spark, batches, out, retries=2)
+    assert calls["n"] == 2  # failed once, retried once, succeeded
+    assert tables["stg_stock"].count() == 9
+
+    # retries=0 propagates the first failure
+    calls["n"] = 0
+    with pytest.raises(RuntimeError, match="transient"):
+        sp.run_pipeline_resilient(
+            spark, batches, str(tmp_path / "retry_out2"), retries=0, resume=False
+        )
+
+
+def test_pipeline_resume_skips_completed_stages(spark, pipeline_out, tmp_path, monkeypatch):
+    """§2.10 resume semantics (vnstock.py's resumable ingest): after a
+    mid-DAG crash, the re-run skips stages whose completion marker
+    exists and executes only the remainder."""
+    from lambda_lakehouse_spark.plans import stock_pipeline as sp
+
+    _, _, batches = pipeline_out
+    out = str(tmp_path / "resume_out")
+
+    real_dim_company = sp.dim_company
+    fail = {"on": True}
+
+    def crashing_dim_company(stg, closed_boundaries=True):
+        if fail["on"]:
+            raise RuntimeError("crash: simulated OOM in dim_company")
+        return real_dim_company(stg, closed_boundaries)
+
+    monkeypatch.setattr(sp, "dim_company", crashing_dim_company)
+    with pytest.raises(RuntimeError, match="crash"):
+        sp.run_pipeline_resilient(spark, batches, out, retries=0)
+
+    # stg + the dims built before the crash are marked done
+    import os
+
+    state = os.path.join(out, "_pipeline_state")
+    done_before = set(os.listdir(state))
+    assert any(m.startswith("stg_") for m in done_before)
+    assert "dim_company.done" not in done_before
+
+    # the resumed run must NOT re-execute completed stg stages
+    stg_calls = {"n": 0}
+    real_vn = sp.STG_JOBS["VN"]
+
+    def counting_vn(raw, batch_date):
+        stg_calls["n"] += 1
+        return real_vn(raw, batch_date)
+
+    monkeypatch.setitem(sp.STG_JOBS, "VN", counting_vn)
+    fail["on"] = False
+    tables = sp.run_pipeline_resilient(spark, batches, out, retries=0, resume=True)
+    assert stg_calls["n"] == 0  # completed stages skipped
+    assert "dim_company.done" in set(os.listdir(state))
+    # resumed DAG converges to exactly the clean run's output (fresh
+    # read: earlier idempotency tests rewrote the clean store's files,
+    # so the fixture's cached DataFrame holds a stale file listing)
+    _, clean_out, _ = pipeline_out
+    clean_count = spark.read.parquet(f"{clean_out}/fact_stock_daily").count()
+    assert tables["fact_stock_daily"].count() == clean_count
