@@ -49,6 +49,12 @@ N_QUERIES = 10
 TOP_K = 5
 
 
+def _ssum_sql(e: str) -> str:
+    """SQL form of :func:`_scaled_sum` — shared by every oracle so the
+    floor-scaled integer arithmetic cannot drift between them."""
+    return f"CAST(SUM(CAST(FLOOR(({e}) * 1e15) AS BIGINT)) AS DOUBLE) / 1e15"
+
+
 def _scaled_sum(prod):
     from pyspark.sql import functions as F  # local alias for clarity
 
@@ -351,30 +357,11 @@ def train_ivf_cells(
     return centroids
 
 
-def ivf_cosine_topk(
-    emb: DataFrame,
-    query_filter,
-    k: int = IVF_K,
-    n_probe: int = N_PROBE,
-    centroids: DataFrame | None = None,
-) -> DataFrame:
-    """ANN top-k: queries probe their n_probe nearest trained cells and
-    score exactly against only the vectors assigned there."""
-    flat = _flat(emb).select("vec_id", "pos", "val")
-    if centroids is None:
-        centroids = train_ivf_cells(emb)
-    assign = _assign_cells(flat, centroids)
-    cells = assign.where(F.col("rk") == 1).select("vec_id", "cell")
-    qcells = (
-        assign.where(query_filter)
-        .where(F.col("rk") <= n_probe)
-        .select(F.col("vec_id").alias("query_id"), "cell")
-    )
-    cand = (
-        qcells.join(cells, "cell")
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-    )
+def _rescore_candidates(flat: DataFrame, cand: DataFrame, query_filter, k: int) -> DataFrame:
+    """Exact decimal-cosine rescoring of a (query_id, neighbor_id)
+    candidate set — the shared tail of every bucketed ANN path (IVF,
+    hyperplane LSH), kept single (like ``_score_topk``) so candidate
+    generators cannot diverge in how they score."""
     qf = flat.where(query_filter).select(
         F.col("vec_id").alias("q_id"),
         F.col("pos").alias("q_pos"),
@@ -403,6 +390,33 @@ def ivf_cosine_topk(
     return _score_topk(dots, nq, nc, k)
 
 
+def ivf_cosine_topk(
+    emb: DataFrame,
+    query_filter,
+    k: int = IVF_K,
+    n_probe: int = N_PROBE,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """ANN top-k: queries probe their n_probe nearest trained cells and
+    score exactly against only the vectors assigned there."""
+    flat = _flat(emb).select("vec_id", "pos", "val")
+    if centroids is None:
+        centroids = train_ivf_cells(emb)
+    assign = _assign_cells(flat, centroids)
+    cells = assign.where(F.col("rk") == 1).select("vec_id", "cell")
+    qcells = (
+        assign.where(query_filter)
+        .where(F.col("rk") <= n_probe)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    cand = (
+        qcells.join(cells, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    return _rescore_candidates(flat, cand, query_filter, k)
+
+
 def _ivf_oracle(
     n_cells: int = N_CELLS,
     iters: int = KMEANS_ITERS,
@@ -412,9 +426,7 @@ def _ivf_oracle(
 ) -> str:
     """DuckDB replay of the trained-IVF query: k-means iterations
     unrolled as CTEs, identical floor-scaled-integer arithmetic."""
-    ssum = lambda e: (  # noqa: E731
-        f"CAST(SUM(CAST(FLOOR(({e}) * 1e15) AS BIGINT)) AS DOUBLE) / 1e15"
-    )
+    ssum = _ssum_sql
     ctes = [
         "flat AS (SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS val"
         " FROM embeddings, (SELECT unnest(range(1, 65)) AS pos))",
@@ -511,8 +523,14 @@ def pretrained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid table (localCheckpoint already truncates its lineage);
     later calls reuse it. This is the production IVF split — training
     is an offline job whose output the serving query reads."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
     if key not in _CENTROID_CACHE:
+        # evict entries from other (stopped) sessions: keying prevents
+        # cross-session reuse, eviction stops dead sessions' DataFrames
+        # from being pinned for the life of the process
+        for stale in [k for k in _CENTROID_CACHE if k[0] != app_id]:
+            del _CENTROID_CACHE[stale]
         emb = read_table(spark, sf_dir, "embeddings")
         _CENTROID_CACHE[key] = train_ivf_cells(emb)
     return _CENTROID_CACHE[key]
@@ -649,33 +667,7 @@ def hyperlsh_cosine_topk(
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
-    qf = flat.where(query_filter).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("pos").alias("q_pos"),
-        F.col("val").alias("qval"),
-    )
-    nf = flat.select(
-        F.col("vec_id").alias("neighbor_id"), "pos", F.col("val").alias("nval")
-    )
-    dots = (
-        cand.join(nf, "neighbor_id")
-        .join(
-            F.broadcast(qf),
-            (F.col("query_id") == F.col("q_id")) & (F.col("pos") == F.col("q_pos")),
-        )
-        .groupBy("query_id", "neighbor_id")
-        .agg(_scaled_sum(F.col("qval") * F.col("nval")).alias("dot"))
-    )
-    norms = flat.groupBy("vec_id").agg(
-        _scaled_sum(F.col("val") * F.col("val")).alias("n2")
-    )
-    nq = (
-        qf.groupBy("q_id")
-        .agg(_scaled_sum(F.col("qval") * F.col("qval")).alias("qn2"))
-        .withColumnRenamed("q_id", "query_id")
-    )
-    nc = norms.select(F.col("vec_id").alias("neighbor_id"), F.col("n2").alias("cn2"))
-    return _score_topk(dots, nq, nc, k)
+    return _rescore_candidates(flat, cand, query_filter, k)
 
 
 def _hyperlsh_oracle(
@@ -683,9 +675,7 @@ def _hyperlsh_oracle(
     k: int = IVF_K,
     seed: str = HP_SEED,
 ) -> str:
-    ssum = lambda e: (  # noqa: E731
-        f"CAST(SUM(CAST(FLOOR(({e}) * 1e15) AS BIGINT)) AS DOUBLE) / 1e15"
-    )
+    ssum = _ssum_sql
     return f"""
 WITH flat AS (
   SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS val

@@ -334,21 +334,30 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-estimates through a different DataSketches target mode, so the
     # two estimates agree within HLL error (measured ≤0.65% at sf0.1),
     # not bit-for-bit — the gate asserts ≤2%.
-    # The merge identity compares two single-row aggregates; computing
-    # it as a one-row control-plane collect (the simhash reference-
-    # signature pattern) keeps the main plan free of the degenerate
-    # cross/nested-loop join a 1-row-frame join would plan. Cost: one
-    # extra pass over the (map-side-combined) sketch agg — O(sketch)
-    # shuffle, independent of row count.
-    union_est = per.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("v")
-    ).first().v
-    glob_est = orders.agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("v")
-    ).first().v
-    merge_ok = abs(union_est - glob_est) / glob_est <= 0.02
+    # The merge identity compares two single-row aggregates, joined in
+    # as a 1-row broadcast cross join. That plans a
+    # BroadcastNestedLoopJoin — deliberately allowlisted in the plan
+    # guardrail (like simhash's reference-signature join): a 1-row
+    # build side is harmless at any scale, and keeping the flag IN the
+    # plan means it is lazy (no job at plan-build time) and describes
+    # the data as of execution, not of query construction.
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_union_est")
+    )
+    global_ = orders.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("_glob_est")
+    )
+    merge_flag = merged.crossJoin(F.broadcast(global_)).select(
+        # empty input → both estimates 0 → identity trivially holds
+        F.when(F.col("_glob_est") == 0, F.lit(True))
+        .otherwise(
+            F.abs(F.col("_union_est") - F.col("_glob_est")) / F.col("_glob_est")
+            <= 0.02
+        )
+        .alias("hll_merge_ok")
+    )
     rel = lambda est, ex: F.abs(est - ex) / ex  # noqa: E731
-    return per.select(
+    return per.crossJoin(F.broadcast(merge_flag)).select(
         "o_orderstatus",
         "n_orders",
         "exact_customers",
@@ -361,7 +370,7 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hll_ok"),
         (rel(F.col("_q")[0], F.col("_eq")[0]) <= 0.02).alias("p50_ok"),
         (rel(F.col("_q")[1], F.col("_eq")[1]) <= 0.02).alias("p95_ok"),
-        F.lit(bool(merge_ok)).alias("hll_merge_ok"),
+        "hll_merge_ok",
     )
 
 

@@ -481,16 +481,30 @@ def run_pipeline_resilient(
     in the same store as the data (the same pattern as Spark's own
     ``_SUCCESS`` files); here it is plain-file IO because ``out_dir``
     is a filesystem path.
+
+    Marker semantics (what "completed" means per stage):
+    - a stg stage's identity is ``(country, batch_date)`` — re-running
+      a crashed multi-batch ingest skips the batches that landed;
+    - dim/fact markers are keyed by a SIGNATURE of the full stg-marker
+      set, so ingesting a NEW batch into an existing ``out_dir``
+      invalidates (re-keys) every downstream marker and dims/fact are
+      rebuilt over the grown staging table — stale markers can never
+      mask new upstream data;
+    - only markers that existed BEFORE this invocation cause skips: a
+      stage name repeated within one call re-executes (last write wins,
+      matching ``run_pipeline``'s overwrite semantics).
     """
+    import hashlib
     import os
     import time
 
     state_dir = os.path.join(out_dir, "_pipeline_state")
     os.makedirs(state_dir, exist_ok=True)
+    pre_existing = set(os.listdir(state_dir))
+    ran_this_call: set[str] = set()
 
     def _run_stage(stage: str, fn) -> None:
-        marker = os.path.join(state_dir, f"{stage}.done")
-        if resume and os.path.exists(marker):
+        if resume and stage not in ran_this_call and f"{stage}.done" in pre_existing:
             return
         attempt = 0
         while True:
@@ -503,7 +517,8 @@ def run_pipeline_resilient(
                     raise
                 if retry_delay_s:
                     time.sleep(retry_delay_s)
-        with open(marker, "w") as f:
+        ran_this_call.add(stage)
+        with open(os.path.join(state_dir, f"{stage}.done"), "w") as f:
             f.write("done\n")
 
     for country, raw, batch_date in raw_batches:
@@ -517,6 +532,14 @@ def run_pipeline_resilient(
                 )
             ),
         )
+    # downstream marker key: every stg marker now in the store (prior
+    # runs' plus this one's) — new upstream data means a new signature
+    stg_sig = hashlib.md5(
+        "|".join(
+            sorted(m for m in os.listdir(state_dir) if m.startswith("stg_"))
+        ).encode()
+    ).hexdigest()[:12]
+
     # partitioned reads append partition cols last; restore the contract
     # order and exact types (partition inference can widen types)
     stg = align_to_contract(
@@ -532,7 +555,7 @@ def run_pipeline_resilient(
     }
     for name, build in dim_builders.items():
         _run_stage(
-            name,
+            f"{name}@{stg_sig}",
             lambda name=name, build=build: build()
             .write.mode("overwrite")
             .parquet(f"{out_dir}/{name}"),
@@ -540,7 +563,7 @@ def run_pipeline_resilient(
     loaded = {n: spark.read.parquet(f"{out_dir}/{n}") for n in dim_builders}
 
     _run_stage(
-        "fact_stock_daily",
+        f"fact_stock_daily@{stg_sig}",
         lambda: write_partitioned(
             fact_stock_daily(
                 stg,

@@ -78,9 +78,15 @@ def merge_upsert(
         )
     target = existing.select(*updates.columns)
     if partition_by and partition_scoped:
-        distinct_parts = updates.select(*partition_by).distinct()
-        n_parts = distinct_parts.limit(MAX_MERGE_PARTITIONS + 1).count()
-        if n_parts > MAX_MERGE_PARTITIONS:
+        # one job enforces the cap AND yields the list (a separate
+        # count-then-collect could disagree under nondeterministic
+        # lineage, and would run the distinct twice)
+        rows = (
+            updates.select(*partition_by)
+            .distinct()
+            .take(MAX_MERGE_PARTITIONS + 1)
+        )
+        if len(rows) > MAX_MERGE_PARTITIONS:
             raise ValueError(
                 f"merge_upsert: updates span more than {MAX_MERGE_PARTITIONS} "
                 f"distinct partitions of {partition_by} — this looks like a "
@@ -89,7 +95,7 @@ def merge_upsert(
                 "driver, so refusing rather than risking a driver OOM. Use "
                 "partition_scoped=False for a full-table rewrite."
             )
-        parts = [tuple(r) for r in distinct_parts.collect()]
+        parts = [tuple(r) for r in rows]
         cond = F.struct(*partition_by).isin(
             [F.struct(*[F.lit(v) for v in p]) for p in parts]
         )

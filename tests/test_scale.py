@@ -240,7 +240,10 @@ def test_no_pathological_join_plans(spark):
     Catches accidental non-equi joins before they reach a cluster."""
     from lambda_lakehouse_spark.registry import load_all
 
-    bnlj_ok = {"dedup_simhash"}
+    # both entries join a deliberate 1-row broadcast side (simhash's
+    # reference signature; the sketch query's merge-identity flag) —
+    # bounded by aggregation, harmless at any scale
+    bnlj_ok = {"dedup_simhash", "agg_approx_sketches"}
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
@@ -284,6 +287,7 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
     # exchange and the scan, so losing a pushed filter fails the test
     # instead of hiding behind the allowlist.
     bounded_by_construction = {
+        "agg_approx_sketches": {"orders.parquet"},  # 1-row agg flags
         "ann_cosine_topk_brute": {"embeddings.parquet"},
         "ann_cosine_topk_ivf": {"embeddings.parquet"},
         "ann_cosine_topk_ivf_pretrained": {"embeddings.parquet"},

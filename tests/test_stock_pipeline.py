@@ -271,13 +271,14 @@ def test_pipeline_resume_skips_completed_stages(spark, pipeline_out, tmp_path, m
     with pytest.raises(RuntimeError, match="crash"):
         sp.run_pipeline_resilient(spark, batches, out, retries=0)
 
-    # stg + the dims built before the crash are marked done
+    # stg + the dims built before the crash are marked done (dim/fact
+    # markers carry the stg-set signature after the @)
     import os
 
     state = os.path.join(out, "_pipeline_state")
     done_before = set(os.listdir(state))
     assert any(m.startswith("stg_") for m in done_before)
-    assert "dim_company.done" not in done_before
+    assert not any(m.startswith("dim_company@") for m in done_before)
 
     # the resumed run must NOT re-execute completed stg stages
     stg_calls = {"n": 0}
@@ -291,10 +292,41 @@ def test_pipeline_resume_skips_completed_stages(spark, pipeline_out, tmp_path, m
     fail["on"] = False
     tables = sp.run_pipeline_resilient(spark, batches, out, retries=0, resume=True)
     assert stg_calls["n"] == 0  # completed stages skipped
-    assert "dim_company.done" in set(os.listdir(state))
+    assert any(m.startswith("dim_company@") for m in os.listdir(state))
     # resumed DAG converges to exactly the clean run's output (fresh
     # read: earlier idempotency tests rewrote the clean store's files,
     # so the fixture's cached DataFrame holds a stale file listing)
     _, clean_out, _ = pipeline_out
     clean_count = spark.read.parquet(f"{clean_out}/fact_stock_daily").count()
     assert tables["fact_stock_daily"].count() == clean_count
+
+
+def test_pipeline_resume_rebuilds_dims_for_new_batches(spark, pipeline_out, tmp_path):
+    """Regression for the stale-marker hazard: dim/fact markers are
+    keyed by the stg-marker-set signature, so ingesting a NEW batch
+    into an existing out_dir must rebuild dims and fact over the grown
+    staging table — not skip them because yesterday's markers exist."""
+    from lambda_lakehouse_spark.plans import stock_pipeline as sp
+
+    _, clean_out, batches = pipeline_out
+    out = str(tmp_path / "incr_out")
+
+    # day 1: everything except the JP batch
+    day1 = [b for b in batches if b[0] != "JP"]
+    t1 = sp.run_pipeline_resilient(spark, day1, out, retries=0, resume=True)
+    assert t1["stg_stock"].count() == 8  # JP row missing
+    assert t1["dim_exchange"].where(
+        F.col("exchange_code") == "TSE"
+    ).count() == 0
+
+    # day 2 into the SAME out_dir: only the JP batch is new
+    day2 = [b for b in batches if b[0] == "JP"]
+    t2 = sp.run_pipeline_resilient(spark, day2, out, retries=0, resume=True)
+    assert t2["stg_stock"].count() == 9
+    # dims were re-keyed and rebuilt: the JP exchange now exists
+    assert t2["dim_exchange"].where(
+        F.col("exchange_code") == "TSE"
+    ).count() == 1
+    # fact converges to the clean full-run output
+    clean_count = spark.read.parquet(f"{clean_out}/fact_stock_daily").count()
+    assert t2["fact_stock_daily"].count() == clean_count

@@ -28,6 +28,7 @@ def main() -> None:
         doc = " ".join(q.doc.split())
         if len(doc) > 110:
             doc = doc[:107] + "..."
+        doc = doc.replace("|", "\\|")  # keep markdown table cells intact
         rows.append(f"| `{name}` | {oracle} | {', '.join(q.tags)} | {doc} |")
     appendix = (
         MARKER + "\n\n"
