@@ -227,3 +227,61 @@ def shard_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.floor(excl_prefix / _SHARD_BUDGET).cast("int").alias("shard_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-size stratified sampling
+# ---------------------------------------------------------------------------
+#
+# Rate-based seeded sampling (sample_mixture_weighted) gives binomial
+# per-stratum counts; training-set construction often needs EXACTLY n
+# docs per stratum (eval slices, per-source caps). Formulation: rank
+# docs within each stratum by a seeded hash (a deterministic random
+# permutation, same on any engine) and keep rank <= n. One shuffle on
+# the stratum key; per-stratum ranking is the window_topk_per_group
+# shape, and at extreme stratum skew the same salting rails apply.
+
+STRATIFIED_N = 10
+
+
+def sample_stratified_exact(
+    docs: DataFrame, stratum_col: str = "source", n: int = STRATIFIED_N,
+    seed: str = _SAMPLE_SEED,
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    h = F.md5(F.concat(F.lit(seed), F.col("doc_id").cast("string")))
+    w = W.partitionBy(stratum_col).orderBy(h, "doc_id")
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n)
+        .select("doc_id", stratum_col, "sample_rank")
+    )
+
+
+_STRATIFIED_ORACLE = f"""
+SELECT doc_id, source, sample_rank
+FROM (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('{_SAMPLE_SEED}' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS INTEGER) AS sample_rank
+  FROM documents
+)
+WHERE sample_rank <= {STRATIFIED_N}
+"""
+
+
+@register(
+    "sample_stratified_exact",
+    _STRATIFIED_ORACLE,
+    doc=f"Exact-size stratified sampling: exactly {STRATIFIED_N} docs "
+    "per source via seeded-hash ranking — a deterministic random "
+    "permutation per stratum, identical on any engine; complements "
+    "rate-based mixture sampling when strata need fixed counts",
+    tags=("sampling", "corpus", "window"),
+)
+def sample_stratified_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return sample_stratified_exact(docs)

@@ -278,3 +278,81 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("median_lo"),
     )
+
+
+# --- PII redaction ----------------------------------------------------
+#
+# Standard scrub pass before corpus release: emails, SSN-shaped ids,
+# phone-shaped numbers, IPv4 addresses → typed placeholder tokens.
+# Patterns stay in the RE2 ∩ Java-regex subset (char classes, bounded
+# repeats, \b) so Spark and DuckDB compile the IDENTICAL automaton and
+# the oracle hash-matches the redacted text. Order matters and is fixed
+# (email → id → phone → ip): earlier replacements cannot create later
+# patterns' matches. Everything is regexp_count/regexp_replace —
+# codegen'd, linear in input bytes, no Python in the row path. The
+# synthetic corpus contains no PII, so the registry row certifies the
+# cross-engine plumbing; redaction BEHAVIOR is pinned by unit fixtures
+# with crafted PII (the multimodal fake-decode certification pattern).
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("id", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<ID>"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append per-kind redaction counts, a ``was_redacted`` flag, and
+    ``clean_text`` with every PII match replaced by its placeholder."""
+    t = F.col(text_col)
+    counts = {
+        f"n_{kind}": F.regexp_count(t, F.lit(pat))
+        for kind, pat, _ in PII_PATTERNS
+    }
+    clean = t
+    for _, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return docs.select(
+        "*",
+        *[v.alias(k) for k, v in counts.items()],
+        (total > 0).alias("was_redacted"),
+        clean.alias("clean_text"),
+    )
+
+
+def _pii_oracle() -> str:
+    count_cols = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER) AS n_{kind}"
+        for kind, pat, _ in PII_PATTERNS
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in PII_PATTERNS
+    )
+    clean = "text"
+    for _, pat, repl in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    return f"""
+SELECT doc_id, source,
+  {count_cols},
+  ({total}) > 0 AS was_redacted,
+  {clean} AS clean_text
+FROM documents
+"""
+
+
+@register(
+    "text_pii_redact",
+    _pii_oracle(),
+    doc="PII redaction scrub (emails / SSN-shaped ids / phone-shaped "
+    "numbers / IPv4 → typed placeholders) with per-kind counts — "
+    "engine-portable regex subset, all codegen'd; redaction behavior "
+    "additionally pinned by crafted-PII unit fixtures",
+    tags=("text", "pii", "scrub"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return redact_pii(docs).drop("text")

@@ -76,6 +76,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_approx_sketches",
     "ann_cosine_topk_ivf_pretrained",
     "ann_cosine_topk_hyperlsh",
+    "text_pii_redact",
+    "sample_stratified_exact",
     # — stale rows: last green r2/r3; code unchanged, but fresh rows
     # guard against environment drift (e.g. the Spark-4 NTZ bump) —
     "fact_assembly_star",

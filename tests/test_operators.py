@@ -318,3 +318,31 @@ def test_stg_vn_large_price_not_recleaned(spark):
     assert row.current_price == 12_500_000.0
     assert row.ref_price == 12_500_000.0
     assert row.previous_close == 12_400_000.0
+
+
+def test_pii_redaction_behavior(spark):
+    """Redaction behavior on crafted PII (the synthetic corpus has
+    none): every pattern kind replaces with its typed placeholder,
+    counts are per-kind, clean docs pass through byte-identical."""
+    from lambda_lakehouse_spark.operators.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@ex-ample.co.uk or 10.0.255.7 now"),
+            (2, "ssn 123-45-6789 and phone 555.867.5309 appear"),
+            (3, "two mails a@b.io c@d.org one ip 1.2.3.4"),
+            (4, "clean document with no identifiers at all"),
+            (5, "digits-but-not-pii 12345 1-2 999-99 3.14159"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert out[1].clean_text == "contact <EMAIL> or <IP> now"
+    assert (out[1].n_email, out[1].n_ip) == (1, 1) and out[1].was_redacted
+    assert out[2].clean_text == "ssn <ID> and phone <PHONE> appear"
+    assert (out[2].n_id, out[2].n_phone) == (1, 1)
+    assert out[3].clean_text == "two mails <EMAIL> <EMAIL> one ip <IP>"
+    assert out[3].n_email == 2
+    for clean_doc in (4, 5):
+        r = out[clean_doc]
+        assert not r.was_redacted and r.clean_text == r.text
