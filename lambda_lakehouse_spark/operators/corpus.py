@@ -285,3 +285,65 @@ WHERE sample_rank <= {STRATIFIED_N}
 def sample_stratified_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
     return sample_stratified_exact(docs)
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware dedup materialization
+# ---------------------------------------------------------------------------
+#
+# The min-id keeper (dedup_materialize_corpus) is the cheapest survivor
+# rule; real pipelines keep each cluster's BEST document (longest /
+# highest-quality copy of boilerplate-duplicated content). Same cluster
+# table, different survivor rule: rank cluster members by (quality
+# desc, doc_id) and keep rank 1 — one extra window over the clustered
+# subset only (tiny next to the corpus).
+
+_MATERIALIZE_BEST_ORACLE = (
+    _components_oracle_cte("comp")
+    + """
+, ranked AS (
+  SELECT c.doc_id, c.cluster_id,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY LENGTH(d.text) DESC, c.doc_id) AS qrk
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT d.doc_id, d.source,
+       r.doc_id IS NOT NULL AS was_clustered
+FROM documents d
+LEFT JOIN ranked r ON r.doc_id = d.doc_id
+WHERE r.doc_id IS NULL OR r.qrk = 1
+"""
+)
+
+
+@register(
+    "dedup_materialize_corpus_best",
+    _MATERIALIZE_BEST_ORACLE,
+    doc="Quality-aware dedup materialization: per near-dup cluster keep "
+    "the highest-quality member (longest text, deterministic id "
+    "tie-break) instead of the min-id one — the survivor rule "
+    "production pipelines actually want; unclustered docs pass through",
+    tags=("dedup", "graph", "corpus", "window"),
+)
+def dedup_materialize_corpus_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    comp = doc_clusters(docs)
+    ranked = (
+        comp.join(docs.select("doc_id", F.length("text").alias("_q")), "doc_id")
+        .withColumn(
+            "qrk",
+            F.row_number().over(
+                W.partitionBy("cluster_id").orderBy(F.col("_q").desc(), "doc_id")
+            ),
+        )
+        .select("doc_id", "qrk")
+    )
+    return (
+        docs.join(ranked, "doc_id", "left")
+        .where(F.col("qrk").isNull() | (F.col("qrk") == 1))
+        .select(
+            "doc_id",
+            "source",
+            F.col("qrk").isNotNull().alias("was_clustered"),
+        )
+    )

@@ -1177,3 +1177,89 @@ def date_spine_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
         iso_dow.cast("int").alias("iso_dow"),
         iso_dow.isin(6, 7).alias("is_weekend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-pass column profiling (ANALYZE-style table stats)
+# ---------------------------------------------------------------------------
+#
+# The stats pass every lakehouse runs before planning/layout decisions:
+# per-column null counts, exact distincts, min/max — computed in ONE
+# aggregation over the table (map-side partials for everything except
+# the exact distincts, which Catalyst expands), then unpivoted to the
+# long (column_name, stats...) shape via stack. Min/max are taken in
+# the column's native type and cast to string AFTER aggregating (a
+# lexicographic min of pre-cast strings would be wrong for numerics);
+# doubles go through decimal(18,2) so Spark and DuckDB render the
+# identical literal.
+
+_PROFILE_COLS: list[tuple[str, str]] = [
+    # (column, render) — render decides the engine-portable string form
+    ("o_orderstatus", "string"),
+    ("o_orderpriority", "string"),
+    ("o_custkey", "bigint"),
+    ("o_totalprice", "decimal"),
+    ("o_orderdate", "timestamp"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for col, render in _PROFILE_COLS:
+        if render == "decimal":
+            mn = f"CAST(CAST(MIN({col}) AS DECIMAL(18,2)) AS VARCHAR)"
+            mx = f"CAST(CAST(MAX({col}) AS DECIMAL(18,2)) AS VARCHAR)"
+        else:
+            mn, mx = f"CAST(MIN({col}) AS VARCHAR)", f"CAST(MAX({col}) AS VARCHAR)"
+        parts.append(f"""
+SELECT '{col}' AS column_name,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       COUNT(DISTINCT {col}) AS n_distinct,
+       {mn} AS min_value,
+       {mx} AS max_value
+FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "profile_column_stats",
+    _profile_oracle(),
+    doc="ANALYZE-style one-pass column profiling: per-column null count, "
+    "exact distinct count, min/max (native-typed agg, then portable "
+    "string render) unpivoted to long form with stack — the stats scan "
+    "behind partition-layout and join-strategy decisions",
+    tags=("profile", "agg", "stats"),
+)
+def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col, render in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(col).isNull().cast("long")).alias(f"{col}__nulls"),
+            F.countDistinct(col).alias(f"{col}__distinct"),
+        ]
+        if render == "decimal":
+            aggs += [
+                F.min(col).cast("decimal(18,2)").cast("string").alias(f"{col}__min"),
+                F.max(col).cast("decimal(18,2)").cast("string").alias(f"{col}__max"),
+            ]
+        else:
+            aggs += [
+                F.min(col).cast("string").alias(f"{col}__min"),
+                F.max(col).cast("string").alias(f"{col}__max"),
+            ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', {col}__nulls, {col}__distinct, {col}__min, {col}__max"
+        for col, _ in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        ),
+        "n_rows",
+    ).select(
+        "column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
+    )

@@ -78,6 +78,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_cosine_topk_hyperlsh",
     "text_pii_redact",
     "sample_stratified_exact",
+    "dedup_materialize_corpus_best",
+    "profile_column_stats",
     # — stale rows: last green r2/r3; code unchanged, but fresh rows
     # guard against environment drift (e.g. the Spark-4 NTZ bump) —
     "fact_assembly_star",
