@@ -758,3 +758,169 @@ def doc_clusters(docs: DataFrame, threshold: float = _COMPONENTS_THRESHOLD) -> D
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     return doc_clusters(docs)
+
+
+# ---------------------------------------------------------------------------
+# LSH quality evaluation: candidate set vs exact ground truth
+# ---------------------------------------------------------------------------
+#
+# "Measure, don't guess" applied to the approximation itself: score the
+# MinHash-LSH pipeline (banded candidates + signature-estimated
+# Jaccard, threshold t) against EXACT 5-gram Jaccard pairs at the same
+# threshold. Precision counts estimation false-positives; recall folds
+# in BOTH failure modes — pairs the banding never surfaced and pairs
+# whose signature estimate fell below t — so it is the honest
+# end-to-end number a pipeline owner needs before trusting the LSH
+# path. At 100 TB the exact side runs on a sampled slice (it is the
+# ground-truth audit, not the production path); here the corpus is the
+# slice. Both sides are relational, so the whole evaluation carries a
+# DuckDB oracle.
+
+_EVAL_THRESHOLD = 0.5
+_EVAL_SHINGLE_LEN = 5
+
+
+def exact_jaccard_pairs(
+    docs: DataFrame,
+    shingle_len: int = _EVAL_SHINGLE_LEN,
+    threshold: float = _EVAL_THRESHOLD,
+) -> DataFrame:
+    """Corpus-wide exact shingle-Jaccard pairs >= threshold via the
+    inverted-index formulation (shuffle key = shingle). Ground truth
+    for the LSH eval; quadratic only inside shared-shingle groups."""
+    sh = docs.select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(transform(sequence(1, greatest(length(text)-{shingle_len - 1}, 1)),"
+            f" i -> substr(text, i, {shingle_len})))"
+        ).alias("shingles"),
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    x, y = ex.alias("x"), ex.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.s") == F.col("y.s"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _minhash_oracle_cte(cte_name: str = "mh") -> str:
+    """The minhash oracle rewrapped so its final SELECT becomes a named
+    CTE (mirrors ``_components_oracle_cte``; raises at import time if
+    the rewrap marker drifts)."""
+    base = _minhash_oracle()
+    marker = "SELECT doc_a, doc_b, n_shared_bands,"
+    if base.count(marker) != 1:
+        raise AssertionError(
+            "_minhash_oracle final-SELECT marker drifted; "
+            "update _minhash_oracle_cte in lockstep"
+        )
+    prefix, final = base.rsplit(marker, 1)
+    return prefix + f", {cte_name} AS ({marker}" + final + ")"
+
+
+def _lsh_eval_oracle(
+    threshold: float = _EVAL_THRESHOLD, shingle_len: int = _EVAL_SHINGLE_LEN
+) -> str:
+    return (
+        _minhash_oracle_cte("mh")
+        + f"""
+, lshp AS (SELECT doc_a, doc_b FROM mh WHERE est_jaccard >= {threshold}),
+esh AS (
+  SELECT doc_id,
+         list_distinct([substr(text, i, {shingle_len})
+          FOR i IN range(1, greatest(length(text)-{shingle_len - 1}, 1) + 1)]) AS shingles
+  FROM documents
+),
+esz AS (SELECT doc_id, len(shingles) AS n FROM esh),
+eex AS (SELECT doc_id, unnest(shingles) AS s FROM esh),
+einter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM eex x JOIN eex y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+ep AS (
+  SELECT doc_a, doc_b
+  FROM einter
+  JOIN esz sa ON sa.doc_id = doc_a
+  JOIN esz sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {threshold}
+),
+j AS (
+  SELECT l.doc_a IS NOT NULL AS in_lsh, e.doc_a IS NOT NULL AS in_exact
+  FROM lshp l FULL OUTER JOIN ep e
+    ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b
+)
+SELECT
+  CAST(SUM(CASE WHEN in_lsh AND in_exact THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+  CAST(SUM(CASE WHEN in_lsh AND NOT in_exact THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+  CAST(SUM(CASE WHEN in_exact AND NOT in_lsh THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+  CASE WHEN SUM(CASE WHEN in_lsh THEN 1 ELSE 0 END) = 0 THEN NULL
+       ELSE CAST(SUM(CASE WHEN in_lsh AND in_exact THEN 1 ELSE 0 END) AS DOUBLE)
+            / SUM(CASE WHEN in_lsh THEN 1 ELSE 0 END) END AS precision_lsh,
+  CASE WHEN SUM(CASE WHEN in_exact THEN 1 ELSE 0 END) = 0 THEN NULL
+       ELSE CAST(SUM(CASE WHEN in_lsh AND in_exact THEN 1 ELSE 0 END) AS DOUBLE)
+            / SUM(CASE WHEN in_exact THEN 1 ELSE 0 END) END AS recall_lsh
+FROM j
+"""
+    )
+
+
+@register(
+    "dedup_lsh_eval",
+    _lsh_eval_oracle(),
+    doc=f"LSH quality audit: MinHash-LSH pairs (est_jaccard >= "
+    f"{_EVAL_THRESHOLD}) scored against exact {_EVAL_SHINGLE_LEN}-gram "
+    f"Jaccard ground truth at the same threshold — tp/fp/fn + "
+    "precision/recall in one certified row; recall folds in both "
+    "banding misses and estimation error (the honest end-to-end number)",
+    tags=("dedup", "lsh", "eval"),
+)
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lsh = (
+        minhash_lsh_pairs(docs)
+        .where(F.col("est_jaccard") >= _EVAL_THRESHOLD)
+        .select("doc_a", "doc_b", F.lit(True).alias("in_lsh"))
+    )
+    exact = exact_jaccard_pairs(docs).select(
+        "doc_a", "doc_b", F.lit(True).alias("in_exact")
+    )
+    j = lsh.join(exact, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("in_lsh", F.lit(False)).alias("in_lsh"),
+        F.coalesce("in_exact", F.lit(False)).alias("in_exact"),
+    )
+    cnt = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    agg = j.agg(
+        cnt(F.col("in_lsh") & F.col("in_exact")).alias("tp"),
+        cnt(F.col("in_lsh") & ~F.col("in_exact")).alias("fp"),
+        cnt(~F.col("in_lsh") & F.col("in_exact")).alias("fn"),
+        cnt(F.col("in_lsh")).alias("_nl"),
+        cnt(F.col("in_exact")).alias("_ne"),
+    )
+    return agg.select(
+        "tp", "fp", "fn",
+        F.when(F.col("_nl") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("tp").cast("double") / F.col("_nl"))
+        .alias("precision_lsh"),
+        F.when(F.col("_ne") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("tp").cast("double") / F.col("_ne"))
+        .alias("recall_lsh"),
+    )
