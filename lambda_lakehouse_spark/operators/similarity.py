@@ -11,10 +11,15 @@ Approximate-nearest-neighbor building blocks over an
   bit-identical on any engine (sum order can't perturb ranks);
   (2) scale — the shuffle key is the position (64-way data-parallel),
   queries broadcast, and no array UDF enters the row path.
-- ``ann_cosine_topk_ivf`` — the scale path: candidates restricted to
-  the query's coarse cell (here the ``label`` column stands in for an
-  IVF/k-means cell id), cutting the candidate set by the cell count.
-  Same exact scoring inside the cell.
+- ``ann_cosine_topk_ivf`` — the trained scale path: candidates
+  restricted to the query's n_probe nearest k-means cells, cutting the
+  candidate set by the cell count; ``_pretrained`` serves against a
+  train-once cached quantizer (bench separates train vs serve cost).
+- ``ann_cosine_topk_hyperlsh`` — the training-free scale path:
+  multi-probe sign-random-projection buckets (Charikar), md5-derived
+  planes so the oracle replays them exactly.
+All bucketed paths share one exact rescoring tail
+(``_rescore_candidates``) so they cannot diverge in scoring.
 
 At 100 TB (billions of vectors) the brute-force variant is the
 per-cell scorer inside IVF, and cells come from a trained coarse

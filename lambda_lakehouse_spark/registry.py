@@ -81,6 +81,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_materialize_corpus_best",
     "profile_column_stats",
     "dedup_lsh_eval",
+    "dedup_minhash_lsh_verified",
     # — stale rows: last green r2/r3; code unchanged, but fresh rows
     # guard against environment drift (e.g. the Spark-4 NTZ bump) —
     "fact_assembly_star",

@@ -346,3 +346,30 @@ def test_pii_redaction_behavior(spark):
     for clean_doc in (4, 5):
         r = out[clean_doc]
         assert not r.was_redacted and r.clean_text == r.text
+
+
+def test_lsh_verified_subset_of_exact_with_exact_scores(spark):
+    """Candidate→verify pipeline: its output must be a subset of exact
+    all-pairs ground truth with IDENTICAL jaccard values (verification
+    uses exact arithmetic — estimation error cannot leak into
+    survivors). On this fixture banding misses nothing, so the sets are
+    equal."""
+    from lambda_lakehouse_spark.operators.dedup import (
+        exact_jaccard_pairs,
+        minhash_lsh_verified_pairs,
+    )
+    from lambda_lakehouse_spark.sources.readers import read_table
+    from tests.conftest import SF_DIR
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard for r in exact_jaccard_pairs(docs).collect()
+    }
+    verified = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_verified_pairs(docs).collect()
+    }
+    assert set(verified) <= set(exact)
+    assert all(abs(verified[k] - exact[k]) < 1e-12 for k in verified)
+    # recall-1.0 regime on this corpus (dedup_lsh_eval measures fn=0)
+    assert set(verified) == set(exact)
