@@ -249,3 +249,51 @@ def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "complete"
     q.processAllAvailable()
     q.stop()
     return name
+
+
+def near_dup_alert_sink(
+    corpus_bands: DataFrame, alerts_path: str, threshold: float = 0.5
+):
+    """foreachBatch speed-layer near-dup alerting: each micro-batch of
+    incoming (doc_id, text) documents re-hashes ONLY itself and probes
+    the persisted corpus band index (``operators.dedup.band_table``)
+    via ``minhash_lsh_incremental`` — new×corpus and new×new candidate
+    pairs, never a corpus self-join. Pairs with ``est_jaccard >=
+    threshold`` are appended to ``alerts_path`` stamped with the epoch.
+
+    This is the lambda-architecture integration of the incremental
+    dedup operator: the batch layer maintains the band index (a daily
+    ``band_table`` write), the speed layer probes it per trigger, and
+    alert consumers read one append-only table. Appends are per-epoch,
+    so a replayed micro-batch rewrites the same pairs with the same
+    epoch — downstream readers dedupe on (doc_a, doc_b, epoch_id),
+    or compact with ``sources.maintenance.merge_upsert``.
+
+    Coverage contract (standard lambda split): per trigger the sink
+    catches new×corpus and within-batch new×new pairs. A near-dup pair
+    SPLIT ACROSS two micro-batches is caught at the batch layer's next
+    index refresh (the docs join the band index and the following day's
+    increment probes them), not by the speed layer — bounding speed-
+    layer state at zero instead of re-implementing the index in the
+    state store.
+    """
+    from lambda_lakehouse_spark.operators.dedup import (
+        band_table,
+        minhash_lsh_incremental,
+    )
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        new_bands = band_table(batch_df.select("doc_id", "text"))
+        alerts = (
+            minhash_lsh_incremental(corpus_bands, new_bands)
+            .where(F.col("est_jaccard") >= threshold)
+            .select(
+                "doc_a", "doc_b", "n_shared_bands", "est_jaccard",
+                F.lit(epoch_id).alias("epoch_id"),
+            )
+        )
+        alerts.write.mode("append").parquet(alerts_path)
+
+    return _sink
