@@ -895,7 +895,11 @@ FROM j
     f"{_EVAL_THRESHOLD}) scored against exact {_EVAL_SHINGLE_LEN}-gram "
     f"Jaccard ground truth at the same threshold — tp/fp/fn + "
     "precision/recall in one certified row; recall folds in both "
-    "banding misses and estimation error (the honest end-to-end number)",
+    "banding misses and estimation error (the honest end-to-end "
+    "number). AUDIT query: the ground-truth side is deliberately "
+    "all-pairs within its slice (quadratic — 5s at sf0.01, minutes at "
+    "sf0.1); at scale run it on a sampled slice, never the corpus — "
+    "the production path is dedup_minhash_lsh_verified",
     tags=("dedup", "lsh", "eval"),
 )
 def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
