@@ -248,8 +248,6 @@ def sample_stratified_exact(
     docs: DataFrame, stratum_col: str = "source", n: int = STRATIFIED_N,
     seed: str = _SAMPLE_SEED,
 ) -> DataFrame:
-    from pyspark.sql import Window as W
-
     h = F.md5(F.concat(F.lit(seed), F.col("doc_id").cast("string")))
     w = W.partitionBy(stratum_col).orderBy(h, "doc_id")
     return (

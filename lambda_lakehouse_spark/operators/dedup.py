@@ -785,14 +785,12 @@ _EVAL_THRESHOLD = 0.5
 _EVAL_SHINGLE_LEN = 5
 
 
-def exact_jaccard_pairs(
-    docs: DataFrame,
-    shingle_len: int = _EVAL_SHINGLE_LEN,
-    threshold: float = _EVAL_THRESHOLD,
-) -> DataFrame:
-    """Corpus-wide exact shingle-Jaccard pairs >= threshold via the
-    inverted-index formulation (shuffle key = shingle). Ground truth
-    for the LSH eval; quadratic only inside shared-shingle groups."""
+def _shingle_sets(docs: DataFrame, shingle_len: int):
+    """(sizes, ex): distinct-shingle set sizes and the exploded
+    (doc_id, s) inverted index — the ONE definition of the exact-
+    Jaccard shingle machinery, shared by ``exact_jaccard_pairs`` and
+    ``minhash_lsh_verified_pairs`` so the verified⊆exact property
+    holds by construction, not by keeping two copies in sync."""
     sh = docs.select(
         "doc_id",
         F.expr(
@@ -802,6 +800,18 @@ def exact_jaccard_pairs(
     )
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    return sizes, ex
+
+
+def exact_jaccard_pairs(
+    docs: DataFrame,
+    shingle_len: int = _EVAL_SHINGLE_LEN,
+    threshold: float = _EVAL_THRESHOLD,
+) -> DataFrame:
+    """Corpus-wide exact shingle-Jaccard pairs >= threshold via the
+    inverted-index formulation (shuffle key = shingle). Ground truth
+    for the LSH eval; quadratic only inside shared-shingle groups."""
+    sizes, ex = _shingle_sets(docs, shingle_len)
     x, y = ex.alias("x"), ex.alias("y")
     inter = (
         x.join(
@@ -826,11 +836,11 @@ def exact_jaccard_pairs(
     )
 
 
-def _minhash_oracle_cte(cte_name: str = "mh") -> str:
+def _minhash_oracle_cte(cte_name: str = "mh", shingle_len: int = 5) -> str:
     """The minhash oracle rewrapped so its final SELECT becomes a named
     CTE (mirrors ``_components_oracle_cte``; raises at import time if
     the rewrap marker drifts)."""
-    base = _minhash_oracle()
+    base = _minhash_oracle(shingle_len=shingle_len)
     marker = "SELECT doc_a, doc_b, n_shared_bands,"
     if base.count(marker) != 1:
         raise AssertionError(
@@ -844,8 +854,10 @@ def _minhash_oracle_cte(cte_name: str = "mh") -> str:
 def _lsh_eval_oracle(
     threshold: float = _EVAL_THRESHOLD, shingle_len: int = _EVAL_SHINGLE_LEN
 ) -> str:
+    # shingle_len feeds BOTH the candidate CTE and the exact side, like
+    # the Spark path — a mismatch would silently break oracle parity
     return (
-        _minhash_oracle_cte("mh")
+        _minhash_oracle_cte("mh", shingle_len=shingle_len)
         + f"""
 , lshp AS (SELECT doc_a, doc_b FROM mh WHERE est_jaccard >= {threshold}),
 esh AS (
@@ -959,15 +971,7 @@ def minhash_lsh_verified_pairs(
     cand = minhash_lsh_pairs(docs, shingle_len=shingle_len).select(
         "doc_a", "doc_b"
     )
-    sh = docs.select(
-        "doc_id",
-        F.expr(
-            f"array_distinct(transform(sequence(1, greatest(length(text)-{shingle_len - 1}, 1)),"
-            f" i -> substr(text, i, {shingle_len})))"
-        ).alias("shingles"),
-    )
-    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sizes, ex = _shingle_sets(docs, shingle_len)
     exa = ex.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     exb = ex.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     # fan candidates out over doc_a's shingles, keep rows where doc_b
@@ -998,8 +1002,10 @@ def minhash_lsh_verified_pairs(
 def _lsh_verified_oracle(
     threshold: float = _EVAL_THRESHOLD, shingle_len: int = _EVAL_SHINGLE_LEN
 ) -> str:
+    # shingle_len feeds BOTH the candidate CTE and the verify side,
+    # matching minhash_lsh_verified_pairs
     return (
-        _minhash_oracle_cte("mh")
+        _minhash_oracle_cte("mh", shingle_len=shingle_len)
         + f"""
 , vcand AS (SELECT doc_a, doc_b FROM mh),
 esh AS (

@@ -287,8 +287,11 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Patterns stay in the RE2 ∩ Java-regex subset (char classes, bounded
 # repeats, \b) so Spark and DuckDB compile the IDENTICAL automaton and
 # the oracle hash-matches the redacted text. Order matters and is fixed
-# (email → id → phone → ip): earlier replacements cannot create later
-# patterns' matches. Everything is regexp_count/regexp_replace —
+# (email → id → phone → ip); each kind's COUNT is taken on the text as
+# it stands after the previous kinds' replacements — counts therefore
+# equal placeholders actually inserted, even when patterns overlap (a
+# phone-shaped string inside an email is consumed by <EMAIL> and never
+# counted as a phone). Everything is regexp_count/regexp_replace —
 # codegen'd, linear in input bytes, no Python in the row path. The
 # synthetic corpus contains no PII, so the registry row certifies the
 # cross-engine plumbing; redaction BEHAVIOR is pinned by unit fixtures
@@ -304,14 +307,13 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 
 def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Append per-kind redaction counts, a ``was_redacted`` flag, and
-    ``clean_text`` with every PII match replaced by its placeholder."""
-    t = F.col(text_col)
-    counts = {
-        f"n_{kind}": F.regexp_count(t, F.lit(pat))
-        for kind, pat, _ in PII_PATTERNS
-    }
-    clean = t
-    for _, pat, repl in PII_PATTERNS:
+    ``clean_text`` with every PII match replaced by its placeholder.
+    Each kind is counted on the text AFTER earlier kinds' replacements,
+    so counts always equal the placeholders present in ``clean_text``."""
+    counts = {}
+    clean = F.col(text_col)
+    for kind, pat, repl in PII_PATTERNS:
+        counts[f"n_{kind}"] = F.regexp_count(clean, F.lit(pat))
         clean = F.regexp_replace(clean, pat, repl)
     total = None
     for c in counts.values():
@@ -325,20 +327,22 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _pii_oracle() -> str:
-    count_cols = ",\n  ".join(
-        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER) AS n_{kind}"
-        for kind, pat, _ in PII_PATTERNS
-    )
-    total = " + ".join(
-        f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in PII_PATTERNS
-    )
+    count_cols, totals = [], []
     clean = "text"
-    for _, pat, repl in PII_PATTERNS:
+    for kind, pat, repl in PII_PATTERNS:
+        # mirror redact_pii exactly: count on the progressively-redacted
+        # form, then apply this kind's replacement
+        count_cols.append(
+            f"CAST(len(regexp_extract_all({clean}, '{pat}')) AS INTEGER) AS n_{kind}"
+        )
+        totals.append(f"len(regexp_extract_all({clean}, '{pat}'))")
         clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    counts_sql = ",\n  ".join(count_cols)
+    total_sql = " + ".join(totals)
     return f"""
 SELECT doc_id, source,
-  {count_cols},
-  ({total}) > 0 AS was_redacted,
+  {counts_sql},
+  ({total_sql}) > 0 AS was_redacted,
   {clean} AS clean_text
 FROM documents
 """

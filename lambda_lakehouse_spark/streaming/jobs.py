@@ -264,10 +264,12 @@ def near_dup_alert_sink(
     This is the lambda-architecture integration of the incremental
     dedup operator: the batch layer maintains the band index (a daily
     ``band_table`` write), the speed layer probes it per trigger, and
-    alert consumers read one append-only table. Appends are per-epoch,
-    so a replayed micro-batch rewrites the same pairs with the same
-    epoch — downstream readers dedupe on (doc_a, doc_b, epoch_id),
-    or compact with ``sources.maintenance.merge_upsert``.
+    alert consumers read one table partitioned by epoch. The sink is
+    idempotent under foreachBatch's at-least-once replay contract: each
+    epoch dynamically overwrites ONLY its own ``epoch_id`` partition
+    (the same rails as ``foreach_batch_overwrite``), so a micro-batch
+    replayed after a crash rewrites identical rows instead of
+    appending duplicates.
 
     Coverage contract (standard lambda split): per trigger the sink
     catches new×corpus and within-batch new×new pairs. A near-dup pair
@@ -294,6 +296,10 @@ def near_dup_alert_sink(
                 F.lit(epoch_id).alias("epoch_id"),
             )
         )
-        alerts.write.mode("append").parquet(alerts_path)
+        # replay-idempotent: overwrite this epoch's partition only
+        write_partitioned(
+            alerts, alerts_path, partition_by=("epoch_id",),
+            dynamic_overwrite=True,
+        )
 
     return _sink

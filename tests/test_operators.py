@@ -333,6 +333,10 @@ def test_pii_redaction_behavior(spark):
             (3, "two mails a@b.io c@d.org one ip 1.2.3.4"),
             (4, "clean document with no identifiers at all"),
             (5, "digits-but-not-pii 12345 1-2 999-99 3.14159"),
+            # phone-shaped string INSIDE an email: consumed by <EMAIL>,
+            # so it must NOT also count as a phone (counts are taken on
+            # the progressively-redacted text)
+            (6, "mail me at 555.867.5309@corp.example.com today"),
         ],
         "doc_id long, text string",
     )
@@ -346,6 +350,9 @@ def test_pii_redaction_behavior(spark):
     for clean_doc in (4, 5):
         r = out[clean_doc]
         assert not r.was_redacted and r.clean_text == r.text
+    # overlap: the email consumed the phone-shaped local part
+    assert out[6].clean_text == "mail me at <EMAIL> today"
+    assert (out[6].n_email, out[6].n_phone) == (1, 0)
 
 
 def test_lsh_verified_subset_of_exact_with_exact_scores(spark):
