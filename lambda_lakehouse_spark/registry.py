@@ -82,6 +82,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "profile_column_stats",
     "dedup_lsh_eval",
     "dedup_minhash_lsh_verified",
+    "embed_quantize_int8",
     # — stale rows: last green r2/r3; code unchanged, but fresh rows
     # guard against environment drift (e.g. the Spark-4 NTZ bump) —
     "fact_assembly_star",

@@ -190,3 +190,33 @@ def test_hyperlsh_candidates_sublinear(spark):
     )
     # 7 of 64 buckets ≈ 11% expected; allow 3x slack for occupancy skew
     assert cand_per_q < corpus * 0.33, (cand_per_q, corpus)
+
+
+def test_quantize_int8_edge_cases(spark):
+    """Quantizer certificate on crafted vectors: zero vector → scale 0 /
+    all-zero hash / trivially ok; negatives round away from zero; the
+    max component always saturates to ±127; roundtrip bound holds."""
+    import hashlib
+
+    from lambda_lakehouse_spark.operators.similarity import quantize_int8
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0, 0.0]),
+            (2, [1.0, -1.0, 0.5]),
+            (3, [-2.0, 0.25, 0.125]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in quantize_int8(emb).collect()}
+    z = out[1]
+    assert z.scale == 0.0 and z.roundtrip_ok and z.n_saturated == 0
+    assert z.qhash == hashlib.md5(b"0,0,0").hexdigest()
+    v2 = out[2]
+    # scale = 1/127; q = [127, -127, 64] (0.5/scale = 63.5 → away-from-0)
+    assert v2.qhash == hashlib.md5(b"127,-127,64").hexdigest()
+    assert v2.n_saturated == 2 and v2.roundtrip_ok
+    v3 = out[3]
+    # scale = 2/127; q = [-127, 16, 8] (0.25/scale = 15.875 → 16)
+    assert v3.qhash == hashlib.md5(b"-127,16,8").hexdigest()
+    assert v3.n_saturated == 1 and v3.roundtrip_ok
