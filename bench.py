@@ -9,6 +9,18 @@ on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 Each query executes end-to-end into the noop sink (full computation,
 no driver collect). One tiny warmup query first so JVM/codegen startup
 isn't attributed to the first headline query.
+
+Execution order: the round-3 legacy set runs FIRST, in its historical
+order, so round-over-round like-for-like comparisons are never
+perturbed by queries added later (round 4 showed a 4.2x swing on
+``dedup_minhash_lsh`` after two heavyweight additions started running
+before it alphabetically; isolated re-measure put it back at its r3
+time — session-accumulated state, not a code regression). New headline
+queries append after the legacy set.
+
+``SPARK_GRAFT_BENCH_ISOLATE=1`` runs every query in its own
+subprocess/JVM instead (one query per session — the fully isolated
+measurement; slower wall-clock, same output format).
 """
 
 from __future__ import annotations
@@ -16,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
@@ -24,33 +37,82 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from lambda_lakehouse_spark.registry import load_all  # noqa: E402
 from lambda_lakehouse_spark.session import get_spark  # noqa: E402
 
+# Historical (round-3) headline order — keep stable, append new queries
+# only after this prefix.
+LEGACY_ORDER = (
+    "ann_cosine_topk_brute",
+    "dedup_minhash_lsh",
+    "fact_assembly_star",
+    "pit_join_fact_dim",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "scd2_user_dim",
+    "sessionize_events",
+)
+
+
+def headline_names() -> list[str]:
+    registry = load_all()
+    flagged = sorted(n for n, q in registry.items() if q.bench)
+    ordered = [n for n in LEGACY_ORDER if n in flagged]
+    ordered += [n for n in flagged if n not in ordered]
+    return ordered
+
+
+def time_query(spark, q, sf_dir: str, repeats: int = 3) -> float:
+    # best-of-N: the first pass pays codegen compilation; the min over
+    # repeats strips transient host noise (shared-host timing here
+    # varies up to 2x run-to-run).
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def run_single(name: str, sf_dir: str) -> None:
+    """Subprocess entry (isolate mode): time ONE query in a fresh JVM."""
+    spark = get_spark(app_name=f"lakehouse-bench-{name}")
+    q = load_all()[name]
+    # warmup: JVM + codegen + parquet footer caches
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    print(json.dumps({"query": name, "sec": time_query(spark, q, sf_dir)}))
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    spark = get_spark(app_name="lakehouse-bench")
-    registry = load_all()
-    headline = {n: q for n, q in sorted(registry.items()) if q.bench}
+    if len(sys.argv) == 3 and sys.argv[1] == "--single":
+        run_single(sys.argv[2], sf_dir)
+        return
 
-    # warmup: JVM + codegen + parquet footer caches
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    next(iter(headline.values())).spark(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-
-    # best-of-3 per query: the first pass pays codegen compilation;
-    # the min over repeats strips transient host noise (shared-host
-    # timing here varies up to 2x run-to-run).
+    names = headline_names()
     timings: dict[str, float] = {}
-    for name, q in headline.items():
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+
+    if os.environ.get("SPARK_GRAFT_BENCH_ISOLATE") == "1":
+        for name in names:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--single", name],
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            timings[name] = json.loads(line)["sec"]
+    else:
+        spark = get_spark(app_name="lakehouse-bench")
+        registry = load_all()
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        registry[names[0]].spark(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        for name in names:
+            timings[name] = time_query(spark, registry[name], sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -360,3 +360,127 @@ FROM documents
 def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     return redact_pii(docs).drop("text")
+
+
+# ---------------------------------------------------------------------------
+# Repetition scoring (Gopher-style quality heuristics)
+# ---------------------------------------------------------------------------
+#
+# Rae et al., "Scaling Language Models: Methods, Analysis & Insights
+# from Training Gopher" (arXiv:2112.11446) filter documents by
+# repetition: fraction of duplicate n-grams and dominance of the most
+# frequent word. Both signals here, exactly:
+#
+# - distinct_word_ratio / dup_bigram_frac are pure projections (array
+#   built-ins inside codegen, O(words) per doc — never the O(words^2)
+#   "count each word by scanning the array" formulation);
+# - top_word_share needs a per-(doc, word) histogram → explode +
+#   two-level aggregate. The shuffle key is (doc_id, word): maximally
+#   fine-grained, skew-free, map-side combined. At 100 TB this is the
+#   same shape as the inverted-index build in dedup — linear in corpus
+#   tokens with no hot keys.
+
+
+def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition metrics over whitespace tokenization.
+
+    Returns ``doc_id, n_words, distinct_word_ratio, dup_bigram_frac,
+    top_word_share``. Ratios are IEEE-double divisions of exact
+    integer counts, so any engine computes identical bits.
+    """
+    words = F.split(F.col(text_col), " ")
+    base = docs.select(
+        "doc_id",
+        words.alias("words"),
+        F.size(words).alias("n_words"),
+    )
+    # bigrams via 1-based element_at over an index sequence — O(n) per
+    # doc; guarded so 1-word docs don't build sequence(1, 0) (which in
+    # Spark is the DESCENDING [1, 0], not empty).
+    bigrams = F.expr(
+        "transform(sequence(1, size(words) - 1),"
+        " i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))"
+    )
+    stats = base.select(
+        "doc_id",
+        "n_words",
+        (
+            F.size(F.array_distinct("words")).cast("double") / F.col("n_words")
+        ).alias("distinct_word_ratio"),
+        F.when(
+            F.col("n_words") > 1,
+            F.lit(1.0)
+            - F.size(F.array_distinct(bigrams)).cast("double")
+            / (F.col("n_words") - 1),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    )
+    top = (
+        base.select("doc_id", F.explode("words").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_cnt"))
+    )
+    return (
+        stats.join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "distinct_word_ratio",
+            "dup_bigram_frac",
+            (F.col("top_cnt").cast("double") / F.col("n_words")).alias(
+                "top_word_share"
+            ),
+        )
+    )
+
+
+_REPETITION_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+base AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+           AS distinct_word_ratio,
+         CASE WHEN len(words) > 1 THEN
+           1.0 - CAST(len(list_distinct(
+                   list_transform(range(1, len(words)),
+                                  i -> words[i] || ' ' || words[i + 1])
+                 )) AS DOUBLE) / (len(words) - 1)
+         ELSE 0.0 END AS dup_bigram_frac
+  FROM w
+),
+hist AS (
+  SELECT doc_id, word, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(words) AS word FROM w)
+  GROUP BY doc_id, word
+),
+tw AS (
+  SELECT doc_id, MAX(cnt) AS top_cnt FROM hist GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_words AS INTEGER) AS n_words,
+       b.distinct_word_ratio,
+       b.dup_bigram_frac,
+       CAST(tw.top_cnt AS DOUBLE) / b.n_words AS top_word_share
+FROM base b
+JOIN tw ON tw.doc_id = b.doc_id
+"""
+
+
+@register(
+    "text_repetition_score",
+    _REPETITION_ORACLE,
+    doc="Gopher-style repetition quality heuristics (arXiv:2112.11446): "
+    "distinct-word ratio and duplicate-bigram fraction as O(words) "
+    "array projections, top-word dominance via an explode + two-level "
+    "aggregate keyed (doc_id, word) — skew-free, map-side combined",
+    tags=("text", "quality", "repetition"),
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_scores(docs)

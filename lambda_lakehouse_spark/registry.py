@@ -83,6 +83,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_lsh_eval",
     "dedup_minhash_lsh_verified",
     "embed_quantize_int8",
+    # round-5 session-2 additions: the four partsupp-dependent TPC-H
+    # shapes (adapted supply relation) completing the 22-query suite,
+    # plus Gopher-style repetition scoring
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_parts_supplier_count",
+    "q20_excess_inventory",
+    "text_repetition_score",
     # — stale rows: last green r2/r3; code unchanged, but fresh rows
     # guard against environment drift (e.g. the Spark-4 NTZ bump) —
     "fact_assembly_star",

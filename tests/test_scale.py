@@ -243,7 +243,7 @@ def test_no_pathological_join_plans(spark):
     # both entries join a deliberate 1-row broadcast side (simhash's
     # reference signature; the sketch query's merge-identity flag) —
     # bounded by aggregation, harmless at any scale
-    bnlj_ok = {"dedup_simhash", "agg_approx_sketches"}
+    bnlj_ok = {"dedup_simhash", "agg_approx_sketches", "q11_important_stock"}
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
@@ -288,6 +288,10 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
     # instead of hiding behind the allowlist.
     bounded_by_construction = {
         "agg_approx_sketches": {"orders.parquet"},  # 1-row agg flags
+        # Q11's scalar-subquery total: a 1-row global aggregate of the
+        # national lineitem slice, broadcast for the share-of-total
+        # HAVING — agg-bounded by construction
+        "q11_important_stock": {"lineitem.parquet", "supplier.parquet"},
         "ann_cosine_topk_brute": {"embeddings.parquet"},
         "ann_cosine_topk_ivf": {"embeddings.parquet"},
         "ann_cosine_topk_ivf_pretrained": {"embeddings.parquet"},
