@@ -13,10 +13,11 @@ isn't attributed to the first headline query.
 Execution order: the round-3 legacy set runs FIRST, in its historical
 order, so round-over-round like-for-like comparisons are never
 perturbed by queries added later (round 4 showed a 4.2x swing on
-``dedup_minhash_lsh`` after two heavyweight additions started running
-before it alphabetically; isolated re-measure put it back at its r3
-time — session-accumulated state, not a code regression). New headline
-queries append after the legacy set.
+``dedup_minhash_lsh`` — 1.20s → 5.08s — after two heavyweight
+additions started running before it alphabetically; the round-5
+isolated re-measure in a fresh JVM came back at 1.47s, inside the r3
+noise envelope: session-accumulated state, not a code regression).
+New headline queries append after the legacy set.
 
 ``SPARK_GRAFT_BENCH_ISOLATE=1`` runs every query in its own
 subprocess/JVM instead (one query per session — the fully isolated

@@ -345,3 +345,105 @@ def dedup_materialize_corpus_best(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("qrk").isNotNull().alias("was_clustered"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Next-fit sequence packing (context-window construction)
+# ---------------------------------------------------------------------------
+#
+# shard_by_token_budget splits the corpus at budget BOUNDARIES
+# (documents may straddle a boundary — fine for file shards). Training
+# sequence construction needs the stronger guarantee: each pack's
+# total stays WITHIN the context budget (a doc larger than the budget
+# gets a pack of its own). That is next-fit bin packing — a sequential
+# fold with a reset, NOT a prefix sum, so it cannot be a window
+# function. Formulation:
+#
+# - Spark: ``applyInPandas`` per source — Arrow-batched, one compact
+#   (order_col, weight) frame per group, a linear fold inside. At
+#   100 TB a source does NOT fit one task; the deployment shape is the
+#   same fold per (source, range-shard) with shard boundaries from
+#   shard_by_token_budget — packing quality is unchanged because packs
+#   never straddle training shards anyway. Python here is justified:
+#   the op is inherently stateful-sequential per group (SURVEY §2.9
+#   exception, same class as applyInPandasWithState).
+# - Oracle: the SAME fold as a recursive CTE stepping rn → rn+1 per
+#   source, so the driver hash-checks a stateful operator exactly.
+
+PACK_BUDGET = 1_000
+
+
+def pack_sequences_nextfit(
+    docs: DataFrame,
+    budget: int = PACK_BUDGET,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Assign each doc a pack_id such that per-pack weight ≤ budget
+    (single oversized docs get singleton packs), packing greedily in
+    ``order_col`` order within each ``group_col`` partition."""
+    import pandas as pd
+
+    out_schema = (
+        f"{group_col} string, {order_col} bigint, {weight_col} bigint, "
+        "pack_id bigint"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        pack_ids = []
+        pack, fill = 0, 0
+        for w in pdf[weight_col]:
+            if fill and fill + w > budget:
+                pack += 1
+                fill = 0
+            fill += w
+            pack_ids.append(pack)
+        pdf["pack_id"] = pack_ids
+        return pdf[[group_col, order_col, weight_col, "pack_id"]]
+
+    return (
+        docs.select(group_col, order_col, weight_col)
+        .groupBy(group_col)
+        .applyInPandas(fold, out_schema)
+    )
+
+
+_PACK_ORACLE = f"""
+WITH RECURSIVE ordered AS (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+packed AS (
+  SELECT source, doc_id, n_chars, rn,
+         CAST(0 AS BIGINT) AS pack_id, n_chars AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.source, o.doc_id, o.n_chars, o.rn,
+         CASE WHEN p.fill + o.n_chars > {PACK_BUDGET}
+              THEN p.pack_id + 1 ELSE p.pack_id END,
+         CASE WHEN p.fill + o.n_chars > {PACK_BUDGET}
+              THEN o.n_chars ELSE p.fill + o.n_chars END
+  FROM ordered o
+  JOIN packed p ON o.source = p.source AND o.rn = p.rn + 1
+)
+SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars, pack_id
+FROM packed
+"""
+
+
+@register(
+    "pack_sequences_nextfit",
+    _PACK_ORACLE,
+    doc="Next-fit sequence packing into context-window budgets (each "
+    "pack ≤ budget; oversized docs isolate) — a stateful sequential "
+    "fold per source via Arrow-batched applyInPandas, hash-checked "
+    "against the identical fold as a recursive-CTE oracle; at scale "
+    "the fold runs per (source, range-shard)",
+    tags=("corpus", "packing", "stateful"),
+)
+def pack_sequences_nextfit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return pack_sequences_nextfit(docs)

@@ -255,3 +255,59 @@ def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_distinct_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts
+# ---------------------------------------------------------------------------
+#
+# The standard product-analytics rollup: cohort users by first-seen
+# day, then count how many are still active N days later. Decorrelated
+# to two aggregates — first-seen per user (one shuffle on user_id),
+# then distinct users per (cohort_day, day_offset) — never a per-user
+# subquery. All counts are exact integers: engine-portable with no
+# float drift. At 100 TB both shuffles are fine-grained (user_id, then
+# (cohort, offset)); the first-seen aggregate is the only pass over
+# the raw events and is map-side combined.
+
+_RETENTION_ORACLE = """
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+first_seen AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY 1
+)
+SELECT f.cohort_day,
+       CAST(a.day - f.cohort_day AS INTEGER) AS day_offset,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM activity a
+JOIN first_seen f ON f.user_id = a.user_id
+WHERE CAST(a.day - f.cohort_day AS INTEGER) IN (0, 1, 3, 7, 14)
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "retention_cohorts",
+    _RETENTION_ORACLE,
+    doc="Retention-cohort analysis: users cohorted by first-seen day, "
+    "distinct-active counts at day offsets 0/1/3/7/14 — decorrelated "
+    "to first-seen aggregate + self-join, exact integer counts",
+    tags=("events", "agg", "cohort", "join"),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    first_seen = activity.groupBy("user_id").agg(
+        F.min("day").alias("cohort_day")
+    )
+    offset = F.datediff(F.col("day"), F.col("cohort_day")).cast("int")
+    return (
+        activity.join(first_seen, "user_id")
+        .select("user_id", "cohort_day", offset.alias("day_offset"))
+        .where(F.col("day_offset").isin(0, 1, 3, 7, 14))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )

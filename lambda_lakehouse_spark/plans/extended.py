@@ -1263,3 +1263,195 @@ def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed percentiles (percentile_disc semantics)
+# ---------------------------------------------------------------------------
+#
+# approx_percentile is engine-specific (t-digest/KLL parameters differ
+# across engines and releases), so SLA reporting that must be
+# reproducible uses DISCRETE percentiles: the value at rank
+# ceil(p * n) in sort order — a member of the data set, rank computed
+# in exact integer arithmetic (floor((k*n + (d-1)) / d) = ceil(k*n/d)
+# stays below 2^53 for any realistic n, so the double division is
+# exact on every engine). Same rank-based shape as corpus_stats'
+# median: ONE shuffle on the group key for the sort window, the same
+# partitioning reused by the final aggregate. At 100 TB the window
+# sort is a per-group external sort — no driver involvement, no
+# all-to-one collect.
+
+_PCTL_ORACLE = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(MAX(cnt) AS BIGINT) AS n_rows,
+       MAX(CASE WHEN rn = CAST(floor((cnt + 1) / 2.0) AS BIGINT)
+                THEN l_extendedprice END) AS p50,
+       MAX(CASE WHEN rn = CAST(floor((9 * cnt + 9) / 10.0) AS BIGINT)
+                THEN l_extendedprice END) AS p90,
+       MAX(CASE WHEN rn = CAST(floor((99 * cnt + 99) / 100.0) AS BIGINT)
+                THEN l_extendedprice END) AS p99,
+       MAX(CASE WHEN rn = cnt THEN l_extendedprice END) AS p100
+FROM ranked
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "agg_exact_percentiles",
+    _PCTL_ORACLE,
+    doc="Exact distributed percentiles (percentile_disc semantics — "
+    "value at rank ceil(p*n), not interpolated): p50/p90/p99/max of "
+    "lineitem price per returnflag via the rank-window + conditional-"
+    "aggregate shape; integer-exact rank arithmetic, engine-portable "
+    "where approx_percentile sketches are not",
+    tags=("agg", "window", "percentile"),
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wp = W.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number()
+        .over(wp.orderBy("l_extendedprice", "l_orderkey", "l_linenumber"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("cnt"),
+    )
+
+    def at_rank(rank_expr):
+        return F.max(
+            F.when(F.col("rn") == rank_expr.cast("bigint"), F.col("l_extendedprice"))
+        )
+
+    cnt = F.col("cnt")
+    return ranked.groupBy("l_returnflag").agg(
+        F.max("cnt").cast("bigint").alias("n_rows"),
+        at_rank(F.floor((cnt + 1) / F.lit(2.0))).alias("p50"),
+        at_rank(F.floor((9 * cnt + 9) / F.lit(10.0))).alias("p90"),
+        at_rank(F.floor((99 * cnt + 99) / F.lit(100.0))).alias("p99"),
+        at_rank(cnt).alias("p100"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill + forward fill over a generated spine
+# ---------------------------------------------------------------------------
+#
+# The hypertable/"dense calendar" operator the reference's stock
+# pipeline implies but never builds: its dim_date holds only OBSERVED
+# dates (holiday gaps — see date_spine_generate), so any daily series
+# read off the fact table has holes. This closes them: per-entity
+# daily grain, missing days materialized from an inline-generated
+# spine, values forward-filled with observation-age tracking.
+#
+# Scale shape: the spine is EXPLODED PER ENTITY KEY (no cross join —
+# a generator per key row, so no CartesianProduct and no extra
+# shuffle); the observed aggregate is one shuffle on (entity, day);
+# the fill window repartitions on entity only. Entity here is
+# (event_type, user-bucket) — at 100 TB the same plan holds with
+# (symbol, exchange)-grain keys, and a years-long spine per entity is
+# still just thousands of generated rows per key. Low-cardinality
+# entity sets (this one is 100) rely on AQE to coalesce; genuinely hot
+# single entities would take the salted two-pass fill (carry the last
+# observed value across salt boundaries), not needed at this grain.
+
+_GAP_FILL_ORACLE = """
+WITH ev AS (
+  SELECT event_type, user_id % 20 AS bucket, CAST(ts AS DATE) AS day, value
+  FROM events
+),
+obs AS (
+  SELECT event_type, bucket, day,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS obs_value
+  FROM ev GROUP BY 1, 2, 3
+),
+keys AS (SELECT DISTINCT event_type, bucket FROM ev),
+grid AS (
+  SELECT event_type, bucket,
+         CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM keys
+),
+j AS (
+  SELECT g.event_type, g.bucket, g.day, o.obs_value
+  FROM grid g
+  LEFT JOIN obs o ON o.event_type = g.event_type
+                 AND o.bucket = g.bucket AND o.day = g.day
+)
+SELECT event_type, bucket, day, obs_value,
+       last_value(obs_value IGNORE NULLS) OVER w AS filled_value,
+       obs_value IS NOT NULL AS is_observed,
+       CAST(day - last_value(CASE WHEN obs_value IS NOT NULL THEN day END
+                             IGNORE NULLS) OVER w AS INTEGER) AS days_since_obs
+FROM j
+WINDOW w AS (PARTITION BY event_type, bucket ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "timeseries_gap_fill",
+    _GAP_FILL_ORACLE,
+    doc="Dense-calendar gap fill with forward fill (the hypertable "
+    "operator the reference's holiday-gapped dim_date implies): "
+    "per-entity daily series over an inline-exploded spine (no cross "
+    "join), last-observation-carried-forward + observation age via "
+    "ignore-nulls windows",
+    tags=("timeseries", "window", "generate", "join"),
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 20).alias("bucket"),
+        F.to_date("ts").alias("day"),
+        "value",
+    )
+    obs = ev.groupBy("event_type", "bucket", "day").agg(
+        dsum("value").alias("obs_value")
+    )
+    grid = (
+        ev.select("event_type", "bucket")
+        .distinct()
+        .select(
+            "event_type",
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01").cast("date"),
+                    F.lit("2024-01-30").cast("date"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("day"),
+        )
+    )
+    j = grid.join(obs, ["event_type", "bucket", "day"], "left")
+    w = (
+        W.partitionBy("event_type", "bucket")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    last_obs_day = F.last(
+        F.when(F.col("obs_value").isNotNull(), F.col("day")), ignorenulls=True
+    ).over(w)
+    return j.select(
+        "event_type",
+        "bucket",
+        "day",
+        "obs_value",
+        F.last("obs_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("obs_value").isNotNull().alias("is_observed"),
+        F.datediff(F.col("day"), last_obs_day).cast("int").alias("days_since_obs"),
+    )

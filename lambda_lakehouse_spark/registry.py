@@ -91,6 +91,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q16_parts_supplier_count",
     "q20_excess_inventory",
     "text_repetition_score",
+    "agg_exact_percentiles",
+    "pack_sequences_nextfit",
+    "timeseries_gap_fill",
+    "retention_cohorts",
     # — stale rows: last green r2/r3; code unchanged, but fresh rows
     # guard against environment drift (e.g. the Spark-4 NTZ bump) —
     "fact_assembly_star",

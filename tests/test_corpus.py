@@ -101,3 +101,36 @@ def test_quality_filter_partitions_corpus(spark):
         "pass", "non_english", "too_short", "too_few_tokens", "too_much_punct"
     }
     assert "pass" in verdicts
+
+
+def test_pack_sequences_nextfit_invariants(spark):
+    from lambda_lakehouse_spark.operators.corpus import (
+        PACK_BUDGET,
+        pack_sequences_nextfit,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents")
+    packed = pack_sequences_nextfit(docs).collect()
+
+    # every doc packed exactly once
+    assert len(packed) == docs.count()
+    assert len({(r.source, r.doc_id) for r in packed}) == len(packed)
+
+    by_pack: dict[tuple, list] = {}
+    for r in packed:
+        by_pack.setdefault((r.source, r.pack_id), []).append(r)
+    for rows in by_pack.values():
+        total = sum(r.n_chars for r in rows)
+        # pack fits the budget unless it is a single oversized doc
+        assert total <= PACK_BUDGET or len(rows) == 1
+
+    # packs are contiguous runs in doc_id order (next-fit never splits
+    # or reorders): pack_id is non-decreasing along doc_id per source
+    for source in {r.source for r in packed}:
+        rows = sorted((r for r in packed if r.source == source),
+                      key=lambda r: r.doc_id)
+        pack_ids = [r.pack_id for r in rows]
+        assert pack_ids == sorted(pack_ids)
+        assert pack_ids[0] == 0
+        # no gaps
+        assert set(pack_ids) == set(range(max(pack_ids) + 1))
