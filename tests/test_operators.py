@@ -380,3 +380,70 @@ def test_lsh_verified_subset_of_exact_with_exact_scores(spark):
     assert all(abs(verified[k] - exact[k]) < 1e-12 for k in verified)
     # recall-1.0 regime on this corpus (dedup_lsh_eval measures fn=0)
     assert set(verified) == set(exact)
+
+
+def test_repetition_scores_crafted(spark):
+    from lambda_lakehouse_spark.operators.text import repetition_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # fully repeated
+            (2, "w x y z"),          # fully distinct
+            (3, "a b a b a"),        # alternating: all bigrams repeat after 2
+            (4, "solo"),             # single word: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_scores(docs).collect()}
+
+    r1 = rows[1]
+    assert r1.n_words == 4
+    assert r1.distinct_word_ratio == 0.25
+    assert r1.dup_bigram_frac == 1.0 - 1.0 / 3  # one distinct of 3 bigrams
+    assert r1.top_word_share == 1.0
+
+    r2 = rows[2]
+    assert r2.distinct_word_ratio == 1.0
+    assert r2.dup_bigram_frac == 0.0
+    assert r2.top_word_share == 0.25
+
+    r3 = rows[3]
+    assert r3.n_words == 5
+    # bigrams: "a b","b a","a b","b a" -> 2 distinct of 4
+    assert r3.dup_bigram_frac == 0.5
+    assert r3.top_word_share == 3.0 / 5
+
+    r4 = rows[4]
+    assert r4.n_words == 1
+    assert r4.dup_bigram_frac == 0.0  # guarded: no sequence(1, 0)
+    assert r4.top_word_share == 1.0
+
+
+def test_gap_fill_leading_gap_stays_null(spark):
+    """Before the first observation, LOCF has nothing to carry:
+    filled_value and days_since_obs must be NULL, not zero."""
+    from lambda_lakehouse_spark.registry import load_all
+    from tests.conftest import SF_DIR
+
+    out = load_all()["timeseries_gap_fill"].spark(spark, SF_DIR)
+    rows = [r for r in out.collect()]
+    by_key: dict[tuple, list] = {}
+    for r in rows:
+        by_key.setdefault((r.event_type, r.bucket), []).append(r)
+    saw_leading_gap = False
+    for series in by_key.values():
+        series.sort(key=lambda r: r.day)
+        seen_obs = False
+        for r in series:
+            if r.is_observed:
+                seen_obs = True
+                assert r.filled_value == r.obs_value
+                assert r.days_since_obs == 0
+            elif not seen_obs:
+                saw_leading_gap = True
+                assert r.filled_value is None and r.days_since_obs is None
+            else:
+                assert r.filled_value is not None
+                assert r.days_since_obs > 0
+    # the sf0.001 fixture is sparse enough to exercise the branch
+    assert saw_leading_gap
