@@ -1,0 +1,138 @@
+"""Data-quality expectations (Delta-Live-Tables-style constraint
+checking, engine-native): declare named boolean rules over a
+DataFrame, get (a) the rows partitioned into pass/quarantine with the
+list of failed rules attached, and (b) a per-rule violation metrics
+table.
+
+The reference enforces quality implicitly (G-series guards scattered
+through ``stg``/``curated`` jobs — e.g. ``vn_stg_processing.py``'s
+null/empty filters); this makes the same checks declarative and
+reusable. Both outputs come from ONE pass over the input: the rule
+verdicts are a pure projection (every rule is a Column expression —
+codegen'd, no Python), the metrics a single aggregate over it.
+At 100 TB: zero extra shuffles for the partitioning (narrow filter on
+the verdict column), one map-side-combined aggregate for metrics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lambda_lakehouse_spark.registry import register
+from lambda_lakehouse_spark.sources.readers import read_table
+
+
+def with_expectations(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
+    """Attach ``failed_rules`` (sorted array of names of violated
+    rules; empty = clean) and ``dq_pass``. A NULL rule verdict counts
+    as a violation (SQL three-valued logic must not let unknowns
+    through a quality gate)."""
+    failed = F.sort_array(
+        F.filter(
+            F.array(
+                *[
+                    F.when(cond.isNull() | ~cond, F.lit(name))
+                    for name, cond in sorted(rules.items())
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return df.withColumn("failed_rules", failed).withColumn(
+        "dq_pass", F.size("failed_rules") == 0
+    )
+
+
+def expectation_metrics(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
+    """Per-rule violation counts + rates from one aggregate pass."""
+    checked = with_expectations(df, rules)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name in sorted(rules):
+        aggs.append(
+            F.sum(
+                F.when(F.array_contains("failed_rules", name), 1).otherwise(0)
+            ).alias(f"viol_{name}")
+        )
+    wide = checked.agg(*aggs)
+    names = sorted(rules)
+    stack = ", ".join(f"'{n}', viol_{n}" for n in names)
+    return wide.select(
+        F.expr(f"stack({len(names)}, {stack}) AS (rule, n_violations)"),
+        "n_rows",
+    ).select(
+        "rule",
+        F.col("n_violations").cast("bigint").alias("n_violations"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        (F.col("n_violations").cast("double") / F.col("n_rows")).alias(
+            "violation_rate"
+        ),
+    )
+
+
+def _orders_rules() -> dict[str, Column]:
+    return {
+        "total_under_300k": F.col("o_totalprice") <= 300000,
+        "known_status": F.col("o_orderstatus").isin("F", "O", "P"),
+        "date_in_range": (F.col("o_orderdate") >= F.lit("1992-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2002-01-01").cast("timestamp")),
+        "priority_present": F.col("o_orderpriority").isNotNull()
+        & (F.col("o_orderpriority") != ""),
+    }
+
+
+_DQ_ORACLE = """
+WITH checked AS (
+  SELECT
+    CASE WHEN NOT COALESCE(o_totalprice <= 300000, FALSE) THEN 1 ELSE 0 END AS v_total_under_300k,
+    CASE WHEN NOT COALESCE(o_orderstatus IN ('F','O','P'), FALSE) THEN 1 ELSE 0 END AS v_known_status,
+    CASE WHEN NOT COALESCE(o_orderdate >= TIMESTAMP '1992-01-01 00:00:00'
+                       AND o_orderdate <  TIMESTAMP '2002-01-01 00:00:00', FALSE) THEN 1 ELSE 0 END AS v_date_in_range,
+    CASE WHEN NOT COALESCE(o_orderpriority IS NOT NULL AND o_orderpriority <> '', FALSE) THEN 1 ELSE 0 END AS v_priority_present
+  FROM orders
+),
+wide AS (
+  SELECT COUNT(*) AS n_rows,
+         SUM(v_total_under_300k) AS viol_total_under_300k,
+         SUM(v_known_status) AS viol_known_status,
+         SUM(v_date_in_range) AS viol_date_in_range,
+         SUM(v_priority_present) AS viol_priority_present
+  FROM checked
+)
+SELECT * FROM (
+  SELECT 'date_in_range' AS rule,
+         CAST(viol_date_in_range AS BIGINT) AS n_violations,
+         CAST(n_rows AS BIGINT) AS n_rows,
+         CAST(viol_date_in_range AS DOUBLE) / n_rows AS violation_rate
+  FROM wide
+  UNION ALL
+  SELECT 'known_status', CAST(viol_known_status AS BIGINT),
+         CAST(n_rows AS BIGINT), CAST(viol_known_status AS DOUBLE) / n_rows
+  FROM wide
+  UNION ALL
+  SELECT 'total_under_300k', CAST(viol_total_under_300k AS BIGINT),
+         CAST(n_rows AS BIGINT), CAST(viol_total_under_300k AS DOUBLE) / n_rows
+  FROM wide
+  UNION ALL
+  SELECT 'priority_present', CAST(viol_priority_present AS BIGINT),
+         CAST(n_rows AS BIGINT), CAST(viol_priority_present AS DOUBLE) / n_rows
+  FROM wide
+)
+"""
+
+
+@register(
+    "dq_expectation_metrics",
+    _DQ_ORACLE,
+    doc="Declarative data-quality expectations (DLT-style): named "
+    "boolean rules → per-rule violation counts/rates in one codegen'd "
+    "pass (verdicts are a projection, metrics one map-side-combined "
+    "aggregate); NULL verdicts count as violations. Row-level "
+    "partitioning behavior pinned by test_dq_expectations_partition",
+    tags=("quality", "agg", "expectations"),
+)
+def dq_expectation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return expectation_metrics(orders, _orders_rules())

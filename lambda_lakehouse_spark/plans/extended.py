@@ -1455,3 +1455,61 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("obs_value").isNotNull().alias("is_observed"),
         F.datediff(F.col("day"), last_obs_day).cast("int").alias("days_since_obs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering keys
+# ---------------------------------------------------------------------------
+#
+# The computable core of sources.maintenance.zorder_write (the
+# OPTIMIZE ZORDER capability): per-row Morton values interleaving two
+# min/max-normalized key columns. Pure integer bit arithmetic after
+# one 1-row bounds aggregate — exact on any engine, so the layout
+# decision itself is driver-gradable; the file-locality effect of the
+# clustered write is asserted separately in
+# tests/test_maintenance.py::test_zorder_write_improves_file_locality.
+
+
+def _zorder_oracle() -> str:
+    from lambda_lakehouse_spark.sources.maintenance import Z_BITS, _zvalue_expr
+
+    top = (1 << Z_BITS) - 1
+
+    def bucket(c: str, lo: str, hi: str) -> str:
+        return (
+            f"least(CAST(floor(((CAST({c} AS DOUBLE) - CAST({lo} AS DOUBLE))"
+            f" / greatest(CAST({hi} AS DOUBLE) - CAST({lo} AS DOUBLE), 1.0))"
+            f" * {1 << Z_BITS}) AS BIGINT), {top})"
+        )
+
+    return f"""
+WITH bounds AS (
+  SELECT MIN(l_partkey) AS amin, MAX(l_partkey) AS amax,
+         MIN(l_suppkey) AS bmin, MAX(l_suppkey) AS bmax
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       {_zvalue_expr(bucket('l_partkey', 'amin', 'amax'),
+                     bucket('l_suppkey', 'bmin', 'bmax'))} AS zval
+FROM lineitem, bounds
+"""
+
+
+@register(
+    "zorder_layout_keys",
+    _zorder_oracle(),
+    doc="Z-order (Morton) clustering keys for the OPTIMIZE-ZORDER "
+    "write path: interleave min/max-normalized (l_partkey, l_suppkey) "
+    "bits into a 32-bit z-value — exact integer arithmetic after a "
+    "1-row bounds aggregate (broadcast, control-plane)",
+    tags=("maintenance", "layout", "zorder"),
+)
+def zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lambda_lakehouse_spark.sources.maintenance import with_zvalue
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return with_zvalue(li, "l_partkey", "l_suppkey").select(
+        "l_orderkey", "l_linenumber", "zval"
+    )

@@ -95,6 +95,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pack_sequences_nextfit",
     "timeseries_gap_fill",
     "retention_cohorts",
+    "zorder_layout_keys",
+    "dq_expectation_metrics",
     # — stale rows: last green r2/r3; code unchanged, but fresh rows
     # guard against environment drift (e.g. the Spark-4 NTZ bump) —
     "fact_assembly_star",
@@ -156,6 +158,7 @@ def load_all() -> dict[str, Query]:
     import lambda_lakehouse_spark.operators.text  # noqa: F401
     import lambda_lakehouse_spark.operators.sessionize  # noqa: F401
     import lambda_lakehouse_spark.operators.corpus  # noqa: F401
+    import lambda_lakehouse_spark.operators.dq  # noqa: F401
 
     ordered: dict[str, Query] = {}
     for name in DRIVER_PRIORITY:

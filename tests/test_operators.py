@@ -447,3 +447,32 @@ def test_gap_fill_leading_gap_stays_null(spark):
                 assert r.days_since_obs > 0
     # the sf0.001 fixture is sparse enough to exercise the branch
     assert saw_leading_gap
+
+
+def test_dq_expectations_partition(spark):
+    """Row-level behavior of the DQ gate: failed_rules lists exactly
+    the violated rule names (sorted), NULL verdicts quarantine, clean
+    rows pass."""
+    from pyspark.sql import functions as F
+
+    from lambda_lakehouse_spark.operators.dq import with_expectations
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "A"),      # clean
+            (2, -5.0, "A"),      # fails positive
+            (3, 10.0, "X"),      # fails known_code
+            (4, None, "X"),      # NULL verdict + bad code -> both fail
+        ],
+        "id long, amount double, code string",
+    )
+    rules = {
+        "positive": F.col("amount") > 0,
+        "known_code": F.col("code").isin("A", "B"),
+    }
+    rows = {r.id: r for r in with_expectations(df, rules).collect()}
+    assert rows[1].dq_pass and rows[1].failed_rules == []
+    assert rows[2].failed_rules == ["positive"]
+    assert rows[3].failed_rules == ["known_code"]
+    assert rows[4].failed_rules == ["known_code", "positive"]  # NULL counts
+    assert not rows[4].dq_pass

@@ -243,7 +243,12 @@ def test_no_pathological_join_plans(spark):
     # both entries join a deliberate 1-row broadcast side (simhash's
     # reference signature; the sketch query's merge-identity flag) —
     # bounded by aggregation, harmless at any scale
-    bnlj_ok = {"dedup_simhash", "agg_approx_sketches", "q11_important_stock"}
+    bnlj_ok = {
+        "dedup_simhash",
+        "agg_approx_sketches",
+        "q11_important_stock",
+        "zorder_layout_keys",  # 1-row min/max bounds aggregate
+    }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
@@ -292,6 +297,9 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
         # national lineitem slice, broadcast for the share-of-total
         # HAVING — agg-bounded by construction
         "q11_important_stock": {"lineitem.parquet", "supplier.parquet"},
+        # z-order bounds: 1-row global min/max aggregate of the key
+        # columns, broadcast to normalize per-row buckets
+        "zorder_layout_keys": {"lineitem.parquet"},
         "ann_cosine_topk_brute": {"embeddings.parquet"},
         "ann_cosine_topk_ivf": {"embeddings.parquet"},
         "ann_cosine_topk_ivf_pretrained": {"embeddings.parquet"},
