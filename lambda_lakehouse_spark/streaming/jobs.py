@@ -303,3 +303,47 @@ def near_dup_alert_sink(
         )
 
     return _sink
+
+
+def dq_gate_sink(
+    rules,
+    pass_path: str,
+    quarantine_path: str,
+):
+    """foreachBatch streaming DQ gate: run ``operators.dq
+    .with_expectations`` over each micro-batch and route rows to the
+    pass / quarantine tables — the speed-layer twin of the batch DQ
+    operator (same rule Columns, so batch and stream cannot drift).
+
+    Both writes are replay-idempotent under foreachBatch's
+    at-least-once contract: each epoch dynamically overwrites only its
+    own ``epoch_id`` partition (the ``near_dup_alert_sink`` rails).
+    ``failed_rules`` is stored comma-joined so the quarantine table
+    stays flat-typed for any downstream reader.
+    """
+    from lambda_lakehouse_spark.operators.dq import with_expectations
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        checked = with_expectations(batch_df, rules).withColumn(
+            "epoch_id", F.lit(epoch_id)
+        )
+        passed = checked.where(F.col("dq_pass")).drop("failed_rules", "dq_pass")
+        quarantined = (
+            checked.where(~F.col("dq_pass"))
+            .withColumn("failed_rules", F.concat_ws(",", "failed_rules"))
+            .drop("dq_pass")
+        )
+        # one materialization of the shared verdict subtree per leg is
+        # fine: each is a narrow filter over the batch scan
+        write_partitioned(
+            passed, pass_path, partition_by=("epoch_id",),
+            dynamic_overwrite=True,
+        )
+        write_partitioned(
+            quarantined, quarantine_path, partition_by=("epoch_id",),
+            dynamic_overwrite=True,
+        )
+
+    return _sink

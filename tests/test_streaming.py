@@ -448,3 +448,53 @@ def test_near_dup_alert_stream_matches_per_batch_incremental(
     assert all(abs(got[k] - expected[k]) < 1e-12 for k in got)
     # sanity: the fixture actually exercises the path
     assert len(got) > 0
+
+
+def test_dq_gate_stream_partitions_and_matches_batch(spark, events_src, tmp_path):
+    """Streaming DQ gate: pass + quarantine tables together hold every
+    event exactly once, quarantine rows carry the right failed_rules,
+    and the routing matches the batch with_expectations verdicts."""
+    from lambda_lakehouse_spark.operators.dq import with_expectations
+    from lambda_lakehouse_spark.streaming.jobs import dq_gate_sink
+
+    path, batch = events_src
+    rules = {
+        "positive_value": F.col("value") > 0,
+        "known_type": F.col("event_type").isin(
+            "click", "view", "purchase", "signup"
+        ),  # 'error' events quarantine
+    }
+    pass_path = str(tmp_path / "dq_pass")
+    quar_path = str(tmp_path / "dq_quarantine")
+    stream = _stream(spark, path, batch.schema)
+    q = (
+        stream.writeStream.foreachBatch(dq_gate_sink(rules, pass_path, quar_path))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    passed = spark.read.parquet(pass_path)
+    quarantined = spark.read.parquet(quar_path)
+    n_total = batch.count()
+    assert passed.count() + quarantined.count() == n_total
+    assert quarantined.where(F.col("failed_rules") == "").count() == 0
+
+    # verdict parity with the batch operator on the same rules
+    expected_quar = {
+        r.event_id
+        for r in with_expectations(batch, rules)
+        .where(~F.col("dq_pass"))
+        .select("event_id")
+        .collect()
+    }
+    got_quar = {r.event_id for r in quarantined.select("event_id").collect()}
+    assert got_quar == expected_quar and len(got_quar) > 0
+
+    # every 'error' event quarantines with known_type listed
+    err_rows = quarantined.where(F.col("event_type") == "error")
+    assert err_rows.count() == batch.where(F.col("event_type") == "error").count()
+    assert all(
+        "known_type" in r.failed_rules.split(",") for r in err_rows.collect()
+    )
