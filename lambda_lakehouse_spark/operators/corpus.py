@@ -443,6 +443,7 @@ FROM packed
     "against the identical fold as a recursive-CTE oracle; at scale "
     "the fold runs per (source, range-shard)",
     tags=("corpus", "packing", "stateful"),
+    bench=True,
 )
 def pack_sequences_nextfit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")

@@ -1409,6 +1409,7 @@ WINDOW w AS (PARTITION BY event_type, bucket ORDER BY day
     "join), last-observation-carried-forward + observation age via "
     "ignore-nulls windows",
     tags=("timeseries", "window", "generate", "join"),
+    bench=True,
 )
 def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W

@@ -252,10 +252,12 @@ def test_table_diff_matches_model(spark, old_rows, new_rows):
 
 def test_hll_sketch_partials_merge_to_global_estimate(spark):
     """The 100 TB claim behind agg_approx_sketches: HLL sketches built
-    per partition-slice and merged with hll_union_agg give the SAME
-    estimate as one global hll_sketch_agg over all rows — map-side
-    partial sketches are lossless under merge, so distinct-count cost
-    is O(sketch) per partition instead of a value-domain shuffle."""
+    per partition-slice and merged with hll_union_agg estimate the
+    same cardinality as one global hll_sketch_agg over all rows (the
+    merge is lossless on the observation set; the estimate may differ
+    by representation within the error envelope) — so distinct-count
+    cost is O(sketch) per partition instead of a value-domain
+    shuffle."""
     from pyspark.sql import functions as F
 
     from lambda_lakehouse_spark.sources.readers import read_table
@@ -273,6 +275,13 @@ def test_hll_sketch_partials_merge_to_global_estimate(spark):
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
         .first().e
     )
-    assert merged_est == global_est
     exact = orders.select("o_custkey").distinct().count()
+    # Merge is LOSSLESS on the coupon set, but the union gadget may
+    # hold the same set in a different internal representation than a
+    # directly-built sketch (sparse->dense promotion order), so the
+    # two ESTIMATES need not be bit-equal (observed at sf0.01:
+    # 1488 vs 1492 on 1500 exact). Both must sit inside the sketch's
+    # accuracy envelope and within 1% of each other.
+    assert abs(merged_est - global_est) / exact < 0.01
     assert abs(merged_est - exact) / exact < 0.05  # HLL error envelope
+    assert abs(global_est - exact) / exact < 0.05
