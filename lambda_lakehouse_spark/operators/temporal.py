@@ -117,3 +117,52 @@ def as_of_join(
     renames = [F.col(f"__vrow.{c}").alias(c) for c in value_cols]
     keep = [c for c in left.columns]
     return out.select(*keep, *renames)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    tolerance_s: int,
+) -> DataFrame:
+    """Band join: all (left, right) pairs sharing ``keys`` with
+    ``|left_ts - right_ts| <= tolerance_s``; every other column of
+    both inputs passes through (non-key column names must be disjoint).
+
+    Spark plans a bare non-equi time predicate as a nested-loop join —
+    quadratic per key. The scale formulation buckets time by the
+    tolerance: the LEFT side explodes into its bucket and both
+    neighbors, the RIGHT side keeps its single home bucket, and the
+    join becomes EQUI on (keys..., bucket) with the exact band
+    predicate as a post-filter. Any qualifying pair differs by at most
+    one bucket, and since each right row appears in exactly ONE bucket
+    no pair can match twice — no dedup pass needed. Cost: 3x left
+    shuffle width, zero false negatives, candidate set bounded by
+    per-(key, 3-bucket-window) density instead of per-key row count.
+
+    All time math is integer microseconds (``unix_micros`` /
+    ``epoch_us``), so bucket edges and the band predicate are exact on
+    any engine. ``delta_us = right_ts - left_ts`` is appended.
+    """
+    keys = list(keys)
+    tol_us = int(tolerance_s) * 1_000_000
+    lb = F.expr(f"unix_micros({left_ts}) div {tol_us}")
+    l_exp = left.withColumn(
+        "_lus", F.expr(f"unix_micros({left_ts})")
+    ).withColumn("_bucket", F.explode(F.array(lb - 1, lb, lb + 1)))
+    r_home = right.withColumn(
+        "_rus", F.expr(f"unix_micros({right_ts})")
+    ).withColumn("_rbucket", F.expr(f"unix_micros({right_ts}) div {tol_us}"))
+    for k in keys:
+        r_home = r_home.withColumnRenamed(k, f"_r_{k}")
+    cond = [F.col("_bucket") == F.col("_rbucket")] + [
+        F.col(k) == F.col(f"_r_{k}") for k in keys
+    ]
+    return (
+        l_exp.join(r_home, cond)
+        .where(F.abs(F.col("_lus") - F.col("_rus")) <= tol_us)
+        .withColumn("delta_us", F.col("_rus") - F.col("_lus"))
+        .drop("_lus", "_rus", "_bucket", "_rbucket", *[f"_r_{k}" for k in keys])
+    )

@@ -345,3 +345,49 @@ def scd2_incremental_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "plan_tier", "band", "attr_fp",
         "effective_from", "effective_to", "is_current", "version",
     )
+
+
+# ---------------------------------------------------------------------------
+# Band (interval) join — purchases to clicks within a time tolerance
+# ---------------------------------------------------------------------------
+
+_INTERVAL_ORACLE = """
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       epoch_us(CAST(c.ts AS TIMESTAMP)) - epoch_us(CAST(p.ts AS TIMESTAMP))
+         AS delta_us
+FROM events p
+JOIN events c ON p.user_id = c.user_id
+WHERE p.event_type = 'purchase'
+  AND c.event_type = 'click'
+  AND abs(epoch_us(CAST(c.ts AS TIMESTAMP)) - epoch_us(CAST(p.ts AS TIMESTAMP)))
+      <= 1800000000
+"""
+
+
+@register(
+    "interval_join_events",
+    _INTERVAL_ORACLE,
+    doc="Band join (|t_left - t_right| <= 30 min on a shared key) via "
+    "tolerance-bucketed equi join: left explodes into home+neighbor "
+    "buckets, right keeps its single home bucket, exact band predicate "
+    "as post-filter — no nested-loop plan, no duplicate pairs, zero "
+    "false negatives; integer-microsecond time math on both engines "
+    "(operators/temporal.py::interval_join)",
+    tags=("join", "interval", "band", "events"),
+)
+def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lambda_lakehouse_spark.operators.temporal import interval_join
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    return interval_join(
+        purchases, clicks, keys=("user_id",), left_ts="pts", right_ts="cts",
+        tolerance_s=1800,
+    ).select("user_id", "purchase_id", "click_id", "delta_us")

@@ -98,6 +98,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "zorder_layout_keys",
     "dq_expectation_metrics",
     "scd2_incremental_fold",
+    "interval_join_events",
     # — stale rows: last green r2/r3; code unchanged, but fresh rows
     # guard against environment drift (e.g. the Spark-4 NTZ bump) —
     "fact_assembly_star",

@@ -476,3 +476,51 @@ def test_dq_expectations_partition(spark):
     assert rows[3].failed_rules == ["known_code"]
     assert rows[4].failed_rules == ["known_code", "positive"]  # NULL counts
     assert not rows[4].dq_pass
+
+
+def test_interval_join_matches_naive_band_join(spark):
+    """Bucketed band join == naive non-equi join, including exact
+    tolerance-boundary and bucket-edge pairs."""
+    import datetime as dt
+
+    from lambda_lakehouse_spark.operators.temporal import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    tol = 60  # seconds
+
+    def ts(s):
+        return base + dt.timedelta(seconds=s)
+
+    # offsets engineered to sit on bucket edges (60s buckets) and on
+    # the exact tolerance boundary
+    left = spark.createDataFrame(
+        [(1, 100, ts(0)), (1, 101, ts(59)), (1, 102, ts(120)), (2, 103, ts(0))],
+        "k long, lid long, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 200, ts(60)),    # 60s from lid=100 -> exactly tol: match
+            (1, 201, ts(61)),    # 61s from lid=100 -> no; 2s from 101 -> yes
+            (1, 202, ts(181)),   # 61s from lid=102 -> no match
+            (2, 203, ts(59)),    # within tol of 103, different key than k=1
+            (3, 204, ts(0)),     # key with no left rows
+        ],
+        "k long, rid long, rts timestamp",
+    )
+    got = {
+        (r.k, r.lid, r.rid, r.delta_us)
+        for r in interval_join(
+            left, right, keys=("k",), left_ts="lts", right_ts="rts", tolerance_s=tol
+        ).collect()
+    }
+    naive = {
+        (r.k, r.lid, r.rid, r.delta_us)
+        for r in left.join(right, "k")
+        .where(F.abs(F.unix_micros("rts") - F.unix_micros("lts")) <= tol * 1_000_000)
+        .withColumn("delta_us", F.unix_micros("rts") - F.unix_micros("lts"))
+        .collect()
+    }
+    assert got == naive
+    assert (1, 100, 200, 60_000_000) in got      # exact boundary kept
+    assert (1, 101, 201, 2_000_000) in got       # cross-bucket neighbor
+    assert not any(r[0] == 3 for r in got)
