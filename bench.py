@@ -101,10 +101,24 @@ def main() -> None:
                 [sys.executable, os.path.abspath(__file__), "--single", name],
                 capture_output=True,
                 text=True,
-                check=True,
             )
-            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            timings[name] = json.loads(line)["sec"]
+            lines = [l for l in out.stdout.splitlines() if l.startswith('{"query"')]
+            if out.returncode != 0 or not lines:
+                # keep the sweep alive: report the failure, emit null
+                # for this query, and preserve every timing already
+                # measured instead of losing the whole run
+                reason = (
+                    out.stderr.strip().splitlines()[-1][:300]
+                    if out.stderr.strip()
+                    else "no output"
+                )
+                print(
+                    f"bench isolate: {name} failed (rc={out.returncode}): {reason}",
+                    file=sys.stderr,
+                )
+                timings[name] = None
+                continue
+            timings[name] = json.loads(lines[-1])["sec"]
     else:
         spark = get_spark(app_name="lakehouse-bench")
         registry = load_all()
@@ -115,7 +129,7 @@ def main() -> None:
         for name in names:
             timings[name] = time_query(spark, registry[name], sf_dir)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t is not None), 3)
     print(
         json.dumps(
             {

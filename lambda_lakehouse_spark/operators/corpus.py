@@ -394,8 +394,12 @@ def pack_sequences_nextfit(
         pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
         pack_ids = []
         pack, fill = 0, 0
-        for w in pdf[weight_col]:
-            if fill and fill + w > budget:
+        # mirror the recursive-CTE oracle exactly: from the second doc
+        # on, a new pack opens iff fill + w exceeds the budget — no
+        # fill-truthiness shortcut (zero-weight docs must not merge a
+        # following oversized doc into their pack)
+        for i, w in enumerate(pdf[weight_col]):
+            if i > 0 and fill + w > budget:
                 pack += 1
                 fill = 0
             fill += w

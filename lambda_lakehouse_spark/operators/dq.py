@@ -16,6 +16,7 @@ the verdict column), one map-side-combined aggregate for metrics.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -25,11 +26,27 @@ from lambda_lakehouse_spark.registry import register
 from lambda_lakehouse_spark.sources.readers import read_table
 
 
+_RULE_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _check_rule_names(rules: Mapping[str, Column]) -> None:
+    """Rule names must be bare identifiers: metrics interpolates them
+    into a generated ``stack(...)`` expression (as both a string
+    literal and a column suffix), so a space or quote would otherwise
+    surface as a ParseException far from the caller's mistake."""
+    bad = [n for n in rules if not _RULE_NAME_RE.match(n)]
+    if bad:
+        raise ValueError(
+            f"DQ rule names must match [A-Za-z_][A-Za-z0-9_]*: {bad}"
+        )
+
+
 def with_expectations(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
     """Attach ``failed_rules`` (sorted array of names of violated
     rules; empty = clean) and ``dq_pass``. A NULL rule verdict counts
     as a violation (SQL three-valued logic must not let unknowns
     through a quality gate)."""
+    _check_rule_names(rules)
     failed = F.sort_array(
         F.filter(
             F.array(
@@ -48,6 +65,7 @@ def with_expectations(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
 
 def expectation_metrics(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
     """Per-rule violation counts + rates from one aggregate pass."""
+    _check_rule_names(rules)
     checked = with_expectations(df, rules)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for name in sorted(rules):

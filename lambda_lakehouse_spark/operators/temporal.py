@@ -147,6 +147,12 @@ def interval_join(
     any engine. ``delta_us = right_ts - left_ts`` is appended.
     """
     keys = list(keys)
+    if tolerance_s <= 0:
+        # tol 0 would make every bucket expression `x div 0` -> NULL
+        # (non-ANSI), silently joining nothing; an exact-timestamp
+        # match is an equi join on the timestamp, not a band join.
+        raise ValueError("interval_join requires tolerance_s > 0; "
+                         "use an equi join on the timestamp for exact matches")
     tol_us = int(tolerance_s) * 1_000_000
     lb = F.expr(f"unix_micros({left_ts}) div {tol_us}")
     l_exp = left.withColumn(

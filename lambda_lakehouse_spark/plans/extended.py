@@ -1277,9 +1277,15 @@ def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stays below 2^53 for any realistic n, so the double division is
 # exact on every engine). Same rank-based shape as corpus_stats'
 # median: ONE shuffle on the group key for the sort window, the same
-# partitioning reused by the final aggregate. At 100 TB the window
-# sort is a per-group external sort — no driver involvement, no
-# all-to-one collect.
+# partitioning reused by the final aggregate, and the per-group work
+# is an external sort with no driver involvement. CAVEAT: parallelism
+# equals the GROUP COUNT (l_returnflag has 3 values -> 3 sort tasks
+# regardless of data size). That is the right shape when groups are
+# plentiful (the common per-tenant/per-day case); for a handful of
+# huge groups the scale path is two-phase: a per-(group, value-bucket)
+# count histogram (fine-grained shuffle), cumulative bucket ranks to
+# locate each percentile's bucket, then a rank-within-bucket pass over
+# only the hit buckets — same exact result, parallelism restored.
 
 _PCTL_ORACLE = """
 WITH ranked AS (
@@ -1472,27 +1478,29 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _zorder_oracle() -> str:
-    from lambda_lakehouse_spark.sources.maintenance import Z_BITS, _zvalue_expr
+    from lambda_lakehouse_spark.sources.maintenance import (
+        _zvalue_expr,
+        zbucket_sql,
+    )
 
-    top = (1 << Z_BITS) - 1
-
-    def bucket(c: str, lo: str, hi: str) -> str:
-        return (
-            f"least(CAST(floor(((CAST({c} AS DOUBLE) - CAST({lo} AS DOUBLE))"
-            f" / greatest(CAST({hi} AS DOUBLE) - CAST({lo} AS DOUBLE), 1.0))"
-            f" * {1 << Z_BITS}) AS BIGINT), {top})"
-        )
-
+    # the SAME bucket expression text the Spark side uses (engine-
+    # portable SQL subset), with buckets computed once in a subquery
+    # exactly as with_zvalue computes them once as columns
     return f"""
 WITH bounds AS (
   SELECT MIN(l_partkey) AS amin, MAX(l_partkey) AS amax,
          MIN(l_suppkey) AS bmin, MAX(l_suppkey) AS bmax
   FROM lineitem
+),
+bucketed AS (
+  SELECT l_orderkey, l_linenumber,
+         {zbucket_sql('l_partkey', 'amin', 'amax')} AS ba,
+         {zbucket_sql('l_suppkey', 'bmin', 'bmax')} AS bb
+  FROM lineitem, bounds
 )
 SELECT l_orderkey, l_linenumber,
-       {_zvalue_expr(bucket('l_partkey', 'amin', 'amax'),
-                     bucket('l_suppkey', 'bmin', 'bmax'))} AS zval
-FROM lineitem, bounds
+       {_zvalue_expr('ba', 'bb')} AS zval
+FROM bucketed
 """
 
 

@@ -208,33 +208,45 @@ def _zvalue_expr(bucket_a: str, bucket_b: str) -> str:
     return " + ".join(terms)
 
 
+def zbucket_sql(c: str, lo: str, hi: str) -> str:
+    """Normalize ``c`` into [0, 2^Z_BITS) by the (lo, hi) bounds.
+    The divisor guard fires ONLY on a degenerate zero-span column
+    (hi == lo -> every row buckets to 0); any real span divides by
+    the true range, however small, so sub-1.0 ranges still use the
+    full bucket resolution. Engine-portable: same text runs as a
+    Spark expression and (upper-cased keywords aside) DuckDB SQL."""
+    top = (1 << Z_BITS) - 1
+    span = (
+        f"(case when cast({hi} as double) = cast({lo} as double) then 1.0"
+        f" else cast({hi} as double) - cast({lo} as double) end)"
+    )
+    return (
+        f"least(cast(floor(((cast({c} as double) - cast({lo} as double))"
+        f" / {span}) * {1 << Z_BITS}) as bigint), {top})"
+    )
+
+
 def with_zvalue(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     """Attach ``zval`` (Morton interleave of the two columns, each
     min/max-normalized to Z_BITS bits). Bounds via a 1-row aggregate
-    joined back broadcast-style — no driver round trip."""
+    joined back broadcast-style — no driver round trip. The two bucket
+    columns are computed ONCE and the interleave references them, so
+    the generated expression stays small (32 bit-terms over two
+    columns, not 32 copies of the normalization)."""
     bounds = df.agg(
         F.min(col_a).alias("__amin"),
         F.max(col_a).alias("__amax"),
         F.min(col_b).alias("__bmin"),
         F.max(col_b).alias("__bmax"),
     )
-    j = df.join(F.broadcast(bounds))
-    top = (1 << Z_BITS) - 1
-
-    def bucket(c: str, lo: str, hi: str) -> str:
-        return (
-            f"least(cast(floor(((cast({c} as double) - cast({lo} as double))"
-            f" / greatest(cast({hi} as double) - cast({lo} as double), 1.0))"
-            f" * {1 << Z_BITS}) as bigint), {top}L)"
-        )
-
-    return j.withColumn(
-        "zval",
-        F.expr(
-            _zvalue_expr(bucket(col_a, "__amin", "__amax"),
-                         bucket(col_b, "__bmin", "__bmax"))
-        ),
-    ).drop("__amin", "__amax", "__bmin", "__bmax")
+    j = (
+        df.join(F.broadcast(bounds))
+        .withColumn("__ba", F.expr(zbucket_sql(col_a, "__amin", "__amax")))
+        .withColumn("__bb", F.expr(zbucket_sql(col_b, "__bmin", "__bmax")))
+    )
+    return j.withColumn("zval", F.expr(_zvalue_expr("__ba", "__bb"))).drop(
+        "__amin", "__amax", "__bmin", "__bmax", "__ba", "__bb"
+    )
 
 
 def zorder_write(

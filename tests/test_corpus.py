@@ -134,3 +134,18 @@ def test_pack_sequences_nextfit_invariants(spark):
         assert pack_ids[0] == 0
         # no gaps
         assert set(pack_ids) == set(range(max(pack_ids) + 1))
+
+
+def test_pack_nextfit_zero_weight_then_oversized(spark):
+    """A zero-weight doc must not absorb a following oversized doc
+    into its pack (mirrors the recursive-CTE oracle's fold exactly —
+    no fill-truthiness shortcut)."""
+    from lambda_lakehouse_spark.operators.corpus import pack_sequences_nextfit
+
+    docs = spark.createDataFrame(
+        [("s", 1, 0), ("s", 2, 1500), ("s", 3, 10)],
+        "source string, doc_id long, n_chars long",
+    )
+    rows = {r.doc_id: r.pack_id for r in
+            pack_sequences_nextfit(docs, budget=1000).collect()}
+    assert rows == {1: 0, 2: 1, 3: 2}

@@ -524,3 +524,29 @@ def test_interval_join_matches_naive_band_join(spark):
     assert (1, 100, 200, 60_000_000) in got      # exact boundary kept
     assert (1, 101, 201, 2_000_000) in got       # cross-bucket neighbor
     assert not any(r[0] == 3 for r in got)
+
+
+def test_dq_rejects_non_identifier_rule_names(spark):
+    import pytest as _pytest
+
+    from lambda_lakehouse_spark.operators.dq import (
+        expectation_metrics,
+        with_expectations,
+    )
+
+    df = spark.createDataFrame([(1,)], "id long")
+    bad = {"has space": F.col("id") > 0}
+    with _pytest.raises(ValueError, match="rule names"):
+        with_expectations(df, bad)
+    with _pytest.raises(ValueError, match="rule names"):
+        expectation_metrics(df, bad)
+
+
+def test_interval_join_rejects_nonpositive_tolerance(spark):
+    import pytest as _pytest
+
+    from lambda_lakehouse_spark.operators.temporal import interval_join
+
+    df = spark.createDataFrame([(1, None)], "k long, t timestamp")
+    with _pytest.raises(ValueError, match="tolerance"):
+        interval_join(df, df, keys=("k",), left_ts="t", right_ts="t", tolerance_s=0)
