@@ -285,3 +285,85 @@ def test_hll_sketch_partials_merge_to_global_estimate(spark):
     assert abs(merged_est - global_est) / exact < 0.01
     assert abs(merged_est - exact) / exact < 0.05  # HLL error envelope
     assert abs(global_est - exact) / exact < 0.05
+
+
+# --- band (interval) join vs brute-force model -------------------------
+
+interval_rows = st.lists(
+    st.tuples(
+        st.sampled_from([1, 2]),                      # key
+        st.integers(min_value=0, max_value=600),      # seconds offset
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(interval_rows, interval_rows, st.sampled_from([30, 60, 97]))
+def test_interval_join_equals_brute_force(spark, lrows, rrows, tol):
+    """Bucketed band join == brute-force pairs on random timestamps and
+    tolerances (bucket widths deliberately non-round to hit edges)."""
+    from lambda_lakehouse_spark.operators.temporal import interval_join
+
+    base = dt.datetime(2024, 6, 1)
+    left = spark.createDataFrame(
+        [(k, i, base + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(lrows)],
+        "k long, lid long, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, i, base + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(rrows)],
+        "k long, rid long, rts timestamp",
+    )
+    got = {
+        (r.k, r.lid, r.rid)
+        for r in interval_join(
+            left, right, keys=("k",), left_ts="lts", right_ts="rts", tolerance_s=tol
+        ).collect()
+    }
+    expected = {
+        (lk, li, ri)
+        for li, (lk, ls) in enumerate(lrows)
+        for ri, (rk, rs) in enumerate(rrows)
+        if lk == rk and abs(ls - rs) <= tol
+    }
+    assert got == expected
+
+
+# --- repetition scores vs pure-Python model ----------------------------
+
+words_strategy = st.lists(
+    st.sampled_from(["a", "b", "c", "dd"]), min_size=1, max_size=12
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(words_strategy, min_size=1, max_size=4))
+def test_repetition_scores_equal_python_model(spark, docs_words):
+    from collections import Counter
+
+    from lambda_lakehouse_spark.operators.text import repetition_scores
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs_words)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_scores(docs).collect()}
+    for i, ws in enumerate(docs_words):
+        n = len(ws)
+        bigrams = [f"{ws[j]} {ws[j+1]}" for j in range(n - 1)]
+        r = got[i]
+        assert r.n_words == n
+        assert r.distinct_word_ratio == len(set(ws)) / n
+        assert r.dup_bigram_frac == (
+            (1.0 - len(set(bigrams)) / (n - 1)) if n > 1 else 0.0
+        )
+        assert r.top_word_share == Counter(ws).most_common(1)[0][1] / n
