@@ -484,3 +484,105 @@ JOIN tw ON tw.doc_id = b.doc_id
 def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     return repetition_scores(docs)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary-coverage quality scoring (corpus-statistic → per-doc signal)
+# ---------------------------------------------------------------------------
+#
+# The CCNet-family quality signal without the float-fragile LM: build
+# the corpus top-K vocabulary (count-ranked, deterministic (count
+# DESC, word) tie-break), then score each document by the fraction of
+# its tokens inside that vocabulary. Unlike the other text operators
+# this one feeds a CORPUS-level statistic back into a per-doc
+# projection — two aggregate passes + one join, all integer counts and
+# one final ratio, so it is exactly reproducible on any engine
+# (a unigram-LM log-prob average is not: log() rounding is
+# engine-specific).
+#
+# Scale: the word histogram is the inverted-index shuffle (fine-
+# grained, map-side combined); the top-K filter bounds the vocab at K
+# rows BY CONSTRUCTION, so the vocab side of the per-token join is
+# broadcast-sized at any corpus scale (AQE broadcasts it unhinted);
+# the per-doc aggregate shuffles on doc_id. Hot words skew the
+# histogram's reduce side only as single combined rows — no key ever
+# carries more than one row per map partition.
+
+VOCAB_K = 100
+
+
+def vocab_coverage(docs: DataFrame, k: int = VOCAB_K) -> DataFrame:
+    """doc_id, n_tokens, in_vocab_tokens, vocab_coverage against the
+    corpus top-``k`` word vocabulary."""
+    from pyspark.sql import Window as W
+
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    # single-partition window over the DISTINCT-WORD counts only (vocab
+    # candidates, not corpus tokens) — bounded input, and only rank <= k
+    # survives
+    rk = F.row_number().over(W.orderBy(F.col("cnt").desc(), F.col("word")))
+    vocab = (
+        counts.select("word", rk.alias("rk"))
+        .where(F.col("rk") <= k)
+        .select("word", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        words.join(vocab, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("_in_vocab"), F.lit(0)))
+            .cast("bigint")
+            .alias("in_vocab_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "in_vocab_tokens",
+            (
+                F.col("in_vocab_tokens").cast("double") / F.col("n_tokens")
+            ).alias("vocab_coverage"),
+        )
+    )
+
+
+_VOCAB_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+c AS (
+  SELECT word, COUNT(*) AS cnt FROM w GROUP BY 1
+),
+v AS (
+  SELECT word FROM (
+    SELECT word, ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rk FROM c
+  ) WHERE rk <= {VOCAB_K}
+)
+SELECT w.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS in_vocab_tokens,
+       CAST(SUM(CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS vocab_coverage
+FROM w
+LEFT JOIN v ON v.word = w.word
+GROUP BY w.doc_id
+"""
+
+
+@register(
+    "text_vocab_coverage",
+    _VOCAB_ORACLE,
+    doc="Vocabulary-coverage quality scoring: corpus top-100 vocab "
+    "(count-ranked, deterministic tie-break) -> per-doc in-vocab token "
+    "fraction — the CCNet-style signal in exact integer counts; the "
+    "vocab side is K rows by construction so the per-token join "
+    "broadcasts at any corpus scale",
+    tags=("text", "quality", "vocab", "join"),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return vocab_coverage(docs)
