@@ -7,11 +7,14 @@ table.
 The reference enforces quality implicitly (G-series guards scattered
 through ``stg``/``curated`` jobs — e.g. ``vn_stg_processing.py``'s
 null/empty filters); this makes the same checks declarative and
-reusable. Both outputs come from ONE pass over the input: the rule
-verdicts are a pure projection (every rule is a Column expression —
-codegen'd, no Python), the metrics a single aggregate over it.
-At 100 TB: zero extra shuffles for the partitioning (narrow filter on
-the verdict column), one map-side-combined aggregate for metrics.
+reusable. The rule verdicts are a pure projection (every rule is a
+Column expression — codegen'd, no Python); the metrics are a single
+map-side-combined aggregate over that projection. The pass/quarantine
+split is two narrow filters over the verdict projection — no shuffle,
+but each leg re-reads the input unless the caller persists the
+checked frame (the streaming gate accepts this: a micro-batch scan is
+cheap; a huge batch caller should cache or write the checked frame
+once and filter from there).
 """
 
 from __future__ import annotations
