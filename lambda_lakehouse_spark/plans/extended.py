@@ -1522,3 +1522,57 @@ def zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_zvalue(li, "l_partkey", "l_suppkey").select(
         "l_orderkey", "l_linenumber", "zval"
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted hot-key join — driver-certified result parity
+# ---------------------------------------------------------------------------
+#
+# operators/skew.py::salted_join has plan/property tests; this gives
+# the skew path a DRIVER row: a deliberately skewed key (3/4 of all
+# lineitems collapse onto key 1) joined to its dim through the salted
+# formulation, hash-matched against the plain SQL join — salting must
+# be invisible in the result. The 16x dim inflation is the documented
+# cost; the dim here is distinct-key-derived and bounded by the key
+# domain.
+
+_SALTED_ORACLE = """
+WITH skewed AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_orderkey % 4 <> 0 THEN 1 ELSE l_orderkey END AS join_key
+  FROM lineitem
+),
+dim AS (
+  SELECT DISTINCT join_key, join_key * 10 AS dim_val FROM skewed
+)
+SELECT s.l_orderkey, s.l_linenumber, s.join_key, d.dim_val
+FROM skewed s
+JOIN dim d ON d.join_key = s.join_key
+"""
+
+
+@register(
+    "join_salted_hot_key",
+    _SALTED_ORACLE,
+    doc="Salted hot-key join (operators/skew.py): a key holding 3/4 of "
+    "all rows is joined through 16-way salting — composite (key, salt) "
+    "spreads the hot key across tasks; result hash-matched against the "
+    "plain join, so the mitigation is certifiably invisible",
+    tags=("join", "skew", "salt"),
+)
+def join_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lambda_lakehouse_spark.operators.skew import salted_join
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    skewed = li.withColumn(
+        "join_key",
+        F.when(F.col("l_orderkey") % 4 != 0, F.lit(1)).otherwise(
+            F.col("l_orderkey")
+        ).cast("bigint"),
+    )
+    dim = skewed.select("join_key").distinct().withColumn(
+        "dim_val", F.col("join_key") * 10
+    )
+    return salted_join(skewed, dim, ["join_key"]).select(
+        "l_orderkey", "l_linenumber", "join_key", "dim_val"
+    )

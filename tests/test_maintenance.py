@@ -204,3 +204,31 @@ def test_zorder_write_improves_file_locality(spark, tmp_path):
 
     # row parity: the rewrite is a layout change only
     assert spark.read.parquet(zordered).count() == li.count()
+
+
+def test_zvalue_monotone_and_degenerate_span(spark):
+    """Morton values preserve component-wise dominance (z = f(a)+g(b)
+    with disjoint-bit monotone spreads), and a zero-span column
+    degrades gracefully: zval then orders purely by the other column
+    at full bucket resolution (not collapsed to a handful of buckets)."""
+    from lambda_lakehouse_spark.sources.maintenance import with_zvalue
+
+    pts = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in enumerate(
+            [(0, 0), (1, 2), (2, 2), (3, 1), (100, 100), (100, 50)]
+        )],
+        "id long, a double, b double",
+    )
+    z = {r.id: r.zval for r in with_zvalue(pts, "a", "b").collect()}
+    # dominance pairs (component-wise <=) must be z-ordered
+    assert z[0] <= z[1] <= z[2] <= z[4]
+    assert z[5] <= z[4]
+
+    # degenerate: column b constant -> z orders by a alone, strictly
+    const_b = spark.createDataFrame(
+        [(i, float(i) / 1000.0, 7.0) for i in range(5)],
+        "id long, a double, b double",
+    )
+    zc = [r.zval for r in with_zvalue(const_b, "a", "b")
+          .orderBy("id").collect()]
+    assert zc == sorted(zc) and len(set(zc)) == 5  # sub-1.0 range keeps resolution
