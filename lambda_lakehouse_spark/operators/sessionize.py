@@ -311,3 +311,75 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps and islands — longest consecutive-day streak per user
+# ---------------------------------------------------------------------------
+#
+# The calendar-grain twin of sessionize (which islands on timestamp
+# gaps): group each user's distinct activity DAYS into consecutive
+# runs with the classic day-minus-row_number anchor (consecutive days
+# share an anchor date because both advance by 1), then keep the
+# longest run with a deterministic (length DESC, start ASC) tie-break.
+# One shuffle on user_id serves the ranking window and the run
+# aggregate; run counts are bounded by days-per-user, not event
+# volume.
+
+_STREAK_ORACLE = """
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+anchored AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS anchor
+  FROM activity
+),
+runs AS (
+  SELECT user_id, MIN(day) AS streak_start, COUNT(*) AS streak_len
+  FROM anchored
+  GROUP BY user_id, anchor
+),
+best AS (
+  SELECT user_id, streak_start, streak_len,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY streak_len DESC, streak_start) AS rk
+  FROM runs
+)
+SELECT user_id, streak_start, CAST(streak_len AS BIGINT) AS streak_len
+FROM best WHERE rk = 1
+"""
+
+
+@register(
+    "window_gap_islands",
+    _STREAK_ORACLE,
+    doc="Gaps-and-islands: longest consecutive-day activity streak per "
+    "user via the day-minus-row_number anchor idiom, deterministic "
+    "(length DESC, start ASC) tie-break — the calendar-grain twin of "
+    "sessionize",
+    tags=("window", "islands", "events"),
+)
+def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    activity = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    anchored = activity.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    runs = anchored.groupBy("user_id", "anchor").agg(
+        F.min("day").alias("streak_start"),
+        F.count(F.lit(1)).alias("streak_len"),
+    )
+    best = runs.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("user_id").orderBy(
+                F.col("streak_len").desc(), F.col("streak_start")
+            )
+        ),
+    )
+    return best.where(F.col("rk") == 1).select(
+        "user_id", "streak_start", F.col("streak_len").cast("bigint").alias("streak_len")
+    )

@@ -101,6 +101,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "interval_join_events",
     "text_vocab_coverage",
     "join_salted_hot_key",
+    "window_gap_islands",
     # — stale rows: last green r2/r3; code unchanged, but fresh rows
     # guard against environment drift (e.g. the Spark-4 NTZ bump) —
     "fact_assembly_star",
