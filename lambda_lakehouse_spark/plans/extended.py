@@ -1576,3 +1576,44 @@ def join_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(skewed, dim, ["join_key"]).select(
         "l_orderkey", "l_linenumber", "join_key", "dim_val"
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted aggregate statistics
+# ---------------------------------------------------------------------------
+
+# Quantity-weighted mean price per returnflag plus the largest single
+# line's share of the weighted total — the standard weighted-mean
+# shape with both sums decimal-routed (order-independent) and the
+# final divisions in IEEE double, so any engine computes identical
+# bits. One map-side-combined aggregate, no window.
+_WEIGHTED_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty,
+       CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+         / CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+         AS weighted_avg_price,
+       MAX(l_extendedprice * l_quantity)
+         / CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+         AS max_line_share
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "agg_weighted_stats",
+    _WEIGHTED_ORACLE,
+    doc="Weighted aggregate statistics: quantity-weighted mean price "
+    "and max-line contribution share per returnflag — decimal-routed "
+    "sums, IEEE-double final ratios, single map-side-combined pass",
+    tags=("agg", "weighted"),
+)
+def agg_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    wx = F.col("l_extendedprice") * F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("total_qty"),
+        (dsum(wx) / dsum("l_quantity")).alias("weighted_avg_price"),
+        (F.max(wx) / dsum(wx)).alias("max_line_share"),
+    )

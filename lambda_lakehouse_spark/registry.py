@@ -102,6 +102,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_vocab_coverage",
     "join_salted_hot_key",
     "window_gap_islands",
+    "agg_weighted_stats",
     # — stale rows: last green r2/r3; code unchanged, but fresh rows
     # guard against environment drift (e.g. the Spark-4 NTZ bump) —
     "fact_assembly_star",
