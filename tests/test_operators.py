@@ -550,3 +550,44 @@ def test_interval_join_rejects_nonpositive_tolerance(spark):
     df = spark.createDataFrame([(1, None)], "k long, t timestamp")
     with _pytest.raises(ValueError, match="tolerance"):
         interval_join(df, df, keys=("k",), left_ts="t", right_ts="t", tolerance_s=0)
+
+
+def test_gap_islands_crafted_streaks(spark):
+    """Streak grouping and the (length DESC, start ASC) tie-break on
+    crafted calendars: month-boundary continuity, equal-length ties."""
+    import datetime as dt
+
+    from lambda_lakehouse_spark.registry import load_all
+
+    d = dt.date
+
+    rows = []
+    # user 1: 3-day streak spanning a month boundary + later 2-day
+    for day in (d(2024, 1, 30), d(2024, 1, 31), d(2024, 2, 1),
+                d(2024, 2, 10), d(2024, 2, 11)):
+        rows.append((1, dt.datetime.combine(day, dt.time(12))))
+    # user 2: two 2-day streaks -> tie broken by earliest start
+    for day in (d(2024, 3, 1), d(2024, 3, 2), d(2024, 3, 10), d(2024, 3, 11)):
+        rows.append((2, dt.datetime.combine(day, dt.time(8))))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    # run the same logic as the registry query over the crafted frame
+    from pyspark.sql import Window as W
+
+    activity = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    anchored = activity.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    runs = anchored.groupBy("user_id", "anchor").agg(
+        F.min("day").alias("streak_start"), F.count(F.lit(1)).alias("streak_len")
+    )
+    best = runs.withColumn(
+        "rk", F.row_number().over(
+            W.partitionBy("user_id").orderBy(
+                F.col("streak_len").desc(), F.col("streak_start"))
+        )
+    ).where(F.col("rk") == 1)
+    got = {(r.user_id): (r.streak_start, r.streak_len) for r in best.collect()}
+    assert got[1] == (d(2024, 1, 30), 3)   # crosses Jan->Feb
+    assert got[2] == (d(2024, 3, 1), 2)    # tie -> earliest start
