@@ -452,3 +452,166 @@ FROM packed
 def pack_sequences_nextfit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return pack_sequences_nextfit(docs)
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: top word bigrams by document frequency
+# ---------------------------------------------------------------------------
+#
+# The corpus-analysis staple behind boilerplate detection and stop-
+# shingle lists (the LSH cap's input at scale): which n-grams occur in
+# the most documents. Explode → per-doc distinct → one hash-groupBy —
+# map-side partial aggregation keeps the shuffle bounded by the
+# distinct-bigram domain, and the final top-k is a tiny ordered limit
+# (no global sort: Spark's TakeOrderedAndProject).
+
+TOP_NGRAMS_K = 20
+
+_TOP_NGRAMS_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE text <> ''
+),
+bi AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS bigram
+  FROM words, UNNEST(range(1, len(w))) AS t(i)
+)
+SELECT bigram, COUNT(*) AS doc_freq
+FROM bi GROUP BY bigram
+ORDER BY doc_freq DESC, bigram
+LIMIT {TOP_NGRAMS_K}
+"""
+
+
+@register(
+    "corpus_top_ngrams",
+    _TOP_NGRAMS_ORACLE,
+    doc="Heavy-hitter word bigrams by document frequency (top-k with a "
+    "deterministic (freq desc, bigram) tie-break) — the boilerplate/"
+    "stop-shingle detector; integer-only so the oracle is exact",
+    tags=("corpus", "text", "heavy_hitters"),
+)
+def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    bigrams = docs.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("w"),
+    ).select(
+        "doc_id",
+        F.explode(
+            # guard: a 1-word doc has no bigrams (sequence(0,-1) would
+            # generate a DESCENDING range, not an empty one)
+            F.expr(
+                "CASE WHEN size(w) < 2 THEN array()"
+                " ELSE transform(sequence(0, size(w) - 2),"
+                "                i -> concat(w[i], ' ', w[i + 1])) END"
+            )
+        ).alias("bigram"),
+    )
+    return (
+        bigrams.distinct()
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("bigram"))
+        .limit(TOP_NGRAMS_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source document cap (domain balancing)
+# ---------------------------------------------------------------------------
+#
+# Corpus-balancing rule from the large-web-corpus playbook: no single
+# source/domain may contribute more than CAP documents, the survivors
+# chosen by a deterministic content-free hash order (seeded selection,
+# reproducible across runs and engines). One window per source — the
+# shuffle key is the source, skew bounded by the largest domain; at
+# real scale the same rank-filter runs per (source, salt) with a
+# second global rank only over sources that exceeded the cap.
+
+SOURCE_CAP = 30
+
+_CAP_PER_SOURCE_ORACLE = f"""
+SELECT doc_id, source, kept FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR))
+         ) <= {SOURCE_CAP} AS kept
+  FROM documents
+) t
+"""
+
+
+@register(
+    "sample_cap_per_source",
+    _CAP_PER_SOURCE_ORACLE,
+    doc="Domain-balancing cap: at most CAP docs per source survive, "
+    "selected by deterministic md5(doc_id) order — reproducible "
+    "subsampling; emits the keep/drop flag per doc",
+    tags=("corpus", "sampling"),
+)
+def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    rn = F.row_number().over(
+        W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")))
+    )
+    return docs.select(
+        "doc_id", "source", (rn <= F.lit(SOURCE_CAP)).alias("kept")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stride chunking (context-window splitter)
+# ---------------------------------------------------------------------------
+#
+# The pretraining/RAG chunker: each document becomes overlapping
+# windows of CHUNK_LEN tokens advancing by CHUNK_STRIDE. Pure
+# array-expression projection — zero shuffle, zero Python; the chunk
+# fingerprint (md5 of the joined window) keeps the driver comparison
+# exact without shipping chunk text.
+
+CHUNK_LEN = 32
+CHUNK_STRIDE = 24
+
+_CHUNK_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE text <> ''
+),
+starts AS (
+  SELECT doc_id, w, UNNEST(range(0, len(w), {CHUNK_STRIDE})) AS st
+  FROM words
+)
+SELECT doc_id,
+       st // {CHUNK_STRIDE} AS chunk_idx,
+       len(list_slice(w, st + 1, least(st + {CHUNK_LEN}, len(w)))) AS n_tokens,
+       md5(array_to_string(
+         list_slice(w, st + 1, least(st + {CHUNK_LEN}, len(w))), ' '
+       )) AS chunk_fp
+FROM starts
+"""
+
+
+@register(
+    "text_chunk_stride",
+    _CHUNK_ORACLE,
+    doc="Overlapping stride chunking (len 32 / stride 24 tokens) — the "
+    "context-window splitter; shuffle-free array projection with "
+    "md5 chunk fingerprints for exact cross-engine comparison",
+    tags=("corpus", "text", "chunking"),
+)
+def text_chunk_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    w = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    st = w.select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.expr(f"sequence(0, size(w) - 1, {CHUNK_STRIDE})")
+        ).alias("st"),
+    )
+    chunk = F.expr(f"slice(w, st + 1, {CHUNK_LEN})")
+    return st.select(
+        "doc_id",
+        F.expr(f"st div {CHUNK_STRIDE}").alias("chunk_idx"),
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
+    )

@@ -69,6 +69,11 @@ def register(
 # tests/test_registry_contract.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # — round-5 additions / changed queries (no green row yet) —
+    "snapshot_time_travel",
+    "snapshot_merge_changelog",
+    "corpus_top_ngrams",
+    "sample_cap_per_source",
+    "text_chunk_stride",
     "dedup_ngram_jaccard_capped",
     # restructured in round 5: now emits exact aggregates + sketch-
     # contract booleans, so it finally carries a real DuckDB oracle
@@ -165,6 +170,7 @@ def load_all() -> dict[str, Query]:
     import lambda_lakehouse_spark.operators.sessionize  # noqa: F401
     import lambda_lakehouse_spark.operators.corpus  # noqa: F401
     import lambda_lakehouse_spark.operators.dq  # noqa: F401
+    import lambda_lakehouse_spark.sources.snapshots  # noqa: F401
 
     ordered: dict[str, Query] = {}
     for name in DRIVER_PRIORITY:

@@ -1,0 +1,563 @@
+"""Snapshot-versioned table format on plain parquet.
+
+The reference's storage core is Iceberg 1.8.1 on a Nessie REST catalog
+(reference ``spark/Dockerfile:39-40``,
+``airflow/dags/utils/init_spark.py:84-109``): every write is an atomic
+snapshot commit, ``overwritePartitions()`` replaces exactly the
+incoming partitions, and readers can time-travel to any retained
+snapshot. No Iceberg/Delta jars exist in this environment (README
+"Table formats"), so the engine provides the same *semantics* as a
+thin metadata layer over parquet, following the published Iceberg table
+spec's design (snapshot manifests listing immutable data files; a
+commit is the atomic publication of a new manifest):
+
+  <table>/data/<commit-uuid>/...           immutable parquet data files
+  <table>/_manifests/v<N>.json             immutable snapshot manifests
+
+A manifest enumerates the data files live in that snapshot (each with
+its hive-style partition tuple), so:
+
+- **Atomic commits** — data files land first; the snapshot becomes
+  visible only when its manifest file appears. A writer crash before
+  manifest publication leaves the previous snapshot intact (orphan
+  data files are garbage-collected by :meth:`SnapshotTable.vacuum`).
+- **Optimistic concurrency** — the manifest name encodes the snapshot
+  ordinal; two writers racing on the same parent can publish only one
+  ``v<N>.json`` (existence check + rename + read-back verification of
+  the commit uuid). The loser raises :class:`CommitConflict`.
+- **Time travel** — ``read(snapshot_id=...)`` / ``read(as_of_ms=...)``
+  resolve an older manifest; ``rollback()`` re-publishes an old file
+  set as a NEW snapshot (history is never rewritten, as in Iceberg).
+- **Partition-scoped overwrite** — ``overwrite_partitions(df)`` keeps
+  every parent file whose partition tuple is absent from the incoming
+  data and adds the new files: the reference's
+  ``writeTo(...).overwritePartitions()``, file-level and atomic.
+- **Manifest-level pruning** — ``read(where={...})`` drops files by
+  their manifest partition tuple before Spark ever lists them; the
+  scan plan only contains matching files (Iceberg's metadata-pruning).
+
+Scale posture: all manifest operations are control-plane — O(files),
+never O(rows); data moves only through Spark jobs. File listing and
+manifest IO go through the Hadoop FileSystem API, so any scheme the
+cluster's Hadoop conf resolves works for *data*; the commit protocol's
+atomic-publication step relies on atomic rename-without-overwrite,
+which holds on local/HDFS but NOT on raw object stores — exactly why
+Iceberg pairs S3 with a catalog CAS (the reference's Nessie). On an
+object store, point ``_publish`` at a catalog; everything else is
+unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import uuid
+from collections.abc import Sequence
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+_MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the same snapshot ordinal first."""
+
+
+class SnapshotTable:
+    """A snapshot-versioned parquet table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 partition_by: Sequence[str] = ()):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.partition_by = list(partition_by)
+        jvm = spark._jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._Path(self.path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+
+    # ------------------------------------------------------------------
+    # commit operations
+    # ------------------------------------------------------------------
+    def create(self, df: DataFrame) -> int:
+        """First snapshot (or full replace): the new file set IS the
+        table. Reference S5 semantics (``writeTo(...).create()``)."""
+        files = self._write_data(df)
+        return self._commit("create", files, df.schema)
+
+    def append(self, df: DataFrame) -> int:
+        """New snapshot = parent files + new files. No existing file is
+        read or rewritten — append cost is O(incoming data)."""
+        parent = self._require_current()
+        self._check_schema(parent, df)
+        files = self._write_data(df)
+        return self._commit("append", parent["files"] + files, df.schema,
+                            parent=parent)
+
+    def overwrite_partitions(self, df: DataFrame) -> int:
+        """Replace exactly the partitions present in ``df`` — the
+        reference's ``overwritePartitions()`` (S6), as a file-level
+        metadata swap. The incoming partition set is harvested from the
+        freshly written files (control-plane; no extra Spark job)."""
+        if not self.partition_by:
+            raise ValueError(
+                "overwrite_partitions on an unpartitioned table would "
+                "replace everything — use create() for a full refresh"
+            )
+        parent = self._require_current()
+        self._check_schema(parent, df)
+        files = self._write_data(df)
+        incoming = {self._ptuple(f["partition"]) for f in files}
+        kept = [f for f in parent["files"]
+                if self._ptuple(f["partition"]) not in incoming]
+        return self._commit("overwrite_partitions", kept + files, df.schema,
+                            parent=parent)
+
+    def merge(self, updates: DataFrame, keys: Sequence[str]) -> int:
+        """MERGE INTO: rows matching ``keys`` are replaced, new keys
+        inserted — Iceberg's ``MERGE`` compiled to copy-on-write, with
+        the target read pruned to the partitions present in ``updates``
+        at the MANIFEST level (the 100 TB posture: a daily upsert reads
+        and rewrites one day, never the table).
+
+        Contract (same as ``maintenance.merge_upsert``): a key's
+        partition value must not change across upserts; the partition
+        column must be present in ``updates``.
+        """
+        keys = list(keys)
+        parent = self._require_current()
+        self._check_schema(parent, updates)
+        files = self._write_data(updates)
+        incoming = {self._ptuple(f["partition"]) for f in files}
+        kept = [f for f in parent["files"]
+                if self._ptuple(f["partition"]) not in incoming]
+        # survivors of the touched partitions: current rows whose key is
+        # NOT being updated, rewritten alongside the updates
+        touched = [f for f in parent["files"]
+                   if self._ptuple(f["partition"]) in incoming]
+        if touched:
+            schema = StructType.fromJson(json.loads(parent["schema"]))
+            cur = self._scan(touched, schema)
+            survivors = cur.join(updates.select(*keys).distinct(), keys,
+                                 "left_anti")
+            files += self._write_data(survivors)
+        return self._commit("merge", kept + files, updates.schema,
+                            parent=parent)
+
+    def read_incremental(self, from_id: int, to_id: int | None = None) -> DataFrame:
+        """Rows in data files ADDED strictly after snapshot ``from_id``
+        (up to ``to_id``, default current) — Iceberg's incremental
+        append scan. The downstream consumer of a table that only ever
+        receives appends can process deltas without re-reading history.
+        Note: file-level semantics — an overwrite/merge commit's
+        rewritten files count as added."""
+        man_to = (self._manifest(to_id) if to_id is not None
+                  else self._require_current())
+        before = {f["path"] for f in self._manifest(from_id)["files"]}
+        added = [f for f in man_to["files"] if f["path"] not in before]
+        schema = StructType.fromJson(json.loads(man_to["schema"]))
+        return self._scan(added, schema)
+
+    def committed_batch_ids(self) -> set[int]:
+        """Streaming-sink support: the set of micro-batch ids already
+        committed (recorded in manifest metadata). A restarted
+        foreachBatch query replays its last batch; checking membership
+        here makes the sink exactly-once."""
+        out = set()
+        for sid in self._snapshot_ids():
+            b = self._manifest(sid).get("batch_id")
+            if b is not None:
+                out.add(b)
+        return out
+
+    def append_batch(self, df: DataFrame, batch_id: int) -> int | None:
+        """Idempotent micro-batch append: skips (returns None) if
+        ``batch_id`` was already committed — the foreachBatch body for
+        an exactly-once streaming sink over this table format."""
+        if batch_id in self.committed_batch_ids():
+            return None
+        if self.current_snapshot_id() is None:
+            files = self._write_data(df)
+            return self._commit("append", files, df.schema,
+                                meta={"batch_id": batch_id})
+        parent = self._require_current()
+        self._check_schema(parent, df)
+        files = self._write_data(df)
+        return self._commit("append", parent["files"] + files, df.schema,
+                            parent=parent, meta={"batch_id": batch_id})
+
+    def rollback(self, snapshot_id: int) -> int:
+        """Publish snapshot ``snapshot_id``'s file set as a NEW
+        snapshot (history stays append-only, as in Iceberg's
+        rollback)."""
+        parent = self._require_current()
+        old = self._manifest(snapshot_id)
+        return self._commit("rollback", old["files"], None, parent=parent,
+                            schema_json=old["schema"])
+
+    # ------------------------------------------------------------------
+    # read path
+    # ------------------------------------------------------------------
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+        where: dict | None = None,
+    ) -> DataFrame:
+        """Materialize a snapshot as a DataFrame.
+
+        ``snapshot_id`` / ``as_of_ms`` select an older snapshot (time
+        travel); ``where`` is a partition-tuple filter applied at the
+        MANIFEST level — non-matching files never reach the scan plan,
+        the same metadata pruning an Iceberg reader does. (Row-level
+        filters belong on the returned DataFrame as usual; partition
+        columns are real columns there too.)
+        """
+        if snapshot_id is not None and as_of_ms is not None:
+            raise ValueError("pass snapshot_id OR as_of_ms, not both")
+        if as_of_ms is not None:
+            snapshot_id = self._resolve_as_of(as_of_ms)
+        man = (self._manifest(snapshot_id) if snapshot_id is not None
+               else self._require_current())
+        files = man["files"]
+        if where:
+            bad = set(where) - set(self.partition_by)
+            if bad:
+                raise ValueError(f"non-partition columns in where: {sorted(bad)}")
+            want = {k: (_HIVE_NULL if v is None else str(v))
+                    for k, v in where.items()}
+            files = [f for f in files
+                     if all(f["partition"].get(k) == v for k, v in want.items())]
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        return self._scan(files, schema)
+
+    def snapshots(self) -> list[dict]:
+        """Commit history, oldest first: (snapshot_id, parent_id,
+        operation, timestamp_ms, n_files)."""
+        out = []
+        for sid in self._snapshot_ids():
+            m = self._manifest(sid)
+            out.append({
+                "snapshot_id": m["snapshot_id"],
+                "parent_id": m["parent_id"],
+                "operation": m["operation"],
+                "timestamp_ms": m["timestamp_ms"],
+                "n_files": len(m["files"]),
+            })
+        return out
+
+    def current_snapshot_id(self) -> int | None:
+        ids = self._snapshot_ids()
+        return ids[-1] if ids else None
+
+    # ------------------------------------------------------------------
+    # maintenance
+    # ------------------------------------------------------------------
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest ``keep_last`` manifests (time travel
+        to them ends), then vacuum unreferenced data files. Returns the
+        expired snapshot ids."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        ids = self._snapshot_ids()
+        expired = ids[:-keep_last]
+        for sid in expired:
+            self._fs.delete(self._Path(self._manifest_path(sid)), False)
+        self.vacuum()
+        return expired
+
+    def vacuum(self) -> list[str]:
+        """Delete data files referenced by NO retained manifest —
+        failed-commit orphans and expired-snapshot leftovers. Safe at
+        any time: live snapshots only ever reference immutable files.
+        Returns the deleted relative paths."""
+        live: set[str] = set()
+        for sid in self._snapshot_ids():
+            live.update(f["path"] for f in self._manifest(sid)["files"])
+        deleted = []
+        data_root = self._Path(f"{self.path}/data")
+        if not self._fs.exists(data_root):
+            return deleted
+        it = self._fs.listFiles(data_root, True)
+        while it.hasNext():
+            st = it.next()
+            p = st.getPath().toString()
+            if "/data/" not in p:
+                continue
+            rel = "data/" + p.split("/data/", 1)[1]
+            if rel not in live and not rel.endswith("_SUCCESS"):
+                self._fs.delete(st.getPath(), False)
+                deleted.append(rel)
+        return deleted
+
+    # ------------------------------------------------------------------
+    # internals
+    # ------------------------------------------------------------------
+    def _scan(self, files: list[dict], schema: StructType) -> DataFrame:
+        """DataFrame over an explicit manifest file list. One read per
+        contributing commit directory: basePath anchors hive
+        partition-value parsing for that commit's files; commits are
+        bounded (control-plane), and unionByName of per-commit scans
+        keeps partition columns typed + positioned by the stored
+        schema (partition columns otherwise surface at the end)."""
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        by_base: dict[str, list[str]] = {}
+        for f in files:
+            base = f"{self.path}/data/{f['commit']}"
+            by_base.setdefault(base, []).append(f"{self.path}/{f['path']}")
+        out = None
+        for base, paths in sorted(by_base.items()):
+            part = (self.spark.read.schema(schema)
+                    .option("basePath", base).parquet(*paths)
+                    .select(*[f.name for f in schema.fields]))
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    def _write_data(self, df: DataFrame) -> list[dict]:
+        """Write ``df`` into a fresh immutable commit directory and
+        harvest the produced file list (path + partition tuple parsed
+        from the hive-style directory names)."""
+        missing = [c for c in self.partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"partition columns {missing} not in DataFrame {df.columns}"
+            )
+        commit = uuid.uuid4().hex[:16]
+        out = f"{self.path}/data/{commit}"
+        w = df.write.mode("errorifexists")
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(out)
+        files = []
+        it = self._fs.listFiles(self._Path(out), True)
+        while it.hasNext():
+            st = it.next()
+            p = st.getPath().toString()
+            name = p.rsplit("/", 1)[-1]
+            if not name.endswith(".parquet"):
+                continue
+            rel_in_commit = p.split(f"/data/{commit}/", 1)[1]
+            partition = {}
+            for seg in rel_in_commit.split("/")[:-1]:
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    partition[unquote(k)] = unquote(v)
+            files.append({
+                "path": f"data/{commit}/{rel_in_commit}",
+                "commit": commit,
+                "partition": partition,
+                "bytes": st.getLen(),
+            })
+        return files
+
+    def _commit(self, operation: str, files: list[dict],
+                schema: StructType | None, parent: dict | None = None,
+                schema_json: str | None = None,
+                meta: dict | None = None) -> int:
+        import time as _time
+
+        sid = (parent["snapshot_id"] + 1) if parent else 1
+        if parent is None and self._snapshot_ids():
+            # create() over an existing table = full replace from the
+            # latest snapshot, keeping history linear.
+            cur = self._require_current()
+            sid = cur["snapshot_id"] + 1
+            parent = cur
+        token = uuid.uuid4().hex
+        manifest = {
+            **(meta or {}),
+            "snapshot_id": sid,
+            "parent_id": parent["snapshot_id"] if parent else None,
+            "operation": operation,
+            "timestamp_ms": int(_time.time() * 1000),
+            "commit_token": token,
+            "partition_by": self.partition_by,
+            "schema": schema_json if schema_json is not None
+            else json.dumps(schema.jsonValue()),
+            "files": files,
+        }
+        self._publish(sid, manifest, token)
+        return sid
+
+    def _publish(self, sid: int, manifest: dict, token: str) -> None:
+        """Atomic snapshot publication: full write to a temp name, then
+        rename to ``v<sid>.json`` with existence check + read-back
+        verification (rename-no-overwrite is atomic on local/HDFS; an
+        object-store deployment swaps this one method for a catalog
+        CAS — the reference's Nessie commit)."""
+        final = self._Path(self._manifest_path(sid))
+        mdir = self._Path(f"{self.path}/_manifests")
+        self._fs.mkdirs(mdir)
+        tmp = self._Path(f"{self.path}/_manifests/.tmp-{token}.json")
+        out = self._fs.create(tmp, False)
+        out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+        out.close()
+        try:
+            if self._fs.exists(final) or not self._fs.rename(tmp, final):
+                raise CommitConflict(
+                    f"snapshot v{sid} was committed concurrently — "
+                    "re-read the table and retry the write"
+                )
+            # read-back guard: local rename(2) CAN silently overwrite;
+            # verify our token actually landed.
+            if self._manifest(sid).get("commit_token") != token:
+                raise CommitConflict(
+                    f"lost the commit race for snapshot v{sid}"
+                )
+        finally:
+            if self._fs.exists(tmp):
+                self._fs.delete(tmp, False)
+
+    def _manifest_path(self, sid: int) -> str:
+        return f"{self.path}/_manifests/v{sid}.json"
+
+    def _snapshot_ids(self) -> list[int]:
+        mdir = self._Path(f"{self.path}/_manifests")
+        if not self._fs.exists(mdir):
+            return []
+        ids = []
+        for st in self._fs.listStatus(mdir):
+            m = _MANIFEST_RE.match(st.getPath().getName())
+            if m:
+                ids.append(int(m.group(1)))
+        return sorted(ids)
+
+    def _manifest(self, sid: int) -> dict:
+        p = self._Path(self._manifest_path(sid))
+        if not self._fs.exists(p):
+            raise ValueError(f"snapshot {sid} does not exist (expired?)")
+        stream = self._fs.open(p)
+        try:
+            # py4j arrays are pass-by-value (readFully into a Python
+            # bytearray never fills it) — drain JVM-side instead.
+            content = self.spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        return json.loads(content)
+
+    def _require_current(self) -> dict:
+        sid = self.current_snapshot_id()
+        if sid is None:
+            raise ValueError(
+                f"table at {self.path} has no snapshots — create() first"
+            )
+        return self._manifest(sid)
+
+    def _resolve_as_of(self, as_of_ms: int) -> int:
+        best = None
+        for sid in self._snapshot_ids():
+            if self._manifest(sid)["timestamp_ms"] <= as_of_ms:
+                best = sid
+        if best is None:
+            raise ValueError(f"no snapshot at or before {as_of_ms}")
+        return best
+
+    def _check_schema(self, parent: dict, df: DataFrame) -> None:
+        old = {f["name"] for f in json.loads(parent["schema"])["fields"]}
+        new = set(df.columns)
+        if old != new:
+            raise ValueError(
+                f"schema drift vs current snapshot: missing {sorted(old - new)}, "
+                f"extra {sorted(new - old)} — evolve via create() (full replace)"
+            )
+
+    @staticmethod
+    def _ptuple(partition: dict) -> tuple:
+        return tuple(sorted(partition.items()))
+
+
+# ---------------------------------------------------------------------------
+# driver-certified demonstration query
+# ---------------------------------------------------------------------------
+
+from lambda_lakehouse_spark.registry import register  # noqa: E402
+
+
+@register(
+    "snapshot_time_travel",
+    oracle="""
+        SELECT n_nationkey, lower(n_name) AS n_name, n_regionkey
+        FROM nation
+        WHERE n_regionkey < 2 AND n_name <> lower(n_name)
+    """,
+    doc=(
+        "Snapshot table format end-to-end: create v1 from nation "
+        "(partitioned by n_regionkey), overwrite_partitions the "
+        "regionkey<2 partitions with lowercased names (v2), then diff "
+        "v2 against the time-traveled v1 — exactly the Iceberg commit/"
+        "time-travel semantics the reference's storage core provides "
+        "(reference utils/init_spark.py:84-109). The diff equals the "
+        "modified rows, derivable in pure SQL from the input table."
+    ),
+    tags=("table_format", "time_travel"),
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"llh_snapshot_demo_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    t = SnapshotTable(spark, base, partition_by=["n_regionkey"])
+    t.create(nation)
+    t.overwrite_partitions(
+        nation.where("n_regionkey < 2").withColumn("n_name", F.lower("n_name"))
+    )
+    v1 = t.read(snapshot_id=1)
+    v2 = t.read()
+    return v2.subtract(v1).select("n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
+    "snapshot_merge_changelog",
+    oracle="""
+        SELECT n_nationkey + 1000 AS n_nationkey, 'insert' AS change_type
+        FROM nation WHERE n_regionkey = 2
+        UNION ALL
+        SELECT n_nationkey, 'update' AS change_type
+        FROM nation WHERE n_regionkey = 2 AND reverse(n_name) <> n_name
+    """,
+    doc=(
+        "MERGE INTO the snapshot table (copy-on-write upsert pruned to "
+        "the touched partitions at the manifest level) followed by a "
+        "CDC changelog between the pre- and post-merge snapshots via "
+        "table_diff — the reference's Iceberg MERGE + change-feed "
+        "capabilities on the engine's own table format. Updates reverse "
+        "region-2 names; inserts add key+1000 twins; the changelog is "
+        "derivable in pure SQL from the input."
+    ),
+    tags=("table_format", "merge", "cdc"),
+)
+def snapshot_merge_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from lambda_lakehouse_spark.sources.maintenance import table_diff
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"llh_snapshot_merge_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    t = SnapshotTable(spark, base, partition_by=["n_regionkey"])
+    t.create(nation)
+    r2 = nation.where("n_regionkey = 2")
+    updates = r2.withColumn("n_name", F.reverse("n_name")).unionByName(
+        r2.withColumn("n_nationkey", F.col("n_nationkey") + F.lit(1000))
+    )
+    t.merge(updates, keys=["n_nationkey"])
+    return table_diff(t.read(snapshot_id=1), t.read(), keys=["n_nationkey"])

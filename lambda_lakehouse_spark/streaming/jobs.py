@@ -237,6 +237,25 @@ def foreach_batch_overwrite(path: str, partition_by: tuple[str, ...]):
     return _sink
 
 
+def snapshot_append_sink(table):
+    """foreachBatch sink appending each micro-batch to a
+    :class:`~lambda_lakehouse_spark.sources.snapshots.SnapshotTable`
+    as an ATOMIC snapshot commit tagged with the batch id — the
+    exactly-once streaming sink the reference's Iceberg storage core
+    would provide (each micro-batch = one snapshot; a replayed batch
+    after restart is detected by its id and skipped). Readers never
+    observe a half-written batch: data files become visible only when
+    the batch's manifest publishes.
+    """
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.append_batch(batch_df, int(epoch_id))
+
+    return _sink
+
+
 def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming DF to completion against available input and
     return the in-memory result table name (test/dev harness)."""

@@ -1,0 +1,224 @@
+"""Snapshot table format: atomic commits, partition-scoped overwrite,
+time travel, rollback, optimistic concurrency, vacuum, pruning.
+
+Mirrors the Iceberg capabilities the reference depends on
+(``airflow/dags/utils/init_spark.py:84-109`` —
+``writeTo(...).overwritePartitions()`` on a Nessie catalog) as a
+metadata layer over parquet (``sources/snapshots.py``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lambda_lakehouse_spark.sources.snapshots import CommitConflict, SnapshotTable
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def nation(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_create_read_roundtrip(spark, nation, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), partition_by=["n_regionkey"])
+    sid = t.create(nation)
+    assert sid == 1
+    got = t.read()
+    assert got.columns == nation.columns
+    assert [f.dataType for f in got.schema.fields] == [
+        f.dataType for f in nation.schema.fields
+    ]
+    assert _rows(got) == _rows(nation)
+
+
+def test_append_and_time_travel(spark, nation, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), partition_by=["n_regionkey"])
+    t.create(nation.where("n_regionkey < 2"))
+    ts1 = t.snapshots()[-1]["timestamp_ms"]
+    t.append(nation.where("n_regionkey >= 2"))
+    assert _rows(t.read()) == _rows(nation)
+    # time travel by id and by timestamp
+    assert _rows(t.read(snapshot_id=1)) == _rows(nation.where("n_regionkey < 2"))
+    assert _rows(t.read(as_of_ms=ts1)) == _rows(nation.where("n_regionkey < 2"))
+    ops = [s["operation"] for s in t.snapshots()]
+    assert ops == ["create", "append"]
+
+
+def test_overwrite_partitions_replaces_only_incoming(spark, nation, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), partition_by=["n_regionkey"])
+    t.create(nation)
+    mod = nation.where("n_regionkey = 0").withColumn(
+        "n_name", F.lower("n_name")
+    )
+    t.overwrite_partitions(mod)
+    expect = nation.where("n_regionkey <> 0").unionByName(mod)
+    assert _rows(t.read()) == _rows(expect)
+    # untouched partitions still served by the ORIGINAL files
+    man = t._require_current()
+    commits = {f["commit"] for f in man["files"]
+               if f["partition"]["n_regionkey"] != "0"}
+    first = t._manifest(1)["files"][0]["commit"]
+    assert commits == {first}
+
+
+def test_rollback_appends_history(spark, nation, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), partition_by=["n_regionkey"])
+    t.create(nation)
+    t.overwrite_partitions(
+        nation.where("n_regionkey = 1").withColumn("n_name", F.lower("n_name"))
+    )
+    sid = t.rollback(1)
+    assert sid == 3
+    assert _rows(t.read()) == _rows(nation)
+    assert [s["operation"] for s in t.snapshots()][-1] == "rollback"
+
+
+def test_failed_commit_is_invisible_and_vacuumable(spark, nation, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), partition_by=["n_regionkey"])
+    t.create(nation)
+    # simulate a writer that crashed after writing data, before publishing
+    orphan = t._write_data(nation.limit(3))
+    assert _rows(t.read()) == _rows(nation)  # reader unaffected
+    deleted = t.vacuum()
+    assert {f["path"] for f in orphan} <= set(deleted)
+    assert _rows(t.read()) == _rows(nation)  # live files untouched
+
+
+def test_concurrent_commit_conflict(spark, nation, tmp_path):
+    path = str(tmp_path / "t")
+    t1 = SnapshotTable(spark, path, partition_by=["n_regionkey"])
+    t2 = SnapshotTable(spark, path, partition_by=["n_regionkey"])
+    t1.create(nation)
+    # both writers read snapshot 1 as parent; first append wins
+    t1.append(nation.limit(1))
+    files = t2._write_data(nation.limit(1))
+    with pytest.raises(CommitConflict):
+        t2._commit("append", t2._manifest(1)["files"] + files,
+                   nation.schema, parent=t2._manifest(1))
+    # loser's data files are orphans; table state is the winner's
+    assert t2.current_snapshot_id() == 2
+    t2.vacuum()
+
+
+def test_manifest_pruning_limits_scan_files(spark, nation, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), partition_by=["n_regionkey"])
+    t.create(nation)
+    pruned = t.read(where={"n_regionkey": 0})
+    assert _rows(pruned) == _rows(nation.where("n_regionkey = 0"))
+    # the scan must reference ONLY the matching partition's files
+    scanned = [f["path"] for f in t._require_current()["files"]
+               if f["partition"]["n_regionkey"] == "0"]
+    files_in_plan = json.loads(
+        pruned.select(F.input_file_name()).distinct().toPandas().to_json(
+            orient="values"
+        )
+    )
+    got = {p[0].split("/data/", 1)[1] for p in files_in_plan}
+    assert got == {p.split("data/", 1)[1] for p in scanned}
+
+
+def test_expire_snapshots_keeps_current(spark, nation, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), partition_by=["n_regionkey"])
+    t.create(nation.where("n_regionkey = 0"))
+    t.create(nation)  # full replace → v2
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired == [1]
+    assert _rows(t.read()) == _rows(nation)
+    with pytest.raises(ValueError, match="does not exist"):
+        t.read(snapshot_id=1)
+
+
+def test_schema_drift_rejected(spark, nation, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), partition_by=["n_regionkey"])
+    t.create(nation)
+    with pytest.raises(ValueError, match="schema drift"):
+        t.append(nation.withColumn("extra", F.lit(1)))
+
+
+def test_merge_upsert_prunes_to_touched_partitions(spark, nation, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), partition_by=["n_regionkey"])
+    t.create(nation)
+    r2 = nation.where("n_regionkey = 2")
+    updates = r2.withColumn("n_name", F.reverse("n_name")).unionByName(
+        r2.withColumn("n_nationkey", F.col("n_nationkey") + F.lit(1000))
+    )
+    t.merge(updates, keys=["n_nationkey"])
+    expect = nation.where("n_regionkey <> 2").unionByName(updates)
+    assert _rows(t.read()) == _rows(expect)
+    # untouched partitions still reference the ORIGINAL commit's files
+    man = t._require_current()
+    first = t._manifest(1)["files"][0]["commit"]
+    untouched = {f["commit"] for f in man["files"]
+                 if f["partition"]["n_regionkey"] != "2"}
+    assert untouched == {first}
+
+
+def test_read_incremental_returns_only_appended(spark, nation, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), partition_by=["n_regionkey"])
+    t.create(nation.where("n_regionkey < 3"))
+    t.append(nation.where("n_regionkey = 3"))
+    t.append(nation.where("n_regionkey = 4"))
+    inc = t.read_incremental(from_id=1)
+    assert _rows(inc) == _rows(nation.where("n_regionkey >= 3"))
+    inc2 = t.read_incremental(from_id=1, to_id=2)
+    assert _rows(inc2) == _rows(nation.where("n_regionkey = 3"))
+    assert t.read_incremental(from_id=3, to_id=3).count() == 0
+
+
+def test_append_batch_exactly_once(spark, nation, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), partition_by=["n_regionkey"])
+    assert t.append_batch(nation.where("n_regionkey = 0"), batch_id=0) == 1
+    assert t.append_batch(nation.where("n_regionkey = 1"), batch_id=1) == 2
+    # replay of batch 1 (restart-after-crash) is a no-op
+    assert t.append_batch(nation.where("n_regionkey = 1"), batch_id=1) is None
+    assert _rows(t.read()) == _rows(nation.where("n_regionkey < 2"))
+    assert t.committed_batch_ids() == {0, 1}
+
+
+def test_streaming_snapshot_sink_exactly_once(spark, nation, tmp_path):
+    """File-drop stream → snapshot-commit-per-batch sink: every row
+    lands exactly once and each micro-batch is one atomic snapshot."""
+    from lambda_lakehouse_spark.streaming.jobs import snapshot_append_sink
+    from lambda_lakehouse_spark.streaming.sources import file_stream
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    nation.where("n_regionkey < 2").write.parquet(str(src / "d1"))
+    nation.where("n_regionkey >= 2").write.parquet(str(src / "d2"))
+    t = SnapshotTable(spark, str(tmp_path / "t"), partition_by=["n_regionkey"])
+    stream = file_stream(
+        spark, str(src) + "/*", nation.schema, max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.foreachBatch(snapshot_append_sink(t))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _rows(t.read()) == _rows(nation)
+    ops = [s["operation"] for s in t.snapshots()]
+    assert all(op == "append" for op in ops)
+    assert len(t.committed_batch_ids()) == len(ops)
+
+
+def test_null_partition_value_round_trips(spark, nation, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), partition_by=["n_name"])
+    withnull = nation.withColumn(
+        "n_name", F.when(F.col("n_regionkey") == 0, None).otherwise(F.col("n_name"))
+    )
+    t.create(withnull)
+    got = t.read()
+    assert _rows(got) == _rows(withnull)
+    only_null = t.read(where={"n_name": None})
+    assert _rows(only_null) == _rows(withnull.where("n_name IS NULL"))
