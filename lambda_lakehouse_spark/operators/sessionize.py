@@ -383,3 +383,50 @@ def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.where(F.col("rk") == 1).select(
         "user_id", "streak_start", F.col("streak_len").cast("bigint").alias("streak_len")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix (first-order Markov counts)
+# ---------------------------------------------------------------------------
+#
+# The journey-analysis / next-event-model input: for each user, order
+# events in time and count (event_type -> next event_type) transitions.
+# One lead() over the per-user window (shuffle key = user_id, shared
+# with every other per-user window op) + one hash-groupBy of a tiny
+# (|types|^2)-row domain. The (ts, event_id) compound order makes the
+# sequence deterministic under same-timestamp ties on both engines.
+
+_TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+         ) AS next_type
+  FROM events
+)
+SELECT event_type, next_type, COUNT(*) AS n_transitions
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+"""
+
+
+@register(
+    "event_transition_matrix",
+    _TRANSITION_ORACLE,
+    doc="First-order Markov transition counts between consecutive "
+    "events per user (lead over the per-user time order, "
+    "deterministic (ts, event_id) tie-break) — the journey/"
+    "next-event-model aggregate",
+    tags=("events", "window", "markov"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

@@ -832,3 +832,62 @@ def q20_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_name", "s_acctbal")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline / Pareto frontier (beyond TPC-H: multi-criteria dominance)
+# ---------------------------------------------------------------------------
+#
+# Parts on the (cheap price, large size) Pareto frontier: p survives
+# unless some q has price <= p's AND size >= p's with at least one
+# strict. The textbook formulation is a quadratic NOT EXISTS self-join
+# (the oracle below — fine for DuckDB at test scale, catastrophic at
+# 100 TB). The engine plan is the O(n log n) sort+prefix-max
+# decomposition instead: collapse to one row per distinct price level
+# (max size at that price), take the running max of size over all
+# STRICTLY cheaper levels, and keep rows whose size beats that prefix
+# max and equals their own level's max. No self-join anywhere.
+#
+# Scale: the level table is |distinct prices| — usually orders smaller
+# than the fact. The prefix-max window is an ordered scan over it; if
+# the level domain itself is huge, range-partition the levels, compute
+# per-range prefix maxima, and merge the per-range boundary maxima in
+# a second tiny pass (the distributed-prefix-sum pattern).
+
+_SKYLINE_ORACLE = """
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+"""
+
+
+@register(
+    "skyline_pareto_parts",
+    _SKYLINE_ORACLE,
+    doc="2-D skyline (Pareto frontier on cheap-price x large-size): "
+    "the quadratic NOT-EXISTS dominance check decomposed into one "
+    "per-price-level aggregate + a prefix-max window — O(n log n), "
+    "no self-join; oracle keeps the NOT EXISTS form",
+    tags=("skyline", "window", "dominance"),
+)
+def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    parts = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    levels = parts.groupBy("p_retailprice").agg(F.max("p_size").alias("_mx"))
+    w = W.orderBy("p_retailprice").rowsBetween(W.unboundedPreceding, -1)
+    levels = levels.withColumn("_prev_mx", F.max("_mx").over(w))
+    return (
+        parts.join(levels, "p_retailprice")
+        .where(
+            (F.col("_prev_mx").isNull() | (F.col("_prev_mx") < F.col("p_size")))
+            & (F.col("_mx") == F.col("p_size"))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )

@@ -74,6 +74,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_top_ngrams",
     "sample_cap_per_source",
     "text_chunk_stride",
+    "event_transition_matrix",
+    "skyline_pareto_parts",
     "dedup_ngram_jaccard_capped",
     # restructured in round 5: now emits exact aggregates + sketch-
     # contract booleans, so it finally carries a real DuckDB oracle

@@ -237,6 +237,24 @@ def foreach_batch_overwrite(path: str, partition_by: tuple[str, ...]):
     return _sink
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    keys: tuple[str, ...] | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich each micro-batch against a bounded
+    static dimension — the speed-layer twin of the batch pipeline's
+    broadcast lookups (J7). The static side is re-read per micro-batch
+    (so an updated dim table is picked up between triggers) and hinted
+    broadcast: stream-static joins are STATELESS — no watermark, no
+    state store — precisely because the bounded side ships to every
+    task. Only use for dims that stay broadcast-sized; a growing
+    right side belongs in a stream-stream join with watermarks.
+    """
+    return stream.join(F.broadcast(dim), list(keys), how)
+
+
 def snapshot_append_sink(table):
     """foreachBatch sink appending each micro-batch to a
     :class:`~lambda_lakehouse_spark.sources.snapshots.SnapshotTable`

@@ -498,3 +498,30 @@ def test_dq_gate_stream_partitions_and_matches_batch(spark, events_src, tmp_path
     assert all(
         "known_type" in r.failed_rules.split(",") for r in err_rows.collect()
     )
+
+
+def test_stream_static_enrich_matches_batch(spark, events_src):
+    """Stream-static broadcast enrichment (stateless, J7's speed-layer
+    twin): every micro-batch row picks up its dimension attributes;
+    result equals the batch join."""
+    from lambda_lakehouse_spark.streaming.jobs import stream_static_enrich
+
+    path, batch = events_src
+    dim = batch.select("event_type").distinct().withColumn(
+        "type_group",
+        F.when(F.col("event_type").isin("view", "click"), "browse")
+        .otherwise("convert"),
+    )
+    stream = _stream(spark, path, batch.schema)
+    name = run_stream_to_memory(
+        stream_static_enrich(stream, dim, keys=("event_type",)),
+        "enrich_out",
+        output_mode="append",
+    )
+    got = spark.table(name).groupBy("type_group").count().collect()
+    expected = (
+        batch.join(dim, "event_type", "left").groupBy("type_group").count().collect()
+    )
+    assert {(r.type_group, r["count"]) for r in got} == {
+        (r.type_group, r["count"]) for r in expected
+    } and len(got) > 0
