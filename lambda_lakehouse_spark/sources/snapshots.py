@@ -67,14 +67,39 @@ class CommitConflict(RuntimeError):
     """Another writer committed the same snapshot ordinal first."""
 
 
+def _stat_value(v):
+    """JSON-safe, order-preserving encoding of a min/max stat value:
+    numbers stay numeric; dates/timestamps become ISO strings (ISO
+    order == chronological order); anything else goes through str()."""
+    import datetime as _dt
+    import decimal as _dec
+
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, _dec.Decimal):
+        return float(v)
+    return str(v)
+
+
 class SnapshotTable:
     """A snapshot-versioned parquet table rooted at ``path``."""
 
     def __init__(self, spark: SparkSession, path: str,
-                 partition_by: Sequence[str] = ()):
+                 partition_by: Sequence[str] = (),
+                 stats_by: Sequence[str] = ()):
+        """``stats_by`` names columns whose per-file min/max are
+        harvested at commit time and stored in the manifest (Iceberg's
+        column-stats metadata). ``read(range_filter=...)`` then skips
+        files whose range cannot match — data skipping decided on
+        control-plane metadata, no footer reads. Harvesting costs one
+        aggregate scan of the NEWLY written files per commit (Iceberg
+        collects the same stats inline during its write)."""
         self.spark = spark
         self.path = path.rstrip("/")
         self.partition_by = list(partition_by)
+        self.stats_by = list(stats_by)
         jvm = spark._jvm
         self._Path = jvm.org.apache.hadoop.fs.Path
         self._fs = self._Path(self.path).getFileSystem(
@@ -90,14 +115,68 @@ class SnapshotTable:
         files = self._write_data(df)
         return self._commit("create", files, df.schema)
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
         """New snapshot = parent files + new files. No existing file is
-        read or rewritten — append cost is O(incoming data)."""
+        read or rewritten — append cost is O(incoming data).
+
+        ``merge_schema=True`` permits ADD-COLUMN evolution (the safe
+        subset of Iceberg schema evolution): columns new in ``df`` are
+        appended to the table schema, and files from older snapshots
+        read those columns as NULL (parquet scans fill columns missing
+        from a file when given an explicit wider schema). Dropping or
+        re-typing existing columns still requires a full ``create()``.
+        """
         parent = self._require_current()
+        if merge_schema:
+            old = StructType.fromJson(json.loads(parent["schema"]))
+            old_names = {f.name for f in old.fields}
+            missing = old_names - set(df.columns)
+            if missing:
+                raise ValueError(
+                    f"merge_schema append still requires every existing "
+                    f"column; missing {sorted(missing)}"
+                )
+            merged = StructType(
+                list(old.fields)
+                + [f for f in df.schema.fields if f.name not in old_names]
+            )
+            files = self._write_data(df)
+            return self._commit(
+                "append", parent["files"] + files, None, parent=parent,
+                schema_json=json.dumps(merged.jsonValue()),
+            )
         self._check_schema(parent, df)
         files = self._write_data(df)
         return self._commit("append", parent["files"] + files, df.schema,
                             parent=parent)
+
+    def compact(self, target_files: int = 1) -> int:
+        """Small-file compaction as a normal snapshot commit (the
+        table-service `rewrite_data_files` every streaming sink needs:
+        each micro-batch adds files; scan cost grows with file count,
+        not data size). Rewrites the CURRENT file set into
+        ``target_files`` files per partition tuple and publishes the
+        result — readers switch atomically, and time travel to
+        pre-compaction snapshots still works until they expire."""
+        parent = self._require_current()
+        schema = StructType.fromJson(json.loads(parent["schema"]))
+        cur = self._scan(parent["files"], schema)
+        if self.partition_by:
+            if target_files <= 1:
+                cur = cur.repartition(*self.partition_by)
+            else:
+                salt = F.pmod(
+                    F.xxhash64(*[F.col(c) for c in cur.columns]),
+                    F.lit(target_files),
+                )
+                cur = (cur.withColumn("__salt", salt)
+                       .repartition(*self.partition_by, "__salt")
+                       .drop("__salt"))
+        else:
+            cur = cur.repartition(target_files)
+        files = self._write_data(cur)
+        return self._commit("compact", files, None, parent=parent,
+                            schema_json=parent["schema"])
 
     def overwrite_partitions(self, df: DataFrame) -> int:
         """Replace exactly the partitions present in ``df`` — the
@@ -208,15 +287,20 @@ class SnapshotTable:
         snapshot_id: int | None = None,
         as_of_ms: int | None = None,
         where: dict | None = None,
+        range_filter: tuple | None = None,
     ) -> DataFrame:
         """Materialize a snapshot as a DataFrame.
 
         ``snapshot_id`` / ``as_of_ms`` select an older snapshot (time
         travel); ``where`` is a partition-tuple filter applied at the
         MANIFEST level — non-matching files never reach the scan plan,
-        the same metadata pruning an Iceberg reader does. (Row-level
-        filters belong on the returned DataFrame as usual; partition
-        columns are real columns there too.)
+        the same metadata pruning an Iceberg reader does.
+        ``range_filter=(col, lo, hi)`` (either bound may be None)
+        skips files whose stored min/max range for a ``stats_by``
+        column cannot intersect [lo, hi] — column-stats data skipping.
+        Both prune FILES only; apply the matching row-level filter on
+        the returned DataFrame (stats pruning keeps every file that
+        MIGHT match, so surviving files still carry non-matching rows).
         """
         if snapshot_id is not None and as_of_ms is not None:
             raise ValueError("pass snapshot_id OR as_of_ms, not both")
@@ -233,6 +317,21 @@ class SnapshotTable:
                     for k, v in where.items()}
             files = [f for f in files
                      if all(f["partition"].get(k) == v for k, v in want.items())]
+        if range_filter is not None:
+            col, lo, hi = range_filter
+            lo, hi = _stat_value(lo), _stat_value(hi)
+
+            def _may_match(f: dict) -> bool:
+                s = f.get("stats", {}).get(col)
+                if not s or s[0] is None or s[1] is None:
+                    return True  # no stats → cannot prove exclusion
+                if lo is not None and s[1] < lo:
+                    return False
+                if hi is not None and s[0] > hi:
+                    return False
+                return True
+
+            files = [f for f in files if _may_match(f)]
         schema = StructType.fromJson(json.loads(man["schema"]))
         return self._scan(files, schema)
 
@@ -354,7 +453,43 @@ class SnapshotTable:
                 "partition": partition,
                 "bytes": st.getLen(),
             })
+        self._attach_stats(out, files)
         return files
+
+    def _attach_stats(self, commit_dir: str, files: list[dict]) -> None:
+        """Harvest per-file min/max for ``stats_by`` columns from the
+        newly written files and attach them to the manifest entries.
+        One distributed aggregate grouped by file name — O(new data),
+        never O(table)."""
+        cols = [c for c in self.stats_by if c not in self.partition_by]
+        if not cols or not files:
+            return
+        df = self.spark.read.parquet(commit_dir)
+        aggs = []
+        for c in cols:
+            aggs.append(F.min(c).alias(f"__min_{c}"))
+            aggs.append(F.max(c).alias(f"__max_{c}"))
+        rows = (
+            df.groupBy(F.input_file_name().alias("__file"))
+            .agg(*aggs)
+            .collect()  # control-plane: one row per new file
+        )
+        # key by path relative to the commit dir (basenames can repeat
+        # across partition directories: one task writes the same
+        # part-NNNN name into every partition it touches)
+        marker = commit_dir.rstrip("/").rsplit("/", 1)[-1] + "/"
+        by_rel = {}
+        for r in rows:
+            rel = r["__file"].split(marker, 1)[-1]
+            by_rel[rel] = {
+                c: [_stat_value(r[f"__min_{c}"]), _stat_value(r[f"__max_{c}"])]
+                for c in cols
+            }
+        for f in files:
+            rel = f["path"].split("/", 2)[-1]  # strip "data/<commit>/"
+            stats = by_rel.get(rel)
+            if stats is not None:
+                f["stats"] = stats
 
     def _commit(self, operation: str, files: list[dict],
                 schema: StructType | None, parent: dict | None = None,

@@ -367,3 +367,114 @@ def test_repetition_scores_equal_python_model(spark, docs_words):
             (1.0 - len(set(bigrams)) / (n - 1)) if n > 1 else 0.0
         )
         assert r.top_word_share == Counter(ws).most_common(1)[0][1] / n
+
+
+# ---------------------------------------------------------------------------
+# Skyline: window decomposition == brute-force dominance
+# ---------------------------------------------------------------------------
+
+points_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),   # price level
+        st.integers(min_value=0, max_value=8),   # size
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _skyline_model(pts):
+    """Brute-force Pareto frontier on (min price, max size); ties
+    (equal price AND size) all survive — no strict inequality."""
+    out = []
+    for i, (p, s) in enumerate(pts):
+        dominated = any(
+            (q <= p and t >= s and (q < p or t > s))
+            for j, (q, t) in enumerate(pts)
+            if j != i
+        )
+        if not dominated:
+            out.append((p, s))
+    return sorted(out)
+
+
+@given(points_strategy)
+@settings(
+    max_examples=20, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_skyline_window_equals_bruteforce(spark, pts):
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame(
+        [(i, float(p), s) for i, (p, s) in enumerate(pts)],
+        ["p_partkey", "p_retailprice", "p_size"],
+    )
+    levels = df.groupBy("p_retailprice").agg(F.max("p_size").alias("_mx"))
+    w = W.orderBy("p_retailprice").rowsBetween(W.unboundedPreceding, -1)
+    levels = levels.withColumn("_prev_mx", F.max("_mx").over(w))
+    sky = (
+        df.join(levels, "p_retailprice")
+        .where(
+            (F.col("_prev_mx").isNull() | (F.col("_prev_mx") < F.col("p_size")))
+            & (F.col("_mx") == F.col("p_size"))
+        )
+        .select("p_retailprice", "p_size")
+    )
+    got = sorted((int(r.p_retailprice), r.p_size) for r in sky.collect())
+    assert got == _skyline_model(pts)
+
+
+# ---------------------------------------------------------------------------
+# Stride chunking: coverage + reconstruction invariants
+# ---------------------------------------------------------------------------
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=90),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(docs_strategy)
+@settings(
+    max_examples=15, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_chunk_stride_covers_every_token(spark, docs):
+    """Invariants vs a pure model: chunk starts advance by exactly the
+    stride, every token of every doc falls in >=1 chunk, each chunk is
+    the doc's [start, start+len) token slice, and token counts per
+    chunk match."""
+    from lambda_lakehouse_spark.operators.corpus import (
+        CHUNK_LEN,
+        CHUNK_STRIDE,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    w = df.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    st_df = w.select(
+        "doc_id", "w",
+        F.explode(F.expr(f"sequence(0, size(w) - 1, {CHUNK_STRIDE})")).alias("st"),
+    )
+    chunk = F.expr(f"slice(w, st + 1, {CHUNK_LEN})")
+    out = st_df.select(
+        "doc_id", "st",
+        F.size(chunk).alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, ws in enumerate(docs):
+        chunks = sorted(by_doc[i], key=lambda r: r.st)
+        starts = [r.st for r in chunks]
+        assert starts == list(range(0, len(ws), CHUNK_STRIDE))
+        covered = set()
+        for r in chunks:
+            want = ws[r.st:r.st + CHUNK_LEN]
+            assert r.chunk_text.split(" ") == want
+            assert r.n_tokens == len(want)
+            covered.update(range(r.st, r.st + r.n_tokens))
+        assert covered == set(range(len(ws)))

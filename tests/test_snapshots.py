@@ -212,6 +212,98 @@ def test_streaming_snapshot_sink_exactly_once(spark, nation, tmp_path):
     assert len(t.committed_batch_ids()) == len(ops)
 
 
+def test_compact_preserves_rows_and_shrinks_files(spark, nation, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), partition_by=["n_regionkey"])
+    t.create(nation.repartition(4))
+    t.append(nation.limit(0))  # empty append still commits
+    for _ in range(3):
+        t.append(nation.limit(2))
+    before = len(t._require_current()["files"])
+    t.compact(target_files=1)
+    man = t._require_current()
+    assert man["operation"] == "compact"
+    assert len(man["files"]) < before
+    # one file per partition tuple
+    parts = [f["partition"]["n_regionkey"] for f in man["files"]]
+    assert len(parts) == len(set(parts))
+    expect = nation.unionByName(nation.limit(2)).unionByName(
+        nation.limit(2)
+    ).unionByName(nation.limit(2))
+    assert _rows(t.read()) == _rows(expect)
+    # pre-compaction history still time-travels
+    assert _rows(t.read(snapshot_id=1)) == _rows(nation)
+
+
+def test_append_merge_schema_adds_column(spark, nation, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), partition_by=["n_regionkey"])
+    t.create(nation)
+    extra = nation.limit(3).withColumn("score", F.lit(7))
+    with pytest.raises(ValueError, match="schema drift"):
+        t.append(extra)
+    t.append(extra, merge_schema=True)
+    got = t.read()
+    assert got.columns == nation.columns + ["score"]
+    # old files read the new column as NULL
+    assert got.where("score IS NULL").count() == nation.count()
+    assert got.where("score = 7").count() == 3
+    # dropping an existing column is still rejected
+    with pytest.raises(ValueError, match="missing"):
+        t.append(nation.limit(1).drop("n_name"), merge_schema=True)
+
+
+def test_column_stats_file_skipping(spark, tmp_path):
+    """stats_by columns get per-file min/max in the manifest; a
+    range_filter read keeps only files whose range may intersect —
+    and still returns exactly the matching rows after the row filter."""
+    import os
+
+    from tests.conftest import SF_DIR
+
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_by=["o_orderkey"])
+    # range-clustered write → disjoint per-file key ranges
+    t.create(orders.repartitionByRange(8, "o_orderkey")
+             .sortWithinPartitions("o_orderkey"))
+    man = t._require_current()
+    assert all("stats" in f and "o_orderkey" in f["stats"]
+               for f in man["files"])
+    lo, hi = 100, 200
+    pruned = t.read(range_filter=("o_orderkey", lo, hi))
+    n_scanned = pruned.select(F.input_file_name()).distinct().count()
+    assert n_scanned < len(man["files"])  # skipping actually happened
+    got = pruned.where(F.col("o_orderkey").between(lo, hi))
+    expect = orders.where(F.col("o_orderkey").between(lo, hi))
+    assert _rows(got) == _rows(expect)
+    # one-sided bound
+    top = t.read(range_filter=("o_orderkey", 5999, None))
+    assert _rows(top.where("o_orderkey >= 5999")) == _rows(
+        orders.where("o_orderkey >= 5999")
+    )
+
+
+def test_column_stats_with_partitions(spark, nation, tmp_path):
+    """Stats harvesting keys files by commit-relative path, so
+    identically named part files in different partition dirs keep
+    their own ranges."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"),
+        partition_by=["n_regionkey"], stats_by=["n_nationkey"],
+    )
+    t.create(nation)
+    man = t._require_current()
+    by_part = {}
+    for f in man["files"]:
+        s = f["stats"]["n_nationkey"]
+        by_part.setdefault(f["partition"]["n_regionkey"], []).append(s)
+    # every file's range must match the true per-partition key range
+    for rk, spans in by_part.items():
+        rows = [r.n_nationkey for r in
+                nation.where(F.col("n_regionkey") == int(rk)).collect()]
+        lo = min(lo for lo, _ in spans)
+        hi = max(hi for _, hi in spans)
+        assert lo == min(rows) and hi == max(rows)
+
+
 def test_null_partition_value_round_trips(spark, nation, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "t"), partition_by=["n_name"])
     withnull = nation.withColumn(
