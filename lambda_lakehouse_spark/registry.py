@@ -76,6 +76,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_chunk_stride",
     "event_transition_matrix",
     "skyline_pareto_parts",
+    "fuzzy_pairs_edit1",
+    "rollup_incremental_merge",
     "dedup_ngram_jaccard_capped",
     # restructured in round 5: now emits exact aggregates + sketch-
     # contract booleans, so it finally carries a real DuckDB oracle
@@ -173,6 +175,8 @@ def load_all() -> dict[str, Query]:
     import lambda_lakehouse_spark.operators.corpus  # noqa: F401
     import lambda_lakehouse_spark.operators.dq  # noqa: F401
     import lambda_lakehouse_spark.sources.snapshots  # noqa: F401
+    import lambda_lakehouse_spark.sources.maintenance  # noqa: F401
+    import lambda_lakehouse_spark.operators.fuzzy  # noqa: F401
 
     ordered: dict[str, Query] = {}
     for name in DRIVER_PRIORITY:

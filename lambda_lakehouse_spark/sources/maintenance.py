@@ -269,3 +269,83 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance (continuous-aggregate pattern)
+# ---------------------------------------------------------------------------
+#
+# The materialized-rollup refresh every event pipeline runs: a daily
+# (day, event_type) aggregate table exists; late/new events arrive;
+# ONLY the buckets present in the new batch are recomputed and merged
+# — never the whole rollup. At 100 TB the recompute reads one day's
+# partitions (partition-pruned by the merge) while the untouched
+# history is never scanned. The driver query certifies the refreshed
+# table equals a from-scratch rollup.
+
+from pyspark.sql import DataFrame as _DF  # noqa: E402
+
+from lambda_lakehouse_spark.functions.scalar import dsum  # noqa: E402
+from lambda_lakehouse_spark.registry import register  # noqa: E402
+from lambda_lakehouse_spark.sources.readers import read_table  # noqa: E402
+
+
+def _daily_rollup(ev: _DF) -> _DF:
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "rollup_incremental_merge",
+    _ROLLUP_ORACLE,
+    doc="Incremental materialized-rollup refresh: seed the daily "
+    "(day, event_type) aggregate from the even-id half of events, "
+    "then merge ONLY the buckets present in the odd-id half "
+    "(recomputed from full data, partition-scoped merge_upsert) — "
+    "the refreshed table must equal a from-scratch rollup",
+    tags=("maintenance", "merge", "incremental", "events"),
+)
+def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"llh_rollup_merge_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    ev = read_table(spark, sf_dir, "events")
+    initial = ev.where(F.col("event_id") % 2 == 0)
+    late = ev.where(F.col("event_id") % 2 == 1)
+
+    write_partitioned(
+        _daily_rollup(initial), base, partition_by=("day",)
+    )
+    # affected buckets = those the late batch touches; recompute them
+    # from the FULL event set (initial + late) and merge
+    affected = late.select(
+        F.to_date("ts").alias("day"), "event_type"
+    ).distinct()
+    updates = _daily_rollup(ev).join(affected, ["day", "event_type"], "left_semi")
+    merge_upsert(
+        spark, base, updates,
+        keys=("day", "event_type"), partition_by=("day",),
+    )
+    return spark.read.parquet(base).select(
+        "day", "event_type", "n_events", "total_value"
+    )
