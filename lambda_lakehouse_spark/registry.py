@@ -78,6 +78,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "skyline_pareto_parts",
     "fuzzy_pairs_edit1",
     "rollup_incremental_merge",
+    "hierarchy_flatten_iterative",
     "dedup_ngram_jaccard_capped",
     # restructured in round 5: now emits exact aggregates + sketch-
     # contract booleans, so it finally carries a real DuckDB oracle
@@ -177,6 +178,7 @@ def load_all() -> dict[str, Query]:
     import lambda_lakehouse_spark.sources.snapshots  # noqa: F401
     import lambda_lakehouse_spark.sources.maintenance  # noqa: F401
     import lambda_lakehouse_spark.operators.fuzzy  # noqa: F401
+    import lambda_lakehouse_spark.operators.hierarchy  # noqa: F401
 
     ordered: dict[str, Query] = {}
     for name in DRIVER_PRIORITY:
