@@ -249,3 +249,84 @@ def multimodal_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         detected.alias("detected_format"),
         (F.length(payload_hex) / 2).cast("bigint").alias("payload_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ViT-style patch grid — pure relational explode over image dims
+# ---------------------------------------------------------------------------
+#
+# The vision-transformer preprocessing step: an (W x H) image becomes a
+# grid of 16-px patches with edge patches clamped. Dims come from the
+# decode stub (byte-length-derived fakes; a real pipeline feeds decoded
+# metadata), the grid itself is one sequence-explode projection — no
+# Python, no shuffle, 1→N like real patch extraction. Sampled to every
+# 100th doc so the certified result stays driver-collectable.
+
+PATCH = 16
+
+_PATCH_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id,
+         greatest(CAST(strlen(text) % 640 AS BIGINT), {PATCH}) AS w,
+         greatest(CAST(strlen(text) % 480 AS BIGINT), {PATCH}) AS h
+  FROM documents WHERE doc_id % 100 = 0
+),
+d2 AS (
+  SELECT *, CAST(ceil(w / {PATCH}.0) AS BIGINT) AS nx,
+            CAST(ceil(h / {PATCH}.0) AS BIGINT) AS ny
+  FROM dims
+),
+nums AS (
+  SELECT unnest(range(0, (SELECT max(nx * ny) FROM d2))) AS p
+),
+g AS (
+  SELECT doc_id, w, h, nx, p FROM d2 CROSS JOIN nums WHERE p < nx * ny
+)
+SELECT doc_id,
+       p // nx AS patch_row,
+       p % nx AS patch_col,
+       (p % nx) * {PATCH} AS x0,
+       (p // nx) * {PATCH} AS y0,
+       least({PATCH}, w - (p % nx) * {PATCH}) AS w_px,
+       least({PATCH}, h - (p // nx) * {PATCH}) AS h_px
+FROM g
+"""
+
+
+@register(
+    "multimodal_patch_grid",
+    _PATCH_ORACLE,
+    doc="ViT-style 16-px patch grid over (stub-decoded) image dims "
+    "with clamped edge patches — 1-to-N sequence-explode projection, "
+    "zero Python/shuffle; the real patch-extraction plumbing shape",
+    tags=("multimodal", "explode"),
+)
+def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 100 == 0
+    )
+    blen = F.length(F.encode("text", "utf-8")).cast("bigint")
+    dims = docs.select(
+        "doc_id",
+        F.greatest(blen % 640, F.lit(PATCH)).alias("w"),
+        F.greatest(blen % 480, F.lit(PATCH)).alias("h"),
+    ).withColumn(
+        "nx", F.ceil(F.col("w") / PATCH).cast("bigint")
+    ).withColumn(
+        "ny", F.ceil(F.col("h") / PATCH).cast("bigint")
+    )
+    g = dims.select(
+        "doc_id", "w", "h", "nx",
+        F.explode(F.expr("sequence(0, nx * ny - 1)")).alias("p"),
+    )
+    col = F.col("p") % F.col("nx")
+    row = F.expr("p div nx")
+    return g.select(
+        "doc_id",
+        row.alias("patch_row"),
+        col.alias("patch_col"),
+        (col * PATCH).alias("x0"),
+        (row * PATCH).alias("y0"),
+        F.least(F.lit(PATCH), F.col("w") - col * PATCH).alias("w_px"),
+        F.least(F.lit(PATCH), F.col("h") - row * PATCH).alias("h_px"),
+    )

@@ -79,6 +79,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "fuzzy_pairs_edit1",
     "rollup_incremental_merge",
     "hierarchy_flatten_iterative",
+    "multimodal_patch_grid",
     "dedup_ngram_jaccard_capped",
     # restructured in round 5: now emits exact aggregates + sketch-
     # contract booleans, so it finally carries a real DuckDB oracle
