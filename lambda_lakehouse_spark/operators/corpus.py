@@ -489,6 +489,7 @@ LIMIT {TOP_NGRAMS_K}
     "deterministic (freq desc, bigram) tie-break) — the boilerplate/"
     "stop-shingle detector; integer-only so the oracle is exact",
     tags=("corpus", "text", "heavy_hitters"),
+    bench=True,
 )
 def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").where(F.col("text") != "")

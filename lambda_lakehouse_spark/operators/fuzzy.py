@@ -75,6 +75,7 @@ WHERE levenshtein(a.s_name, b.s_name) = 1
     "candidate generation with alphabet-bounded buckets, vs the "
     "oracle's quadratic all-pairs form",
     tags=("fuzzy", "dedup", "join"),
+    bench=True,
 )
 def fuzzy_pairs_edit1(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")

@@ -1617,3 +1617,73 @@ def agg_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dsum(wx) / dsum("l_quantity")).alias("weighted_avg_price"),
         (F.max(wx) / dsum(wx)).alias("max_line_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group OLS regression (closed form, decimal-routed moments)
+# ---------------------------------------------------------------------------
+#
+# Grouped model fitting without MLlib or Python: the OLS slope/
+# intercept closed form needs only five sufficient statistics per
+# group (n, Sx, Sxx, Sy, Sxy) — one map-side-combined aggregation
+# pass. Integer moments sum exactly; double moments route through
+# decimal(28,6) (order-independent); the final ratios are IEEE double
+# with the SAME expression shape on both engines, so the driver hash
+# matches bit-for-bit. At 100 TB this is the pattern for any
+# closed-form grouped fit: shuffle the tiny moment vector, never rows.
+
+_REGRESSION_ORACLE = """
+WITH s AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(event_id) AS sx,
+         SUM(event_id * event_id) AS sxx,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(value * event_id AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+  FROM events GROUP BY event_type
+),
+fit AS (
+  SELECT event_type, n, sx, sy,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+  FROM s
+)
+SELECT event_type, n AS n_points, slope,
+       (sy - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+FROM fit
+"""
+
+
+@register(
+    "stats_group_regression",
+    _REGRESSION_ORACLE,
+    doc="Per-group OLS fit (value ~ event_id) from five sufficient "
+    "statistics in ONE aggregation pass — exact integer/decimal "
+    "moments, IEEE-double closed-form ratios identical across engines",
+    tags=("agg", "regression", "stats"),
+)
+def stats_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("sx"),
+        F.sum(F.col("event_id") * F.col("event_id")).alias("sxx"),
+        dsum("value").alias("sy"),
+        dsum(F.col("value") * F.col("event_id")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    slope = (nd * F.col("sxy") - sxd * F.col("sy")) / (
+        nd * F.col("sxx").cast("double") - sxd * sxd
+    )
+    fit = s.select(
+        "event_type", "n", "sx", "sy", slope.alias("slope")
+    )
+    return fit.select(
+        "event_type",
+        F.col("n").alias("n_points"),
+        "slope",
+        ((F.col("sy") - F.col("slope") * F.col("sx").cast("double"))
+         / F.col("n").cast("double")).alias("intercept"),
+    )

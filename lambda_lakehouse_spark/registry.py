@@ -80,6 +80,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rollup_incremental_merge",
     "hierarchy_flatten_iterative",
     "multimodal_patch_grid",
+    "source_json_roundtrip",
+    "stats_group_regression",
     "dedup_ngram_jaccard_capped",
     # restructured in round 5: now emits exact aggregates + sketch-
     # contract booleans, so it finally carries a real DuckDB oracle

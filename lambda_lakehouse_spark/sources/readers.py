@@ -112,3 +112,68 @@ def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
+
+
+# ---------------------------------------------------------------------------
+# JSON-lines source round trip (S-family widening)
+# ---------------------------------------------------------------------------
+#
+# The reference ingests CSV only; real lakehouse feeds are routinely
+# JSON-lines (API exports, event streams). This query certifies the
+# JSON source path end-to-end: write a typed subset of events as
+# newline-delimited JSON, read it back with an EXPLICIT schema (never
+# inferSchema on a 100 TB feed — one malformed line would silently
+# stringify a column), and aggregate; the oracle computes the same
+# aggregate from the original parquet, so serialization round-trip
+# fidelity is part of what's certified.
+
+_JSON_ROUNDTRIP_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+def _register_json_roundtrip() -> None:
+    from lambda_lakehouse_spark.functions.scalar import dsum
+    from lambda_lakehouse_spark.registry import register
+
+    @register(
+        "source_json_roundtrip",
+        _JSON_ROUNDTRIP_ORACLE,
+        doc="JSON-lines source certified end-to-end: events written as "
+        "NDJSON, read back with an explicit schema (no inference), "
+        "aggregated — round-trip fidelity checked against the "
+        "original parquet by the oracle",
+        tags=("source", "json"),
+    )
+    def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os as _os
+        import shutil
+        import tempfile
+
+        base = _os.path.join(
+            tempfile.gettempdir(),
+            f"llh_json_src_{_os.path.basename(sf_dir.rstrip('/'))}",
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        ev = read_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        ev.write.json(base)
+        schema = T.StructType([
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ])
+        back = spark.read.schema(schema).json(base)
+        return back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+
+
+_register_json_roundtrip()
