@@ -478,3 +478,86 @@ def test_chunk_stride_covers_every_token(spark, docs):
             assert r.n_tokens == len(want)
             covered.update(range(r.st, r.st + r.n_tokens))
         assert covered == set(range(len(ws)))
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy edit-1 pairing: pattern blocking == brute-force levenshtein
+# ---------------------------------------------------------------------------
+
+names_strategy = st.lists(
+    st.text(alphabet="ab1", min_size=4, max_size=4),
+    min_size=2,
+    max_size=15,
+    unique=True,
+)
+
+
+@given(names_strategy)
+@settings(
+    max_examples=20, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_edit1_pairs_equal_bruteforce(spark, names):
+    from lambda_lakehouse_spark.operators.fuzzy import edit1_pairs
+
+    def lev1(a, b):  # equal length: distance 1 == exactly one diff
+        return sum(x != y for x, y in zip(a, b)) == 1
+
+    df = spark.createDataFrame(list(enumerate(names)), ["k", "nm"])
+    got = sorted(
+        (r.a_key, r.b_key)
+        for r in edit1_pairs(df, key="k", name="nm").collect()
+    )
+    want = sorted(
+        (i, j)
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if lev1(names[i], names[j])
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy flattening: iterative joins == pure-Python walk
+# ---------------------------------------------------------------------------
+
+# random forest: node i's parent is a smaller index (acyclic by
+# construction) or absent (root)
+forest_strategy = st.lists(
+    st.integers(min_value=0, max_value=6),  # parent candidate seed
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(forest_strategy)
+@settings(
+    max_examples=15, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_flatten_to_roots_equals_model(spark, seeds):
+    from lambda_lakehouse_spark.operators.hierarchy import flatten_to_roots
+
+    parents = {}
+    for i, s in enumerate(seeds):
+        if i > 0 and s < i:  # else: root
+            parents[i] = s % i
+    nodes = spark.createDataFrame([(i,) for i in range(len(seeds))], ["node_id"])
+    edge_rows = [(c, p) for c, p in parents.items()]
+    if edge_rows:
+        edges = spark.createDataFrame(edge_rows, ["child", "parent"])
+    else:
+        edges = spark.createDataFrame([], "child long, parent long")
+    got = {
+        r.node: (r.root_key, r.depth)
+        for r in flatten_to_roots(nodes, edges).collect()
+    }
+
+    def walk(n):
+        d = 0
+        while n in parents:
+            n, d = parents[n], d + 1
+        return n, d
+
+    want = {i: walk(i) for i in range(len(seeds))}
+    assert got == want
