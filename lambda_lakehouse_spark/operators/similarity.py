@@ -354,11 +354,20 @@ def train_ivf_cells(
 ) -> DataFrame:
     """Trained coarse quantizer: (cell, pos, cval) centroid table,
     bounded by construction at n_cells × dim rows."""
-    flat = _flat(emb).select("vec_id", "pos", "val")
-    centroids = _init_centroids(flat, n_cells, seed)
-    for _ in range(iters):
-        assign = _assign_cells(flat, centroids)
-        centroids = _update_centroids(flat, assign).localCheckpoint()
+    # cache the exploded training set for the duration of the Lloyd
+    # loop: every iteration reads it twice (assign + update), and
+    # without the cache each pass re-runs scan+explode from parquet.
+    # Unpersisted after the loop — the returned centroids are
+    # localCheckpoint-materialized, so nothing downstream depends on
+    # the cached lineage.
+    flat = _flat(emb).select("vec_id", "pos", "val").persist()
+    try:
+        centroids = _init_centroids(flat, n_cells, seed)
+        for _ in range(iters):
+            assign = _assign_cells(flat, centroids)
+            centroids = _update_centroids(flat, assign).localCheckpoint()
+    finally:
+        flat.unpersist()
     return centroids
 
 
