@@ -270,6 +270,48 @@ class SnapshotTable:
         return self._commit("append", parent["files"] + files, df.schema,
                             parent=parent, meta={"batch_id": batch_id})
 
+    def delete_where(
+        self,
+        condition,
+        where: dict | None = None,
+        range_filter: tuple | None = None,
+    ) -> int:
+        """Row-level DELETE compiled to copy-on-write (Iceberg's
+        ``DELETE FROM``): only files that MIGHT hold matching rows are
+        rewritten without them; every other file is carried into the
+        new snapshot untouched. ``where`` (partition tuple) and
+        ``range_filter`` (column-stats range, see :meth:`read`) bound
+        the rewrite set at the manifest level — a delete scoped to one
+        day rewrites one day. ``condition`` is a pyspark Column applied
+        row-level inside the candidate files."""
+        parent = self._require_current()
+        candidates = parent["files"]
+        if where:
+            want = {k: (_HIVE_NULL if v is None else str(v))
+                    for k, v in where.items()}
+            candidates = [f for f in candidates
+                          if all(f["partition"].get(k) == v
+                                 for k, v in want.items())]
+        if range_filter is not None:
+            col, lo, hi = range_filter
+            lo, hi = _stat_value(lo), _stat_value(hi)
+            def _may(f):
+                s = f.get("stats", {}).get(col)
+                if not s or s[0] is None or s[1] is None:
+                    return True
+                return not ((lo is not None and s[1] < lo)
+                            or (hi is not None and s[0] > hi))
+            candidates = [f for f in candidates if _may(f)]
+        cand_paths = {f["path"] for f in candidates}
+        untouched = [f for f in parent["files"] if f["path"] not in cand_paths]
+        files = list(untouched)
+        if candidates:
+            schema = StructType.fromJson(json.loads(parent["schema"]))
+            survivors = self._scan(candidates, schema).where(~condition)
+            files += self._write_data(survivors)
+        return self._commit("delete", files, None, parent=parent,
+                            schema_json=parent["schema"])
+
     def rollback(self, snapshot_id: int) -> int:
         """Publish snapshot ``snapshot_id``'s file set as a NEW
         snapshot (history stays append-only, as in Iceberg's

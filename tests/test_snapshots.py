@@ -212,6 +212,47 @@ def test_streaming_snapshot_sink_exactly_once(spark, nation, tmp_path):
     assert len(t.committed_batch_ids()) == len(ops)
 
 
+def test_delete_where_rewrites_only_candidate_files(spark, nation, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), partition_by=["n_regionkey"])
+    t.create(nation)
+    t.delete_where(
+        F.col("n_nationkey") % 2 == 0, where={"n_regionkey": 1}
+    )
+    man = t._require_current()
+    assert man["operation"] == "delete"
+    expect = nation.where(
+        "n_regionkey <> 1 OR n_nationkey % 2 <> 0"
+    )
+    assert _rows(t.read()) == _rows(expect)
+    # only partition 1's files were rewritten
+    first = t._manifest(1)["files"][0]["commit"]
+    untouched = {f["commit"] for f in man["files"]
+                 if f["partition"]["n_regionkey"] != "1"}
+    rewritten = {f["commit"] for f in man["files"]
+                 if f["partition"]["n_regionkey"] == "1"}
+    assert untouched == {first} and rewritten != {first}
+    # delete history still time-travels
+    assert _rows(t.read(snapshot_id=1)) == _rows(nation)
+
+
+def test_delete_where_with_stats_pruning(spark, tmp_path):
+    import os
+
+    from tests.conftest import SF_DIR
+
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_by=["o_orderkey"])
+    t.create(orders.repartitionByRange(6, "o_orderkey")
+             .sortWithinPartitions("o_orderkey"))
+    before = {f["path"]: f for f in t._require_current()["files"]}
+    t.delete_where(F.col("o_orderkey") < 50, range_filter=("o_orderkey", None, 49))
+    man = t._require_current()
+    # files entirely above the range are carried over byte-identical
+    carried = [f for f in man["files"] if f["path"] in before]
+    assert len(carried) >= 4
+    assert _rows(t.read()) == _rows(orders.where("o_orderkey >= 50"))
+
+
 def test_compact_preserves_rows_and_shrinks_files(spark, nation, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "t"), partition_by=["n_regionkey"])
     t.create(nation.repartition(4))
