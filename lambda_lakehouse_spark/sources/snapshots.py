@@ -147,8 +147,42 @@ class SnapshotTable:
             )
         self._check_schema(parent, df)
         files = self._write_data(df)
-        return self._commit("append", parent["files"] + files, df.schema,
-                            parent=parent)
+        return self._commit_append_with_retry(files, df.schema, parent)
+
+    def _commit_append_with_retry(self, files: list[dict], schema,
+                                  parent: dict, meta: dict | None = None,
+                                  retries: int = 5,
+                                  abort_if=None) -> int | None:
+        """Append commits are ORDER-INDEPENDENT (new files union parent
+        files), so a lost commit race is retryable without rewriting
+        data: re-read the new current snapshot and re-point the same
+        already-written files at it — exactly Iceberg's retryable
+        commit path. Non-append operations (overwrite/merge/delete)
+        derive their file set FROM the parent, so their conflicts
+        surface to the caller instead."""
+        for _ in range(retries):
+            try:
+                return self._commit("append", parent["files"] + files,
+                                    schema, parent=parent, meta=meta)
+            except CommitConflict:
+                parent = self._require_current()
+                # the winner may have made this commit redundant (e.g.
+                # a racing instance of the same streaming batch)
+                if abort_if is not None and abort_if():
+                    return None
+                # the winning commit may have evolved the schema; the
+                # retry's data files carry the OLD column set, so only
+                # an identical column set is safe to re-point
+                cur_names = {
+                    f["name"]
+                    for f in json.loads(parent["schema"])["fields"]
+                }
+                if schema is not None and cur_names != set(schema.fieldNames()):
+                    raise
+        raise CommitConflict(
+            f"append lost the commit race {retries} times in a row — "
+            "pathological contention; retry externally"
+        )
 
     def compact(self, target_files: int = 1) -> int:
         """Small-file compaction as a normal snapshot commit (the
@@ -267,8 +301,14 @@ class SnapshotTable:
         parent = self._require_current()
         self._check_schema(parent, df)
         files = self._write_data(df)
-        return self._commit("append", parent["files"] + files, df.schema,
-                            parent=parent, meta={"batch_id": batch_id})
+        return self._commit_append_with_retry(
+            files, df.schema, parent, meta={"batch_id": batch_id},
+            # a racing instance of the SAME query may have committed
+            # this very batch while we retried — that's success (skip),
+            # not conflict; checked after every parent refresh so a
+            # replayed batch can never double-append
+            abort_if=lambda: batch_id in self.committed_batch_ids(),
+        )
 
     def delete_where(
         self,

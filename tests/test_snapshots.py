@@ -110,6 +110,48 @@ def test_concurrent_commit_conflict(spark, nation, tmp_path):
     t2.vacuum()
 
 
+def test_append_retries_lost_race_without_rewriting(spark, nation, tmp_path):
+    """Append commits are order-independent, so losing a commit race
+    re-points the SAME data files at the new current snapshot
+    (Iceberg's retryable-commit path) instead of raising."""
+    path = str(tmp_path / "t")
+    t1 = SnapshotTable(spark, path, partition_by=["n_regionkey"])
+    t2 = SnapshotTable(spark, path, partition_by=["n_regionkey"])
+    t1.create(nation.where("n_regionkey = 0"))
+    # t2 stages an append against snapshot 1...
+    parent_seen_by_t2 = t2._require_current()
+    files = t2._write_data(nation.where("n_regionkey = 2"))
+    # ...then t1 wins the race for snapshot 2
+    t1.append(nation.where("n_regionkey = 1"))
+    sid = t2._commit_append_with_retry(
+        files, nation.schema, parent_seen_by_t2
+    )
+    assert sid == 3
+    assert _rows(t2.read()) == _rows(nation.where("n_regionkey < 3"))
+    # the staged files were re-pointed, not rewritten
+    assert {f["commit"] for f in files} <= {
+        f["commit"] for f in t2._require_current()["files"]
+    }
+
+
+def test_append_batch_race_on_same_batch_skips(spark, nation, tmp_path):
+    path = str(tmp_path / "t")
+    t1 = SnapshotTable(spark, path, partition_by=["n_regionkey"])
+    t2 = SnapshotTable(spark, path, partition_by=["n_regionkey"])
+    t1.append_batch(nation.where("n_regionkey = 0"), batch_id=0)
+    parent = t2._require_current()
+    files = t2._write_data(nation.where("n_regionkey = 1"))
+    # another instance of the same query commits batch 1 first
+    t1.append_batch(nation.where("n_regionkey = 1"), batch_id=1)
+    got = t2._commit_append_with_retry(
+        files, nation.schema, parent, meta={"batch_id": 1},
+        abort_if=lambda: 1 in t2.committed_batch_ids(),
+    )
+    assert got is None  # skipped, no double-append
+    assert _rows(t2.read()) == _rows(nation.where("n_regionkey < 2"))
+    t2.vacuum()  # loser's staged files are collectable orphans
+
+
 def test_manifest_pruning_limits_scan_files(spark, nation, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "t"), partition_by=["n_regionkey"])
     t.create(nation)
