@@ -430,3 +430,61 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Session path extraction (ordered aggregation)
+# ---------------------------------------------------------------------------
+#
+# The clickstream-journey primitive: each session becomes its ordered
+# event-type path string ("view>view>click>purchase"). Spark has no
+# ordered string_agg — the deterministic formulation is collect structs,
+# array_sort (by ts then event_id: total order), project types, join.
+# Same shuffle key as sessionization (user_id) so the whole query is
+# one exchange.
+
+_PATHS_ORACLE = f"""
+WITH flagged AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR date_diff('second', LAG(ts) OVER w, ts) > {GAP_MINUTES * 60}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+       COUNT(*) AS path_len
+FROM sess
+GROUP BY user_id, session_seq
+"""
+
+
+@register(
+    "sessionize_paths",
+    _PATHS_ORACLE,
+    doc="Per-session ordered event-type path strings — ordered "
+    "aggregation via collect+array_sort on a (ts, event_id) total "
+    "order (Spark's deterministic stand-in for ORDER BY inside "
+    "string_agg); one shuffle shared with sessionization",
+    tags=("window", "sessionize", "paths"),
+)
+def sessionize_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    sess = sessionize(ev, "user_id", "ts")
+    ordered = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.array_join(
+            F.transform(ordered, lambda x: x["event_type"]), ">"
+        ).alias("path"),
+        F.count(F.lit(1)).alias("path_len"),
+    )

@@ -82,6 +82,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_patch_grid",
     "source_json_roundtrip",
     "stats_group_regression",
+    "snapshot_incremental_read",
+    "sessionize_paths",
     "dedup_ngram_jaccard_capped",
     # restructured in round 5: now emits exact aggregates + sketch-
     # contract booleans, so it finally carries a real DuckDB oracle

@@ -738,6 +738,40 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_incremental_read",
+    oracle="""
+        SELECT n_nationkey, n_name, n_regionkey
+        FROM nation WHERE n_regionkey >= 2
+    """,
+    doc=(
+        "Incremental append scan: after create(regionkey<2) + "
+        "append(regionkey>=2), read_incremental(from v1) must return "
+        "exactly the appended rows — the delta-consumption contract a "
+        "downstream incremental processor relies on (Iceberg's "
+        "incremental scan)."
+    ),
+    tags=("table_format", "incremental"),
+)
+def snapshot_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"llh_snapshot_inc_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    t = SnapshotTable(spark, base, partition_by=["n_regionkey"])
+    t.create(nation.where("n_regionkey < 2"))
+    t.append(nation.where("n_regionkey >= 2"))
+    return t.read_incremental(from_id=1).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@register(
     "snapshot_merge_changelog",
     oracle="""
         SELECT n_nationkey + 1000 AS n_nationkey, 'insert' AS change_type
