@@ -347,7 +347,12 @@ class SnapshotTable:
         files = list(untouched)
         if candidates:
             schema = StructType.fromJson(json.loads(parent["schema"]))
-            survivors = self._scan(candidates, schema).where(~condition)
+            # SQL DELETE semantics: only condition=TRUE rows go; a
+            # NULL-evaluating condition KEEPS the row (a bare
+            # ``~condition`` filter would silently drop it).
+            survivors = self._scan(candidates, schema).where(
+                ~F.coalesce(condition, F.lit(False))
+            )
             files += self._write_data(survivors)
         return self._commit("delete", files, None, parent=parent,
                             schema_json=parent["schema"])

@@ -277,6 +277,20 @@ def test_delete_where_rewrites_only_candidate_files(spark, nation, tmp_path):
     assert _rows(t.read(snapshot_id=1)) == _rows(nation)
 
 
+def test_delete_where_null_condition_keeps_row(spark, nation, tmp_path):
+    """SQL DELETE semantics: rows where the predicate evaluates to
+    NULL are kept, not deleted."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), partition_by=["n_regionkey"])
+    withnull = nation.withColumn(
+        "n_name",
+        F.when(F.col("n_nationkey") % 3 == 0, None).otherwise(F.col("n_name")),
+    )
+    t.create(withnull)
+    t.delete_where(F.col("n_name") < "M")  # NULL for every %3==0 row
+    expect = withnull.where("n_name IS NULL OR n_name >= 'M'")
+    assert _rows(t.read()) == _rows(expect)
+
+
 def test_delete_where_with_stats_pruning(spark, tmp_path):
     import os
 
