@@ -457,11 +457,20 @@ class SnapshotTable:
         self.vacuum()
         return expired
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, min_age_s: float = 0.0) -> list[str]:
         """Delete data files referenced by NO retained manifest —
-        failed-commit orphans and expired-snapshot leftovers. Safe at
-        any time: live snapshots only ever reference immutable files.
-        Returns the deleted relative paths."""
+        failed-commit orphans and expired-snapshot leftovers. Live
+        snapshots only ever reference immutable files, so referenced
+        data is never touched.
+
+        ``min_age_s``: skip unreferenced files younger than this. An
+        IN-FLIGHT commit stages its data files before publishing its
+        manifest, so a concurrent vacuum would see them as orphans —
+        the same race Iceberg's remove-orphan-files action guards with
+        an age threshold. Pass an hour or more when other writers may
+        be active; the 0 default is for single-writer/test use."""
+        import time as _time
+
         live: set[str] = set()
         for sid in self._snapshot_ids():
             live.update(f["path"] for f in self._manifest(sid)["files"])
@@ -469,6 +478,7 @@ class SnapshotTable:
         data_root = self._Path(f"{self.path}/data")
         if not self._fs.exists(data_root):
             return deleted
+        cutoff_ms = (_time.time() - min_age_s) * 1000
         it = self._fs.listFiles(data_root, True)
         while it.hasNext():
             st = it.next()
@@ -476,7 +486,8 @@ class SnapshotTable:
             if "/data/" not in p:
                 continue
             rel = "data/" + p.split("/data/", 1)[1]
-            if rel not in live and not rel.endswith("_SUCCESS"):
+            if (rel not in live and not rel.endswith("_SUCCESS")
+                    and st.getModificationTime() <= cutoff_ms):
                 self._fs.delete(st.getPath(), False)
                 deleted.append(rel)
         return deleted

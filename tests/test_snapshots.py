@@ -89,6 +89,8 @@ def test_failed_commit_is_invisible_and_vacuumable(spark, nation, tmp_path):
     # simulate a writer that crashed after writing data, before publishing
     orphan = t._write_data(nation.limit(3))
     assert _rows(t.read()) == _rows(nation)  # reader unaffected
+    # age guard: a young orphan could be an IN-FLIGHT commit's staging
+    assert t.vacuum(min_age_s=3600) == []
     deleted = t.vacuum()
     assert {f["path"] for f in orphan} <= set(deleted)
     assert _rows(t.read()) == _rows(nation)  # live files untouched
