@@ -852,3 +852,99 @@ FROM q
 def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return quantize_int8(emb)
+
+
+# ---------------------------------------------------------------------------
+# Time-series similarity search (behavioral profiles)
+# ---------------------------------------------------------------------------
+#
+# The time-series-similarity shape from the OLAP literature (top-k
+# cosine over derived activity profiles): each user becomes a sparse
+# hour-of-day count vector; similarity is computed by joining on the
+# COORDINATE (hour) so only co-occurring hours contribute to the dot
+# product — the inverted-index formulation, never a dense 24-dim
+# materialization. Integer counts → exact integer dots and norms; the
+# one double op (dot/sqrt(n2a*n2b)) is the same IEEE expression on
+# both engines. Probe set bounded (user_id % 100 = 0); the unbounded
+# variant belongs on the LSH/IVF paths above.
+
+TS_TOPK = 3
+
+_TS_SIM_ORACLE = f"""
+WITH prof AS (
+  SELECT user_id,
+         CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS h,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.user_id AS probe_id, b.user_id AS other_id, SUM(a.c * b.c) AS dot
+  FROM prof a JOIN prof b ON a.h = b.h AND a.user_id <> b.user_id
+  WHERE a.user_id % 100 = 0
+  GROUP BY 1, 2
+),
+norms AS (SELECT user_id, SUM(c * c) AS n2 FROM prof GROUP BY 1),
+scored AS (
+  SELECT probe_id, other_id,
+         CAST(p.dot AS DOUBLE)
+         / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
+  FROM pairs p
+  JOIN norms na ON na.user_id = p.probe_id
+  JOIN norms nb ON nb.user_id = p.other_id
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY probe_id ORDER BY cosine DESC, other_id
+  ) AS rk FROM scored
+)
+SELECT probe_id, other_id, cosine, rk FROM r WHERE rk <= {TS_TOPK}
+"""
+
+
+@register(
+    "ts_similarity_topk",
+    _TS_SIM_ORACLE,
+    doc="Time-series similarity search: top-k cosine between per-user "
+    "hour-of-day activity profiles via the inverted-index join on the "
+    "hour coordinate (only co-occurring hours contribute) — exact "
+    "integer dots/norms, bounded probe set",
+    tags=("similarity", "timeseries", "topk"),
+)
+def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lambda_lakehouse_spark.sources.readers import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    prof = ev.groupBy(
+        "user_id", F.hour("ts").cast("bigint").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = prof.where(F.col("user_id") % 100 == 0).select(
+        F.col("user_id").alias("probe_id"), "h", F.col("c").alias("ca")
+    )
+    b = prof.select(
+        F.col("user_id").alias("other_id"), "h", F.col("c").alias("cb")
+    )
+    pairs = (
+        a.join(b, "h")
+        .where(F.col("probe_id") != F.col("other_id"))
+        .groupBy("probe_id", "other_id")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    norms = prof.groupBy("user_id").agg(
+        F.sum(F.col("c") * F.col("c")).alias("n2")
+    )
+    na = norms.select(F.col("user_id").alias("probe_id"), F.col("n2").alias("n2a"))
+    nb = norms.select(F.col("user_id").alias("other_id"), F.col("n2").alias("n2b"))
+    scored = (
+        pairs.join(na, "probe_id").join(nb, "other_id")
+        .select(
+            "probe_id", "other_id",
+            (F.col("dot").cast("double")
+             / F.sqrt(F.col("n2a").cast("double") * F.col("n2b").cast("double"))
+             ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("other_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TS_TOPK)
+    )

@@ -84,6 +84,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stats_group_regression",
     "snapshot_incremental_read",
     "sessionize_paths",
+    "ts_similarity_topk",
     "dedup_ngram_jaccard_capped",
     # restructured in round 5: now emits exact aggregates + sketch-
     # contract booleans, so it finally carries a real DuckDB oracle
