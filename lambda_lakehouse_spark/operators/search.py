@@ -1,0 +1,236 @@
+"""Keyword search: BM25 top-k retrieval over the documents corpus.
+
+The reference serves interactive SQL through Trino/Superset
+(``superset/``, SURVEY §E3) but has no relevance-ranked text
+retrieval; a training-data lakehouse needs one (query-based corpus
+slicing, eval-set mining, decontamination triage). This module adds
+BM25 (Robertson et al., TREC-3) as a pure DataFrame plan.
+
+Cross-engine determinism: classic BM25 multiplies a log idf into the
+tf normalization. ``log()`` bit-rounding is engine-specific (see the
+vocab-coverage note in ``operators/text.py``), so certified scoring
+uses the RSJ *odds* idf ``(N - df + 0.5) / (df + 0.5)`` without the
+log — every arithmetic step is an IEEE double multiply/divide/add
+with an identical expression tree on both engines, and the per-term
+scores are summed exactly (decimal(28,6)) so partial-aggregation
+order cannot perturb the result. The log is monotone, so single-term
+rankings are identical to textbook BM25; multi-term rankings weight
+rare terms more sharply (documented contract, not an accident).
+
+Scale shape (the 100 TB story):
+- tokenize → explode is the classic inverted-index build; the
+  (doc_id, word) tf aggregate is map-side combined, and its shuffle
+  key (word) is exactly the posting-list key a search engine shards.
+- the query side is BOUNDED BY CONSTRUCTION (a handful of terms), so
+  joining postings → query terms broadcasts the query side; only
+  postings for query terms survive the join — the plan never scores a
+  document that shares no term with the query (candidate generation,
+  not a corpus scan).
+- per-(query, doc) scores aggregate on doc_id (second shuffle), and
+  the final top-k window partitions by query_id over candidates only.
+  At extreme candidate counts (stop-word-like query terms) the
+  skew-bounded refinement is the same one `window_topk_per_group`
+  documents: per-partition partial top-k before the global window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from lambda_lakehouse_spark.registry import register
+from lambda_lakehouse_spark.sources.readers import read_table
+
+_DEC = "decimal(28,6)"
+
+# BM25 free parameters (Robertson's defaults).
+K1 = 1.5
+B = 0.75
+TOP_K = 10
+# Deterministic self-contained query workload: corpus words at
+# document-frequency ranks QRANK_LO..QRANK_HI (ties broken by word),
+# grouped into (QRANK_HI - QRANK_LO + 1) / TERMS_PER_QUERY queries.
+# Ranks 21+ skip the quasi-stop-words at the head of the df ranking so
+# candidate sets stay selective.
+QRANK_LO = 21
+QRANK_HI = 26
+N_QUERIES = 3
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: DataFrame | None = None,
+    k1: float = K1,
+    b: float = B,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Rank documents per query by log-free BM25.
+
+    ``docs``: (doc_id, text); ``query_terms``: (query_id, word) —
+    bounded (it is broadcast), or ``None`` to self-mine the default
+    corpus workload (df ranks QRANK_LO..QRANK_HI). Returns
+    (query_id, rank, doc_id, score) with rank 1..k per query and
+    deterministic (score DESC, doc_id) ordering.
+
+    Plan economy: the corpus is tokenized ONCE — ``dl`` (doc length),
+    ``df`` (posting-list length), and the self-mined query workload
+    are all derived from the same (doc_id, word) tf aggregate, so
+    Spark's ReuseExchange can serve every branch from one shuffle of
+    the inverted index instead of re-scanning the corpus per relation.
+    """
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dft = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    if query_terms is None:
+        rkq = F.row_number().over(W.orderBy(F.col("df").desc(), F.col("word")))
+        query_terms = (
+            dft.select("word", rkq.alias("rk"))
+            .where(F.col("rk").between(QRANK_LO, QRANK_HI))
+            .select(
+                ((F.col("rk") - QRANK_LO) % N_QUERIES).cast("int").alias(
+                    "query_id"
+                ),
+                "word",
+            )
+        )
+    # corpus constants as a 1-row broadcast: N from docs (not from the
+    # token relation, so empty documents still count) and avgdl as
+    # exact-int total tokens / N in one double divide.
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg(F.sum("dl").alias("total_tokens"))
+    ).select(
+        F.col("n_docs"),
+        (F.col("total_tokens").cast("double") / F.col("n_docs")).alias("avgdl"),
+    )
+
+    qdf = F.broadcast(query_terms).join(dft, "word")  # bounded rows
+    scored = (
+        tf.join(F.broadcast(qdf), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    # identical expression tree on the DuckDB side — see _BM25_ORACLE
+    idf = (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + (F.lit(b) * F.col("dl")) / F.col("avgdl"))
+    )
+    per_term = scored.select(
+        "query_id",
+        "doc_id",
+        (idf * tfn).cast(_DEC).alias("s"),
+    )
+    agg = per_term.groupBy("query_id", "doc_id").agg(
+        F.sum("s").cast("double").alias("score")
+    )
+    rk = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    )
+    return (
+        agg.select("query_id", rk.alias("rank"), "doc_id", "score")
+        .where(F.col("rank") <= k)
+    )
+
+
+def corpus_query_terms(docs: DataFrame) -> DataFrame:
+    """Deterministic query workload mined from the corpus itself:
+    words at df ranks QRANK_LO..QRANK_HI, dealt round-robin into
+    N_QUERIES multi-term queries."""
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    dft = (
+        words.groupBy("doc_id", "word").agg(F.lit(1).alias("_one"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    )
+    rk = F.row_number().over(W.orderBy(F.col("df").desc(), F.col("word")))
+    return (
+        dft.select("word", rk.alias("rk"))
+        .where(F.col("rk").between(QRANK_LO, QRANK_HI))
+        .select(
+            ((F.col("rk") - QRANK_LO) % N_QUERIES).cast("int").alias("query_id"),
+            "word",
+        )
+    )
+
+
+_BM25_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2
+),
+dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY 1
+),
+dft AS (
+  SELECT word, COUNT(*) AS df FROM tf GROUP BY 1
+),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         CAST((SELECT SUM(dl) FROM dl) AS DOUBLE)
+           / (SELECT COUNT(*) FROM documents) AS avgdl
+),
+qterms AS (
+  SELECT CAST((rk - {QRANK_LO}) % {N_QUERIES} AS INTEGER) AS query_id, word
+  FROM (
+    SELECT word, ROW_NUMBER() OVER (ORDER BY df DESC, word) AS rk FROM dft
+  )
+  WHERE rk BETWEEN {QRANK_LO} AND {QRANK_HI}
+),
+per_term AS (
+  SELECT q.query_id,
+         t.doc_id,
+         CAST(
+           ((CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * ((t.tf * ({K1} + 1.0))
+              / (t.tf + {K1} * ((1.0 - {B}) + ({B} * l.dl) / s.avgdl)))
+           AS DECIMAL(28,6)) AS s
+  FROM tf t
+  JOIN qterms q ON q.word = t.word
+  JOIN dft d ON d.word = t.word
+  JOIN dl l ON l.doc_id = t.doc_id
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT query_id, doc_id, CAST(SUM(s) AS DOUBLE) AS score
+  FROM per_term GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score
+FROM (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id
+         ) AS INTEGER) AS rank
+  FROM agg
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "search_bm25_topk",
+    _BM25_ORACLE,
+    doc="BM25 top-k keyword retrieval with log-free RSJ odds idf "
+    "(bit-deterministic across engines) and exact decimal per-term "
+    "score summation; query side broadcast, postings pruned to query "
+    "terms before any scoring — candidate generation, not a corpus "
+    "scan. Queries are self-mined at df ranks 21..26.",
+    tags=("search", "text", "bm25", "topk"),
+    bench=True,
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = bm25_topk(docs)  # self-mined query workload, shared tf plan
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        "doc_id",
+        "score",
+    )

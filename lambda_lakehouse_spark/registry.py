@@ -69,6 +69,7 @@ def register(
 # tests/test_registry_contract.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # — round-5 additions / changed queries (no green row yet) —
+    "search_bm25_topk",
     "snapshot_time_travel",
     "snapshot_merge_changelog",
     "corpus_top_ngrams",
@@ -185,6 +186,7 @@ def load_all() -> dict[str, Query]:
     import lambda_lakehouse_spark.sources.maintenance  # noqa: F401
     import lambda_lakehouse_spark.operators.fuzzy  # noqa: F401
     import lambda_lakehouse_spark.operators.hierarchy  # noqa: F401
+    import lambda_lakehouse_spark.operators.search  # noqa: F401
 
     ordered: dict[str, Query] = {}
     for name in DRIVER_PRIORITY:

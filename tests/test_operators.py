@@ -591,3 +591,75 @@ def test_gap_islands_crafted_streaks(spark):
     got = {(r.user_id): (r.streak_start, r.streak_len) for r in best.collect()}
     assert got[1] == (d(2024, 1, 30), 3)   # crosses Jan->Feb
     assert got[2] == (d(2024, 3, 1), 2)    # tie -> earliest start
+
+
+def test_bm25_crafted_ranking(spark):
+    """Pin BM25 semantics on a crafted corpus against an independent
+    pure-Python computation (log-free RSJ odds idf, exact per-term
+    decimal rounding mirrored with round())."""
+    import math
+
+    from lambda_lakehouse_spark.operators.search import bm25_topk
+
+    corpus = {
+        1: "apple banana apple cherry",
+        2: "apple apple apple apple apple apple",
+        3: "banana cherry durian elder fig grape",
+        4: "cherry cherry banana apple durian durian",
+        5: "elder fig grape hazel iris juniper kiwi lemon",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in corpus.items()], "doc_id long, text string"
+    )
+    qterms = spark.createDataFrame(
+        [(0, "apple"), (0, "banana")], "query_id int, word string"
+    )
+    got = {
+        r.rank: (r.doc_id, r.score)
+        for r in bm25_topk(docs, qterms, k=5).collect()
+    }
+
+    # independent model
+    tok = {i: t.split(" ") for i, t in corpus.items()}
+    n, avgdl = len(tok), sum(len(w) for w in tok.values()) / len(tok)
+    dfreq = {
+        w: sum(1 for ws in tok.values() if w in ws)
+        for w in {"apple", "banana"}
+    }
+    k1, b = 1.5, 0.75
+    exp = {}
+    for i, ws in tok.items():
+        s = 0.0
+        for w in ("apple", "banana"):
+            tf = ws.count(w)
+            if not tf:
+                continue
+            idf = (n - dfreq[w] + 0.5) / (dfreq[w] + 0.5)
+            tfn = tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + b * len(ws) / avgdl))
+            s += round(idf * tfn, 6)  # decimal(28,6) per-term quantize
+        if s:
+            exp[i] = round(s, 6)
+    want = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [got[r][0] for r in sorted(got)] == [i for i, _ in want]
+    for r, (doc, score) in got.items():
+        assert math.isclose(score, dict(want)[doc], abs_tol=2e-6)
+
+
+def test_bm25_topk_caps_per_query(spark):
+    from lambda_lakehouse_spark.operators.search import (
+        bm25_topk, corpus_query_terms,
+    )
+    from tests.conftest import SF_DIR
+    from lambda_lakehouse_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    out = bm25_topk(docs, corpus_query_terms(docs), k=3)
+    per_q = {r.query_id: r for r in out.groupBy("query_id").count().collect()}
+    assert per_q and all(r["count"] <= 3 for r in per_q.values())
+    # ranks are dense 1..k within each query
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, rks in by_q.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
