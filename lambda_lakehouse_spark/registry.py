@@ -40,6 +40,15 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+# Queries fully implemented and oracle-tested (tests/test_oracle_queries.py
+# runs them against DuckDB like everything else) but NOT yet exposed to the
+# grading driver: the driver grades a 50-query window per round, and when a
+# round's window is already committed to the existing uncertified backlog,
+# new work stages here and graduates into REGISTRY (+ DRIVER_PRIORITY) at
+# the next round boundary. Staging is a scheduling state, not a quality
+# tier — the pytest gate is identical.
+STAGED: dict[str, Query] = {}
+
 
 def register(
     name: str,
@@ -47,11 +56,13 @@ def register(
     doc: str = "",
     tags: tuple[str, ...] = (),
     bench: bool = False,
+    staged: bool = False,
 ) -> Callable[[SparkQuery], SparkQuery]:
     def deco(fn: SparkQuery) -> SparkQuery:
-        if name in REGISTRY:
+        if name in REGISTRY or name in STAGED:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = Query(name, fn, oracle, doc, tags, bench)
+        target = STAGED if staged else REGISTRY
+        target[name] = Query(name, fn, oracle, doc, tags, bench)
         return fn
 
     return deco
@@ -196,3 +207,10 @@ def load_all() -> dict[str, Query]:
         if name not in ordered:
             ordered[name] = q
     return ordered
+
+
+def load_staged() -> dict[str, Query]:
+    """Import all query modules and return the staged (round-6 queue)
+    entries — oracle-tested in pytest, not yet driver-graded."""
+    load_all()
+    return dict(STAGED)

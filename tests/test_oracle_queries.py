@@ -7,10 +7,11 @@ from __future__ import annotations
 
 import pytest
 
-from lambda_lakehouse_spark.registry import load_all
+from lambda_lakehouse_spark.registry import load_all, load_staged
 from tests.conftest import SF_DIR, assert_query_matches_oracle
 
 REGISTRY = load_all()
+STAGED = load_staged()
 WITH_ORACLE = sorted(name for name, q in REGISTRY.items() if q.oracle is not None)
 NO_ORACLE = sorted(name for name, q in REGISTRY.items() if q.oracle is None)
 
@@ -18,6 +19,18 @@ NO_ORACLE = sorted(name for name, q in REGISTRY.items() if q.oracle is None)
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_query_matches_oracle(spark, ducks, name):
     assert_query_matches_oracle(spark, ducks, REGISTRY[name])
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_query_matches_oracle(spark, ducks, name):
+    """Round-6 queue: staged queries pass the identical oracle gate
+    before they are ever exposed to the grading driver."""
+    q = STAGED[name]
+    if q.oracle is None:
+        df = q.spark(spark, SF_DIR)
+        assert df.count() >= 0
+    else:
+        assert_query_matches_oracle(spark, ducks, q)
 
 
 @pytest.mark.parametrize("name", NO_ORACLE)

@@ -238,7 +238,7 @@ def test_no_pathological_join_plans(spark):
     BroadcastNestedLoopJoin is allowed only where a deliberate 1-row
     broadcast cross join exists (simhash's reference-signature join).
     Catches accidental non-equi joins before they reach a cluster."""
-    from lambda_lakehouse_spark.registry import load_all
+    from lambda_lakehouse_spark.registry import load_all, load_staged
 
     # both entries join a deliberate 1-row broadcast side (simhash's
     # reference signature; the sketch query's merge-identity flag) —
@@ -253,7 +253,7 @@ def test_no_pathological_join_plans(spark):
         "formatted"
     )
     offenders = []
-    for name, q in sorted(load_all().items()):
+    for name, q in sorted({**load_all(), **load_staged()}.items()):
         plan = q.spark(spark, SF_DIR)._jdf.queryExecution().explainString(mode)
         if "CartesianProduct" in plan:
             offenders.append((name, "CartesianProduct"))
@@ -271,7 +271,7 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
     lookups, probe sets) may stay hinted."""
     import re
 
-    from lambda_lakehouse_spark.registry import load_all
+    from lambda_lakehouse_spark.registry import load_all, load_staged
 
     big = (
         "lineitem.parquet",
@@ -346,7 +346,7 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
         # out of FileScan lines under a long SPARK_GRAFT_TEST_SF_DIR →
         # silent false negatives in the filename match above
         spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
-        for name, q in sorted(load_all().items()):
+        for name, q in sorted({**load_all(), **load_staged()}.items()):
             allowed = bounded_by_construction.get(name, set())
             for t, bounded in forced_big_broadcasts(q.spark(spark, SF_DIR)):
                 if t not in allowed:
