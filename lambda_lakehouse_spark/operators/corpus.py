@@ -616,3 +616,142 @@ def text_chunk_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).alias("n_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining: lift-scored bigrams (round-6 staged)
+# ---------------------------------------------------------------------------
+#
+# PMI collocation extraction with the log dropped: lift(x, y)
+#   = P(xy) / (P(x) P(y))
+#   = (c_xy / Nb) / ((c_x / Nt) (c_y / Nt))
+# computed as one fixed-shape double expression over exact integer
+# counts, so both engines produce identical bits (same policy as the
+# BM25 odds idf — log() rounding is engine-specific, a monotone
+# transform of it is not worth losing hash-certifiability for).
+#
+# Scale shape: bigram and unigram histograms are map-side-combined
+# aggregates over the exploded token stream (the same inverted-index
+# shuffle every text operator here rides); the min-support filter cuts
+# the collocation relation BEFORE the two unigram joins, and the
+# final global top-k window only ever sees support-filtered rows. At
+# 100 TB the support threshold is the knob that keeps the ranked
+# relation small; the two joins are on word keys with AQE handling
+# any hot-vocabulary skew.
+
+COLLOC_MIN_SUPPORT = 5
+COLLOC_TOP_K = 50
+
+
+def collocations_lift(
+    docs: DataFrame,
+    min_support: int = COLLOC_MIN_SUPPORT,
+    k: int = COLLOC_TOP_K,
+) -> DataFrame:
+    """Top-``k`` adjacent-word collocations by lift.
+
+    Returns (rank, w1, w2, c_xy, lift) with deterministic
+    (lift DESC, w1, w2) ordering.
+    """
+    base = docs.select(F.split("text", " ").alias("ws"))
+    uni = (
+        base.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = base.where(F.size("ws") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> struct(element_at(ws, i) AS w1,"
+                "             element_at(ws, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    totals = uni.agg(F.sum("c").alias("nt")).crossJoin(
+        big.agg(F.sum("c_xy").alias("nb"))
+    )
+    sup = big.where(F.col("c_xy") >= min_support)
+    scored = (
+        sup.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            # fixed expression tree, mirrored verbatim in the oracle
+            (
+                (F.col("c_xy").cast("double") * F.col("nt") * F.col("nt"))
+                / (F.col("nb").cast("double") * F.col("c1") * F.col("c2"))
+            ).alias("lift"),
+        )
+    )
+    rk = F.row_number().over(
+        W.orderBy(F.col("lift").desc(), F.col("w1"), F.col("w2"))
+    )
+    return scored.select(rk.alias("rank"), "w1", "w2", "c_xy", "lift").where(
+        F.col("rank") <= k
+    )
+
+
+_COLLOC_ORACLE = f"""
+WITH ws AS (
+  SELECT string_split(text, ' ') AS ws FROM documents
+),
+uni AS (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT unnest(ws) AS w FROM ws) GROUP BY 1
+),
+pairs AS (
+  SELECT p.w1, p.w2
+  FROM (
+    SELECT unnest(list_transform(range(1, len(ws)),
+                  i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS p
+    FROM ws WHERE len(ws) >= 2
+  )
+),
+big AS (
+  SELECT w1, w2, COUNT(*) AS c_xy FROM pairs GROUP BY 1, 2
+),
+totals AS (
+  SELECT (SELECT SUM(c) FROM uni) AS nt, (SELECT SUM(c_xy) FROM big) AS nb
+),
+scored AS (
+  SELECT b.w1, b.w2, b.c_xy,
+         (CAST(b.c_xy AS DOUBLE) * t.nt * t.nt)
+           / (CAST(t.nb AS DOUBLE) * u1.c * u2.c) AS lift
+  FROM big b
+  JOIN uni u1 ON u1.w = b.w1
+  JOIN uni u2 ON u2.w = b.w2
+  CROSS JOIN totals t
+  WHERE b.c_xy >= {COLLOC_MIN_SUPPORT}
+)
+SELECT rank, w1, w2, c_xy, lift
+FROM (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, w1, w2) AS INTEGER)
+           AS rank,
+         w1, w2, c_xy, lift
+  FROM scored
+)
+WHERE rank <= {COLLOC_TOP_K}
+"""
+
+
+@register(
+    "corpus_collocations_lift",
+    _COLLOC_ORACLE,
+    doc="Top-k adjacent-word collocations scored by lift "
+    "(log-free PMI: exact integer counts, one fixed-shape double "
+    "expression) with min-support pruning BEFORE the unigram joins "
+    "and a support-bounded global top-k window",
+    tags=("corpus", "text", "collocation", "topk"),
+    staged=True,
+)
+def corpus_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = collocations_lift(docs)
+    return out.select(
+        F.col("rank").cast("int").alias("rank"), "w1", "w2", "c_xy", "lift"
+    )

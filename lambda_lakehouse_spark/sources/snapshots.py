@@ -828,3 +828,56 @@ def snapshot_merge_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.merge(updates, keys=["n_nationkey"])
     return table_diff(t.read(snapshot_id=1), t.read(), keys=["n_nationkey"])
+
+
+@register(
+    "snapshot_delete_rollback",
+    oracle="""
+        SELECT 'deleted' AS stage, c_custkey, c_acctbal
+        FROM customer WHERE NOT (c_acctbal < 0.0)
+        UNION ALL
+        SELECT 'rolled_back' AS stage, c_custkey, c_acctbal
+        FROM customer
+    """,
+    doc=(
+        "Copy-on-write DELETE (column-stats pruned: only files whose "
+        "c_acctbal range intersects the predicate are rewritten) "
+        "followed by snapshot rollback — the pre-delete state republished "
+        "as a NEW snapshot, history append-only, exactly Iceberg's "
+        "rollback semantics. The certified output stacks both table "
+        "states, each derivable from the input in pure SQL."
+    ),
+    tags=("table_format", "delete", "rollback"),
+    staged=True,
+)
+def snapshot_delete_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"llh_snapshot_delrb_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    t = SnapshotTable(spark, base, partition_by=["c_mktsegment"])
+    t.create(cust)
+    t.delete_where(
+        F.col("c_acctbal") < 0.0, range_filter=("c_acctbal", None, 0.0)
+    )
+    deleted = t.read()
+    t.rollback(1)
+    rolled = t.read()
+    return (
+        deleted.select(
+            F.lit("deleted").alias("stage"), "c_custkey", "c_acctbal"
+        )
+        .unionAll(
+            rolled.select(
+                F.lit("rolled_back").alias("stage"), "c_custkey", "c_acctbal"
+            )
+        )
+    )

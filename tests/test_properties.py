@@ -561,3 +561,151 @@ def test_flatten_to_roots_equals_model(spark, seeds):
 
     want = {i: walk(i) for i in range(len(seeds))}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# BM25: Spark plan == pure-Python model on random corpora
+# ---------------------------------------------------------------------------
+
+bm25_docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["apple", "pear", "fig", "kiwi", "plum"]),
+        min_size=1, max_size=8,
+    ),
+    min_size=2, max_size=6,
+)
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(bm25_docs_strategy)
+def test_bm25_equals_python_model(spark, docs_words):
+    """Per-(query, doc) BM25 scores equal the pure model within the
+    decimal(28,6) per-term quantization tolerance."""
+    import math
+
+    from lambda_lakehouse_spark.operators.search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs_words)],
+        "doc_id long, text string",
+    )
+    qterms = spark.createDataFrame(
+        [(0, "apple"), (0, "fig"), (1, "plum")], "query_id int, word string"
+    )
+    got = {
+        (r.query_id, r.doc_id): r.score
+        for r in bm25_topk(docs, qterms, k=100).collect()
+    }
+
+    n = len(docs_words)
+    avgdl = sum(len(ws) for ws in docs_words) / n
+    k1, b = 1.5, 0.75
+
+    def dfreq(w):
+        return sum(1 for ws in docs_words if w in ws)
+
+    exp = {}
+    for qid, terms in ((0, ["apple", "fig"]), (1, ["plum"])):
+        for i, ws in enumerate(docs_words):
+            s = 0.0
+            for w in terms:
+                tf = ws.count(w)
+                if not tf:
+                    continue
+                idf = (n - dfreq(w) + 0.5) / (dfreq(w) + 0.5)
+                tfn = tf * (k1 + 1.0) / (
+                    tf + k1 * ((1.0 - b) + b * len(ws) / avgdl)
+                )
+                s += round(idf * tfn, 6)
+            if s:
+                exp[(qid, i)] = s
+    assert set(got) == set(exp)
+    for key, score in exp.items():
+        assert math.isclose(got[key], score, abs_tol=5e-6), (key, got[key], score)
+
+
+# ---------------------------------------------------------------------------
+# PageRank: Spark plan == power iteration; probability mass conserved
+# ---------------------------------------------------------------------------
+
+# canonicalize to (lo, hi) so the symmetrized edge list is a simple
+# graph — pagerank_fixed treats its input as a multigraph (parallel
+# edges carry weight), and the registry query dedups with distinct()
+graph_strategy = st.sets(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),
+        st.integers(min_value=0, max_value=6),
+    ),
+    min_size=1, max_size=12,
+).map(
+    lambda es: sorted({(min(a, b), max(a, b)) for a, b in es if a != b})
+)
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(graph_strategy)
+def test_pagerank_equals_power_iteration(spark, und):
+    import math
+
+    from hypothesis import assume
+
+    from lambda_lakehouse_spark.operators.graph import pagerank_fixed
+
+    assume(und)
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und],
+        "src long, dst long",
+    )
+    got = {r.node: r.r for r in pagerank_fixed(edges, n_iter=3).collect()}
+
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nn = len(adj)
+    r = {v: 1.0 / nn for v in adj}
+    for _ in range(3):
+        r = {
+            v: 0.15 / nn
+            + 0.85 * round(sum(round(r[u] / len(adj[u]), 6)
+                               for u in adj if v in adj[u]), 6)
+            for v in adj
+        }
+    assert set(got) == set(r)
+    for v in r:
+        assert math.isclose(got[v], r[v], abs_tol=1e-5), (v, got[v], r[v])
+    # probability mass conserved up to quantization: symmetric graphs
+    # have no dangling nodes, so sum(r) stays ~1
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=nn * 1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Bloom pruning: no false negatives, ever
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.sets(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40),
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60),
+)
+def test_bloom_prune_no_false_negatives(spark, dim_keys, fact_keys):
+    from lambda_lakehouse_spark.operators.bloom import bloom_build, bloom_prune
+
+    dim = spark.createDataFrame([(k,) for k in dim_keys], "k long")
+    fact = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(fact_keys)], "row_id long, k long"
+    )
+    bits = bloom_build(dim, "k")
+    cand = {r.row_id for r in bloom_prune(fact, "k", bits).collect()}
+    truth = {i for i, k in enumerate(fact_keys) if k in dim_keys}
+    assert truth <= cand

@@ -248,6 +248,10 @@ def test_no_pathological_join_plans(spark):
         "agg_approx_sketches",
         "q11_important_stock",
         "zorder_layout_keys",  # 1-row min/max bounds aggregate
+        "search_bm25_topk",  # 1-row (N, avgdl) corpus-stats broadcast
+        "corpus_collocations_lift",  # 1-row (Nt, Nb) totals broadcast
+        "graph_pagerank_supply",  # 1-row node-count broadcast per iteration
+        "bloom_semijoin_prune",  # 1-row count aggregates cross-joined
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
@@ -307,6 +311,16 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
         "decontaminate_overlap": {"documents.parquet"},
         "dedup_simhash": {"documents.parquet"},
         "q15_top_supplier": {"lineitem.parquet"},
+        # BM25's broadcast sides are the ≤6-row query-term/df relation
+        # (rank-window-bounded) and the 1-row corpus stats aggregate
+        "search_bm25_topk": {"documents.parquet"},
+        # 1-row (Nt, Nb) token/bigram totals aggregate
+        "corpus_collocations_lift": {"documents.parquet"},
+        # 1-row node-count aggregate broadcast into every iteration
+        "graph_pagerank_supply": {"lineitem.parquet"},
+        # the Bloom bit-set: DISTINCT positions, ≤ M_BITS rows by
+        # construction regardless of dimension size
+        "bloom_semijoin_prune": {"customer.parquet"},
     }
     bounding_ops = (
         "Filter", "HashAggregate", "SortAggregate", "ObjectHashAggregate",

@@ -1,0 +1,105 @@
+"""Crafted-fixture semantics tests for the round-6 staged operators
+(BM25's live in test_operators.py). The full DuckDB-oracle compare for
+every staged query runs in test_oracle_queries.py::test_staged_query_
+matches_oracle; these pin the operator semantics independently."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_pagerank_crafted_against_power_iteration(spark):
+    """Tiny symmetric graph: Spark fixed-iteration PageRank equals a
+    pure-Python power iteration with the same decimal(28,6) per-edge
+    quantization."""
+    from lambda_lakehouse_spark.operators.graph import pagerank_fixed
+
+    und = [(1, 2), (2, 3), (3, 1), (3, 4)]  # triangle + pendant
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und],
+        "src long, dst long",
+    )
+    got = {r.node: r.r for r in pagerank_fixed(edges, n_iter=3).collect()}
+
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    n = len(adj)
+    r = {v: 1.0 / n for v in adj}
+    for _ in range(3):
+        nxt = {}
+        for v in adj:
+            s = sum(
+                round(r[u] / len(adj[u]), 6) for u in adj if v in adj[u]
+            )
+            nxt[v] = 0.15 / n + 0.85 * round(s, 6)
+        r = nxt
+    assert set(got) == set(r)
+    for v in r:
+        assert math.isclose(got[v], r[v], abs_tol=5e-6), (v, got[v], r[v])
+    # pendant node 4 (degree 1) must rank below hub node 3
+    assert got[3] > got[4]
+
+
+def test_bloom_never_false_negative_and_bounded(spark):
+    """Every true match must survive Bloom pruning (no false
+    negatives), and the bit-set relation is bounded by M_BITS."""
+    from lambda_lakehouse_spark.operators.bloom import (
+        M_BITS, bloom_build, bloom_prune,
+    )
+
+    dim = spark.createDataFrame([(k,) for k in range(0, 500, 7)], "k long")
+    fact = spark.createDataFrame([(i, i % 600) for i in range(3000)],
+                                 "row_id long, k long")
+    bits = bloom_build(dim, "k")
+    assert bits.count() <= M_BITS
+    cand = set(r.row_id for r in bloom_prune(fact, "k", bits).collect())
+    truth = set(
+        r.row_id
+        for r in fact.join(dim, "k", "left_semi").collect()
+    )
+    assert truth <= cand  # Bloom filters never drop a true match
+
+
+def test_collocations_crafted_lift(spark):
+    """Known corpus: 'big data' always adjacent, 'red'/'blue' never
+    co-adjacent — lift of the frequent pair matches the closed form."""
+    from lambda_lakehouse_spark.operators.corpus import collocations_lift
+
+    docs = spark.createDataFrame(
+        [(i, "big data " + ("red " if i % 2 else "blue ") + "x") for i in range(10)],
+        "doc_id long, text string",
+    )
+    rows = collocations_lift(docs, min_support=5, k=10).collect()
+    got = {(r.w1, r.w2): r for r in rows}
+    assert ("big", "data") in got
+    r = got[("big", "data")]
+    # counts: c_xy=10; c_big=10, c_data=10; Nt=40 tokens, Nb=30 bigrams
+    assert r.c_xy == 10
+    assert math.isclose(r.lift, (10 * 40 * 40) / (30 * 10 * 10), rel_tol=1e-12)
+    # never-adjacent pair can't appear
+    assert ("red", "blue") not in got and ("blue", "red") not in got
+    # ranks dense from 1
+    assert sorted(x.rank for x in rows) == list(range(1, len(rows) + 1))
+
+
+def test_snapshot_delete_rollback_states(spark, tmp_path):
+    """Rollback republishes the pre-delete file set as a NEW snapshot:
+    history append-only, content identical to v1."""
+    from lambda_lakehouse_spark.sources.snapshots import SnapshotTable
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", float(i - 5)) for i in range(10)],
+        "id long, part string, v double",
+    )
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), partition_by=["part"])
+    t.create(df)
+    t.delete_where(F.col("v") < 0.0)
+    assert t.read().count() == 5  # 0..4 minus negatives: ids 5..9 and 5? v=i-5
+    t.rollback(1)
+    assert sorted(r.id for r in t.read().collect()) == list(range(10))
+    ops = [s["operation"] for s in t.snapshots()]
+    assert ops == ["create", "delete", "rollback"]

