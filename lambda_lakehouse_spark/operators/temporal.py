@@ -178,3 +178,182 @@ def interval_join(
         .withColumn("delta_us", F.col("_rus") - F.col("_lus"))
         .drop("_lus", "_rus", "_bucket", "_rbucket", *[f"_r_{k}" for k in keys])
     )
+
+
+def as_of_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_time: str,
+    right_time: str,
+    value_col: str,
+    tolerance_us: int,
+) -> DataFrame:
+    """Nearest-in-time as-of join (either direction) with a tolerance.
+
+    For each left row, attaches the right row minimizing
+    ``|left_time - right_time|`` within ``tolerance_us`` microseconds;
+    equidistant candidates resolve BACKWARD (the earlier right row) —
+    pandas' ``merge_asof(direction='nearest')`` semantics, which Spark
+    lacks natively. The right side must be unique per
+    ``(keys, right_time)`` (callers dedup; the certified query takes
+    MAX(event_id) per instant).
+
+    Same scale shape as :func:`as_of_join`: tag-union both sides, one
+    sort per key partition, and BOTH direction candidates come from
+    the same sorted window (backward = last right row in the
+    unbounded-preceding frame, forward = first right row in the
+    unbounded-following frame — equal-timestamp right rows sort before
+    the left row, so they land in the backward frame with distance 0).
+    One shuffle, no UDF, no self-join; the tolerance filter happens
+    after candidate selection so it never changes which row is
+    nearest.
+
+    Returns the left columns + ``matched_t_us``, ``matched_<value_col>``,
+    ``dist_us`` (all NULL when nothing lies within tolerance).
+    """
+    # NTZ-proof: cast to TIMESTAMP before unix_micros (see
+    # interval_join's note — the grading driver's plain session
+    # reads parquet micros as TIMESTAMP_NTZ, which unix_micros
+    # rejects; the cast is a no-op on LTZ columns).
+    keys = list(keys)
+    # (rtu, value) travel as ONE struct so the window picks an atomic
+    # right ROW — a per-column last/first could pair a timestamp with
+    # another row's value whenever value_col holds NULLs (same hazard
+    # as as_of_join's __vrow note above).
+    vtype = right.schema[value_col].dataType.simpleString()
+    lhs = left.select(
+        *left.columns,
+        F.unix_micros(F.col(left_time).cast("timestamp")).alias("__tu"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(f"struct<rtu:bigint,val:{vtype}>").alias("__r"),
+    )
+    rhs = right.select(
+        *keys,
+        F.unix_micros(F.col(right_time).cast("timestamp")).alias("__tu"),
+        F.lit(0).alias("__side"),
+        F.struct(
+            F.unix_micros(F.col(right_time).cast("timestamp")).alias("rtu"),
+            F.col(value_col).alias("val"),
+        ).alias("__r"),
+    )
+    u = lhs.unionByName(rhs, allowMissingColumns=True)
+    order = [F.col("__tu"), F.col("__side")]
+    wb = W.partitionBy(*keys).orderBy(*order).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wf = W.partitionBy(*keys).orderBy(*order).rowsBetween(
+        W.currentRow, W.unboundedFollowing
+    )
+    u = u.select(
+        "*",
+        F.last("__r", ignorenulls=True).over(wb).alias("__b"),
+        F.first("__r", ignorenulls=True).over(wf).alias("__f"),
+    )
+    l = u.where(F.col("__side") == 1)
+    bdist = F.col("__tu") - F.col("__b.rtu")
+    fdist = F.col("__f.rtu") - F.col("__tu")
+    take_back = F.col("__b").isNotNull() & (
+        F.col("__f").isNull() | (bdist <= fdist)
+    )
+    cand_tu = F.when(take_back, F.col("__b.rtu")).otherwise(F.col("__f.rtu"))
+    cand_val = F.when(take_back, F.col("__b.val")).otherwise(F.col("__f.val"))
+    dist = F.abs(F.col("__tu") - cand_tu)
+    within = dist <= F.lit(tolerance_us)
+    return l.select(
+        *left.columns,
+        F.col("__tu").alias("t_us"),
+        F.when(within, cand_tu).alias("matched_t_us"),
+        F.when(within, cand_val).alias(f"matched_{value_col}"),
+        F.when(within, dist).alias("dist_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Certified query (round-6 staged): nearest purchase within 6h of a click
+# ---------------------------------------------------------------------------
+
+_NEAREST_TOL_US = 6 * 3600 * 1_000_000
+
+_NEAREST_ORACLE = f"""
+WITH l AS (
+  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
+  FROM events WHERE event_type = 'click'
+),
+r0 AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS rtu,
+         MAX(event_id) AS r_event_id
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT l.event_id, r0.rtu, r0.r_event_id,
+         abs(l.t_us - r0.rtu) AS dist,
+         CASE WHEN r0.rtu <= l.t_us THEN 0 ELSE 1 END AS dir
+  FROM l JOIN r0 USING (user_id)
+  WHERE abs(l.t_us - r0.rtu) <= {_NEAREST_TOL_US}
+),
+best AS (
+  SELECT event_id, rtu, r_event_id, dist
+  FROM cand
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY event_id ORDER BY dist, dir, rtu DESC
+  ) = 1
+)
+SELECT l.event_id, l.user_id, l.t_us,
+       b.rtu AS matched_t_us,
+       b.r_event_id AS matched_event_id,
+       b.dist AS dist_us
+FROM l LEFT JOIN best b ON b.event_id = l.event_id
+"""
+
+
+def _register_nearest() -> None:
+    """Deferred import (registry → temporal would otherwise be the only
+    operator module registering at import of plans/*)."""
+    from lambda_lakehouse_spark.registry import register
+    from lambda_lakehouse_spark.sources.readers import read_table
+
+    @register(
+        "asof_join_nearest",
+        _NEAREST_ORACLE,
+        doc="Nearest-in-time as-of join (pandas merge_asof "
+        "direction='nearest', which Spark lacks): tag-union + one "
+        "sorted window yields backward AND forward candidates in a "
+        "single shuffle, equidistant ties resolve backward, 6h "
+        "tolerance; oracle is the brute-force per-key QUALIFY argmin",
+        tags=("join", "asof", "nearest", "events"),
+        staged=True,
+    )
+    def asof_join_nearest(spark, sf_dir: str) -> DataFrame:
+        ev = read_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "ts"
+        )
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        purchases = (
+            ev.where(F.col("event_type") == "purchase")
+            .groupBy("user_id", "ts")
+            .agg(F.max("event_id").alias("purchase_id"))
+        )
+        out = as_of_join_nearest(
+            clicks,
+            purchases,
+            keys=["user_id"],
+            left_time="ts",
+            right_time="ts",
+            value_col="purchase_id",
+            tolerance_us=_NEAREST_TOL_US,
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            "t_us",
+            "matched_t_us",
+            F.col("matched_purchase_id").alias("matched_event_id"),
+            "dist_us",
+        )
+
+
+_register_nearest()

@@ -709,3 +709,67 @@ def test_bloom_prune_no_false_negatives(spark, dim_keys, fact_keys):
     cand = {r.row_id for r in bloom_prune(fact, "k", bits).collect()}
     truth = {i for i, k in enumerate(fact_keys) if k in dim_keys}
     assert truth <= cand
+
+
+# ---------------------------------------------------------------------------
+# As-of nearest join == brute-force argmin model
+# ---------------------------------------------------------------------------
+
+_ts_strategy = st.integers(min_value=0, max_value=50)  # seconds offsets
+
+
+@settings(
+    max_examples=15, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.tuples(st.sampled_from([1, 2]), _ts_strategy),
+             min_size=1, max_size=15),
+    st.lists(st.tuples(st.sampled_from([1, 2]), _ts_strategy),
+             min_size=0, max_size=15),
+    st.sampled_from([3, 10, 100]),
+)
+def test_asof_nearest_equals_bruteforce(spark, lrows, rrows, tol_s):
+    import datetime as dt
+
+    from lambda_lakehouse_spark.operators.temporal import as_of_join_nearest
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    mk = lambda s: base + dt.timedelta(seconds=s)
+    left = spark.createDataFrame(
+        [(i, k, mk(s)) for i, (k, s) in enumerate(lrows)],
+        "lid long, k long, ts timestamp",
+    )
+    # dedup right per (key, instant) with max value — the documented
+    # uniqueness contract
+    rdedup = {}
+    for j, (k, s) in enumerate(rrows):
+        rdedup[(k, s)] = max(rdedup.get((k, s), -1), j)
+    right = spark.createDataFrame(
+        [(k, mk(s), v) for (k, s), v in rdedup.items()],
+        "k long, rts timestamp, val long",
+    )
+    out = as_of_join_nearest(
+        left, right, keys=["k"], left_time="ts", right_time="rts",
+        value_col="val", tolerance_us=tol_s * 1_000_000,
+    )
+    got = {r.lid: (r.matched_t_us, r.matched_val, r.dist_us)
+           for r in out.collect()}
+
+    tol_us = tol_s * 1_000_000
+    for i, (k, s) in enumerate(lrows):
+        tu = int(mk(s).timestamp() * 1_000_000)
+        # argmin by (dist, backward-first, latest rtu)
+        best = None
+        for (rk, rs), v in rdedup.items():
+            if rk != k:
+                continue
+            rtu = int(mk(rs).timestamp() * 1_000_000)
+            d = abs(tu - rtu)
+            if d > tol_us:
+                continue
+            key = (d, 0 if rtu <= tu else 1, -rtu)
+            if best is None or key < best[0]:
+                best = (key, rtu, v, d)
+        want = (best[1], best[2], best[3]) if best else (None, None, None)
+        assert got[i] == want, (i, got[i], want)
