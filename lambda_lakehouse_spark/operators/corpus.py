@@ -755,3 +755,127 @@ def corpus_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("rank").cast("int").alias("rank"), "w1", "w2", "c_xy", "lift"
     )
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling: weighted k-sample with unbiased subset-sum
+# estimator (round-6 staged)
+# ---------------------------------------------------------------------------
+#
+# Duffield, Lund & Thorup, "Priority sampling" (JACM 2007): draw
+# u_i uniform, give item i priority q_i = w_i / u_i, keep the top-k
+# by priority, and estimate any subset's weight-sum by
+# sum(max(w_i, tau)) over its sampled members, where tau is the
+# (k+1)-th priority. Near-optimal variance among k-sample estimators,
+# and — unlike Efraimidis–Spirakis (u^(1/w)) or exponential-jump
+# reservoirs (ln u) — every step is rational: md5-derived 60-bit
+# uniforms, one divide, one max. That makes the whole sample AND the
+# estimator bit-deterministic across engines, so the driver can
+# hash-certify a weighted sample, which a pow()/ln()-based scheme
+# would never survive.
+#
+# Scale shape: priorities are a pure projection; top-(k+1) is the
+# same single bounded global window every top-k query here uses
+# (partial top-k per partition is the refinement at extreme scale);
+# tau is a 1-row aggregate broadcast back over the k winners.
+
+PRIORITY_SAMPLE_K = 100
+_U_DENOM = 1 << 60  # 15 md5 hex chars → 60-bit uniform
+
+
+def priority_sample(
+    items: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int = PRIORITY_SAMPLE_K,
+    seed: str = "ps1",
+) -> DataFrame:
+    """Top-``k`` priority sample: (rank, id, weight, priority,
+    est_weight) with est_weight = max(weight, tau) — summing it over
+    any subset of the sample unbiasedly estimates that subset's true
+    weight sum. Weights must be > 0."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("bigint")
+    prio = F.col(weight_col).cast("double") / (
+        (h + F.lit(1)).cast("double") / F.lit(float(_U_DENOM))
+    )
+    ranked = items.select(
+        F.col(id_col),
+        F.col(weight_col),
+        prio.alias("priority"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            W.orderBy(F.col("priority").desc(), F.col(id_col))
+        ),
+    ).where(F.col("rank") <= k + 1)
+    tau = ranked.agg(
+        F.max(F.when(F.col("rank") == k + 1, F.col("priority"))).alias("tau")
+    )
+    return (
+        ranked.where(F.col("rank") <= k)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            F.col(id_col),
+            F.col(weight_col),
+            "priority",
+            F.when(
+                F.col("tau").isNull(), F.col(weight_col).cast("double")
+            )
+            .otherwise(
+                F.greatest(F.col(weight_col).cast("double"), F.col("tau"))
+            )
+            .alias("est_weight"),
+        )
+    )
+
+
+_PRIORITY_ORACLE = f"""
+WITH pr AS (
+  SELECT doc_id, n_chars,
+         CAST(n_chars AS DOUBLE)
+           / (CAST((('0x' || substr(md5('ps1:' || doc_id), 1, 15))::BIGINT
+                    + 1) AS DOUBLE) / CAST({_U_DENOM} AS DOUBLE))
+           AS priority
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_chars, priority,
+         CAST(ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS INTEGER)
+           AS rank
+  FROM pr
+  QUALIFY rank <= {PRIORITY_SAMPLE_K} + 1
+),
+tau AS (
+  SELECT MAX(CASE WHEN rank = {PRIORITY_SAMPLE_K} + 1 THEN priority END)
+           AS tau
+  FROM ranked
+)
+SELECT r.rank, r.doc_id, r.n_chars, r.priority,
+       CASE WHEN t.tau IS NULL THEN CAST(r.n_chars AS DOUBLE)
+            ELSE greatest(CAST(r.n_chars AS DOUBLE), t.tau) END AS est_weight
+FROM ranked r CROSS JOIN tau t
+WHERE r.rank <= {PRIORITY_SAMPLE_K}
+"""
+
+
+@register(
+    "sample_priority_weighted",
+    _PRIORITY_ORACLE,
+    doc="Priority sampling (Duffield–Lund–Thorup JACM'07): md5-uniform "
+    "q=w/u top-k with the max(w, tau) threshold estimator — the "
+    "log/pow-free weighted sampler, fully rational so the sample and "
+    "its unbiased estimator hash-certify across engines; weights are "
+    "document lengths",
+    tags=("sampling", "corpus", "weighted", "topk"),
+    staged=True,
+)
+def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return priority_sample(docs, "doc_id", "n_chars")

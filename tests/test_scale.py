@@ -252,6 +252,7 @@ def test_no_pathological_join_plans(spark):
         "corpus_collocations_lift",  # 1-row (Nt, Nb) totals broadcast
         "graph_pagerank_supply",  # 1-row node-count broadcast per iteration
         "bloom_semijoin_prune",  # 1-row count aggregates cross-joined
+        "sample_priority_weighted",  # 1-row tau threshold broadcast
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
@@ -321,6 +322,9 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
         # the Bloom bit-set: DISTINCT positions, ≤ M_BITS rows by
         # construction regardless of dimension size
         "bloom_semijoin_prune": {"customer.parquet"},
+        # 1-row tau ((k+1)-th priority) aggregate broadcast over the
+        # k sampled winners
+        "sample_priority_weighted": {"documents.parquet"},
     }
     bounding_ops = (
         "Filter", "HashAggregate", "SortAggregate", "ObjectHashAggregate",

@@ -103,3 +103,25 @@ def test_snapshot_delete_rollback_states(spark, tmp_path):
     assert sorted(r.id for r in t.read().collect()) == list(range(10))
     ops = [s["operation"] for s in t.snapshots()]
     assert ops == ["create", "delete", "rollback"]
+
+
+def test_priority_sample_contracts(spark):
+    """k >= n degenerates to the full population with est == weight
+    (tau undefined); shrinking k keeps the larger sample's prefix —
+    priority order is a fixed total order, so samples are nested."""
+    from lambda_lakehouse_spark.operators.corpus import priority_sample
+
+    items = spark.createDataFrame(
+        [(i, (i % 7) + 1) for i in range(20)], "id long, w long"
+    )
+    full = priority_sample(items, "id", "w", k=50).collect()
+    assert len(full) == 20
+    assert all(r.est_weight == float(r.w) for r in full)
+
+    k5 = priority_sample(items, "id", "w", k=5).collect()
+    k3 = priority_sample(items, "id", "w", k=3).collect()
+    order5 = [r.id for r in sorted(k5, key=lambda r: r.rank)]
+    order3 = [r.id for r in sorted(k3, key=lambda r: r.rank)]
+    assert order5[:3] == order3
+    # estimator floor: every sampled est_weight >= its true weight
+    assert all(r.est_weight >= r.w for r in k3)
