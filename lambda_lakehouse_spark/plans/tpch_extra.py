@@ -891,3 +891,115 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_retailprice", "p_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (round-6 staged)
+# ---------------------------------------------------------------------------
+
+_BASKET_MIN_SUPPORT = 2
+_BASKET_TOP_K = 100
+
+_BASKET_ORACLE = f"""
+WITH b AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM b
+),
+ic AS (
+  SELECT l_partkey, COUNT(*) AS c FROM b GROUP BY 1
+),
+pairs AS (
+  SELECT a.l_partkey AS p1, b2.l_partkey AS p2, COUNT(*) AS c_xy
+  FROM b a
+  JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+           AND a.l_partkey < b2.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
+),
+scored AS (
+  SELECT p.p1, p.p2, p.c_xy,
+         (CAST(p.c_xy AS DOUBLE) * n.n_baskets)
+           / (CAST(i1.c AS DOUBLE) * i2.c) AS lift,
+         CAST(p.c_xy AS DOUBLE) / i1.c AS conf_1_to_2,
+         CAST(p.c_xy AS DOUBLE) / i2.c AS conf_2_to_1
+  FROM pairs p
+  JOIN ic i1 ON i1.l_partkey = p.p1
+  JOIN ic i2 ON i2.l_partkey = p.p2
+  CROSS JOIN n
+)
+SELECT rank, p1, p2, c_xy, lift, conf_1_to_2, conf_2_to_1
+FROM (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, p1, p2) AS INTEGER)
+           AS rank, *
+  FROM scored
+)
+WHERE rank <= {_BASKET_TOP_K}
+"""
+
+
+@register(
+    "basket_association_rules",
+    _BASKET_ORACLE,
+    doc="Market-basket pair mining over order baskets: per-order "
+    "self-join (fan-out bounded by basket size, never corpus-wide), "
+    "min-support prune BEFORE the item-frequency joins, rational "
+    "lift/confidence (no log), top-k by lift. The a-priori candidate "
+    "step of association-rule mining as one declarative plan.",
+    tags=("basket", "association", "join", "topk"),
+    staged=True,
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    b = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = b.agg(F.count_distinct("l_orderkey").alias("n_baskets"))
+    ic = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    b2 = b.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
+    )
+    pairs = (
+        b.join(
+            b2,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_partkey") < F.col("p2")),
+        )
+        .groupBy(F.col("l_partkey").alias("p1"), "p2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= _BASKET_MIN_SUPPORT)
+    )
+    scored = (
+        pairs.join(
+            ic.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1")),
+            "p1",
+        )
+        .join(
+            ic.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2")),
+            "p2",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            "c_xy",
+            (
+                (F.col("c_xy").cast("double") * F.col("n_baskets"))
+                / (F.col("c1").cast("double") * F.col("c2"))
+            ).alias("lift"),
+            (F.col("c_xy").cast("double") / F.col("c1")).alias("conf_1_to_2"),
+            (F.col("c_xy").cast("double") / F.col("c2")).alias("conf_2_to_1"),
+        )
+    )
+    rk = F.row_number().over(W.orderBy(F.col("lift").desc(), "p1", "p2"))
+    return (
+        scored.select(rk.alias("rank"), "p1", "p2", "c_xy", "lift",
+                      "conf_1_to_2", "conf_2_to_1")
+        .where(F.col("rank") <= _BASKET_TOP_K)
+        .select(F.col("rank").cast("int").alias("rank"), "p1", "p2", "c_xy",
+                "lift", "conf_1_to_2", "conf_2_to_1")
+    )

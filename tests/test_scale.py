@@ -253,6 +253,7 @@ def test_no_pathological_join_plans(spark):
         "graph_pagerank_supply",  # 1-row node-count broadcast per iteration
         "bloom_semijoin_prune",  # 1-row count aggregates cross-joined
         "sample_priority_weighted",  # 1-row tau threshold broadcast
+        "basket_association_rules",  # 1-row basket-count broadcast
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
@@ -325,6 +326,8 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
         # 1-row tau ((k+1)-th priority) aggregate broadcast over the
         # k sampled winners
         "sample_priority_weighted": {"documents.parquet"},
+        # 1-row distinct-basket-count aggregate
+        "basket_association_rules": {"lineitem.parquet"},
     }
     bounding_ops = (
         "Filter", "HashAggregate", "SortAggregate", "ObjectHashAggregate",

@@ -125,3 +125,36 @@ def test_priority_sample_contracts(spark):
     assert order5[:3] == order3
     # estimator floor: every sampled est_weight >= its true weight
     assert all(r.est_weight >= r.w for r in k3)
+
+
+def test_basket_rules_crafted(spark, tmp_path):
+    """Crafted baskets: perfectly-correlated pair gets lift n/|x|,
+    confidence 1.0 in both directions."""
+    import os
+
+    from lambda_lakehouse_spark.registry import load_staged
+
+    # baskets: {1,2} x3, {1,2,3} x1, {4,5} x2, {6} x2  -> 8 baskets
+    rows = []
+    baskets = [(1, 2), (1, 2), (1, 2), (1, 2, 3), (4, 5), (4, 5), (6,), (6,)]
+    for oid, parts in enumerate(baskets):
+        for p in parts:
+            rows.append((oid, p))
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+    q = load_staged()["basket_association_rules"]
+    got = {(r.p1, r.p2): r for r in q.spark(spark, sf_dir).collect()}
+    r12 = got[(1, 2)]
+    # c_xy=4, c1=c2=4, n=8 -> lift = 4*8/(4*4) = 2.0, conf 1.0 each way
+    assert r12.c_xy == 4 and r12.lift == 2.0
+    assert r12.conf_1_to_2 == 1.0 and r12.conf_2_to_1 == 1.0
+    r45 = got[(4, 5)]
+    # c_xy=2, c4=c5=2, n=8 -> lift = 2*8/(2*2) = 4.0
+    assert r45.c_xy == 2 and r45.lift == 4.0
+    # singleton part 6 and sub-threshold (1,3),(2,3) pairs absent
+    assert all(6 not in k for k in got)
+    assert (1, 3) not in got and (2, 3) not in got
