@@ -488,3 +488,137 @@ def sessionize_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("path"),
         F.count(F.lit(1)).alias("path_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly detection: median/MAD outlier flags (round-6 staged)
+# ---------------------------------------------------------------------------
+#
+# The classic robust outlier rule — |x - median| > 3 * MAD — with BOTH
+# statistics computed as EXACT rank-based lower medians (the
+# percentile_disc shape agg_exact_percentiles documents: one sort
+# window per group, conditional aggregate at rank floor((n+1)/2)).
+# Mean/stddev outlier flags break down exactly when outliers exist
+# (the outliers inflate the stddev); median/MAD is the standard
+# robust replacement, and rank-based medians keep every comparison in
+# exact arithmetic — no interpolation, no engine-specific
+# approx-percentile sketch — so the flagged set hash-certifies.
+#
+# Scale: two sort-window + aggregate passes over the same (group)
+# partitioning; parallelism equals group count (see the
+# agg_exact_percentiles caveat and its two-phase histogram refinement
+# for few-huge-group shapes).
+
+_MAD_FACTOR = 3.0
+
+
+def mad_anomalies(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    factor: float = _MAD_FACTOR,
+) -> DataFrame:
+    """Rows whose |value - group_median| exceeds ``factor`` * group
+    MAD (groups with MAD = 0 flag nothing — a degenerate spread makes
+    every deviation 'infinite sigmas', the standard guard)."""
+    wp = W.partitionBy(group_col)
+    base = events.select(id_col, group_col, value_col)
+    ranked = base.select(
+        "*",
+        F.row_number().over(
+            wp.orderBy(F.col(value_col), F.col(id_col))
+        ).alias("_rn"),
+        F.count(F.lit(1)).over(wp).alias("_cnt"),
+    )
+    med = ranked.groupBy(group_col).agg(
+        F.max(
+            F.when(
+                F.col("_rn")
+                == F.expr("cast(floor((_cnt + 1) / 2.0) as bigint)"),
+                F.col(value_col),
+            )
+        ).alias("med")
+    )
+    dev = base.join(med, group_col).withColumn(
+        "dev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    ranked2 = dev.select(
+        "*",
+        F.row_number().over(
+            wp.orderBy(F.col("dev"), F.col(id_col))
+        ).alias("_rn2"),
+        F.count(F.lit(1)).over(wp).alias("_cnt2"),
+    )
+    mad = ranked2.groupBy(group_col).agg(
+        F.max(
+            F.when(
+                F.col("_rn2")
+                == F.expr("cast(floor((_cnt2 + 1) / 2.0) as bigint)"),
+                F.col("dev"),
+            )
+        ).alias("mad")
+    )
+    return (
+        dev.join(mad, group_col)
+        .where(
+            (F.col("mad") > 0) & (F.col("dev") > F.lit(factor) * F.col("mad"))
+        )
+        .select(id_col, group_col, value_col, "med", "mad", "dev")
+    )
+
+
+_MAD_ORACLE = f"""
+WITH base AS (
+  SELECT event_id, event_type, value FROM events
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM base
+),
+med AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = CAST(floor((cnt + 1) / 2.0) AS BIGINT)
+                  THEN value END) AS med
+  FROM ranked GROUP BY 1
+),
+dev AS (
+  SELECT b.event_id, b.event_type, b.value, m.med,
+         abs(b.value - m.med) AS dev
+  FROM base b JOIN med m USING (event_type)
+),
+ranked2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY dev, event_id) AS rn2,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt2
+  FROM dev
+),
+mad AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn2 = CAST(floor((cnt2 + 1) / 2.0) AS BIGINT)
+                  THEN dev END) AS mad
+  FROM ranked2 GROUP BY 1
+)
+SELECT d.event_id, d.event_type, d.value, d.med, a.mad, d.dev
+FROM dev d JOIN mad a USING (event_type)
+WHERE a.mad > 0 AND d.dev > CAST({_MAD_FACTOR} AS DOUBLE) * a.mad
+"""
+
+
+@register(
+    "events_anomaly_mad",
+    _MAD_ORACLE,
+    doc="Robust outlier flags per event type: |value - median| > "
+    "3 * MAD with both statistics as exact rank-based lower medians "
+    "(no approx sketch, no interpolation) — two sort-window passes on "
+    "the same group partitioning, flagged set hash-certifies",
+    tags=("events", "anomaly", "robust", "window"),
+    staged=True,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return mad_anomalies(ev)

@@ -158,3 +158,22 @@ def test_basket_rules_crafted(spark, tmp_path):
     # singleton part 6 and sub-threshold (1,3),(2,3) pairs absent
     assert all(6 not in k for k in got)
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_mad_anomalies_crafted(spark):
+    """Crafted group: median 10, MAD 1 — only the 100 outlier flags.
+    A group where more than half the rows share one value has
+    lower-median deviation 0 → MAD 0 → flags nothing (documented
+    degenerate-spread guard), even with an extreme outlier present."""
+    from lambda_lakehouse_spark.operators.sessionize import mad_anomalies
+
+    rows = [(i, "g", float(v)) for i, v in enumerate([8, 9, 10, 11, 12, 100])]
+    # degenerate group: 5 identical values + 1 outlier -> lower-median
+    # dev is 0 -> MAD 0 -> nothing flagged (documented guard)
+    rows += [(100 + i, "z", 5.0) for i in range(5)] + [(106, "z", 99.0)]
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = {r.event_id: r for r in mad_anomalies(ev).collect()}
+    # group g: sorted 8,9,10,11,12,100 -> lower median 10; devs
+    # 0,1,1,2,2,90 -> lower median (rank 3) = 1 -> flag dev > 3
+    assert set(got) == {5}
+    assert got[5].med == 10.0 and got[5].mad == 1.0 and got[5].dev == 90.0
