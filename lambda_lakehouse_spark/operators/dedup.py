@@ -549,6 +549,7 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = _JACCARD_THRESHOLD,
     max_doc_freq: int | None = None,
+    include_sizes: bool = False,
 ) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs within ``source`` via the
     inverted-index formulation (shuffle key = shingle). ``docs`` needs
@@ -606,12 +607,13 @@ def ngram_jaccard_pairs(
     )
     # sa/sb are per-document side tables (one row per doc) — they grow
     # with the corpus, so no broadcast hint; AQE picks the strategy.
+    extra = ["na", "nb"] if include_sizes else []
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "n_common", "jaccard")
+        .select("doc_a", "doc_b", "n_common", "jaccard", *extra)
     )
 
 
@@ -1046,3 +1048,87 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {threshold}
 def dedup_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     return minhash_lsh_verified_pairs(docs)
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup pairs (round-6 staged)
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_THRESHOLD = 0.5
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    threshold: float = _CONTAINMENT_THRESHOLD,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Subset-duplication pairs: containment
+    ``|A ∩ B| / min(|A|, |B|)`` over 3-gram sets.
+
+    Jaccard misses asymmetric duplication — a short document wholly
+    embedded in a long one scores |A|/|B| ≈ 0 by Jaccard but 1.0 by
+    containment (Broder's original resemblance/containment split,
+    SEQUENCES'97). Same inverted-index plan and stop-shingle cap as
+    :func:`ngram_jaccard_pairs` (shared code path); only the final
+    score changes, so the cap's subset guarantee carries over.
+    """
+    base = ngram_jaccard_pairs(
+        docs, threshold=0.0, max_doc_freq=max_doc_freq, include_sizes=True
+    )
+    containment = F.col("n_common").cast("double") / F.least(
+        F.col("na"), F.col("nb")
+    )
+    return (
+        base.withColumn("containment", containment)
+        .where(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "containment")
+    )
+
+
+def _containment_oracle(max_doc_freq: int) -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct([substr(text, i, 3)
+                        FOR i IN range(1, greatest(length(text)-2, 1) + 1)]) AS shingles
+  FROM documents
+),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+ex AS (SELECT doc_id, source, unnest(shingles) AS s FROM sh),
+kept AS (
+  SELECT source, s FROM ex GROUP BY 1, 2 HAVING COUNT(*) <= {max_doc_freq}
+),
+exf AS (
+  SELECT e.doc_id, e.source, e.s FROM ex e JOIN kept USING (source, s)
+),
+inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM exf x
+  JOIN exf y ON x.source = y.source AND x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       CAST(n_common AS DOUBLE) / least(sa.n, sb.n) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / least(sa.n, sb.n)
+        >= {_CONTAINMENT_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_ngram_containment",
+    _containment_oracle(_NGRAM_MAX_DF),
+    doc="Containment near-dup pairs |A∩B|/min(|A|,|B|) over 3-gram "
+    "sets — catches short-doc-inside-long-doc duplication Jaccard "
+    "scores near zero (Broder'97 containment); same inverted-index "
+    "plan and stop-shingle DF cap as dedup_ngram_jaccard_capped",
+    tags=("dedup", "containment", "join", "scale"),
+    staged=True,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    return ngram_containment_pairs(docs, max_doc_freq=_NGRAM_MAX_DF)

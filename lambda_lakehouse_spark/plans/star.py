@@ -391,3 +391,37 @@ def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, clicks, keys=("user_id",), left_ts="pts", right_ts="cts",
         tolerance_s=1800,
     ).select("user_id", "purchase_id", "click_id", "delta_us")
+
+
+@register(
+    "scd2_type6_dim",
+    _SCD2_CTES
+    + """
+SELECT d.user_id, d.version, d.effective_from, d.effective_to,
+       d.is_current, d.plan_tier, d.band,
+       cur.plan_tier AS current_plan_tier,
+       cur.band AS current_band
+FROM scd2_dim d
+JOIN scd2_dim cur ON cur.user_id = d.user_id AND cur.is_current
+""",
+    doc="Kimball Type-6 hybrid dimension: every SCD2 history row also "
+    "carries the entity's CURRENT attribute values (type-1 columns on "
+    "type-2 rows), so as-was and as-is reporting come from one dim "
+    "without a second join at query time. One self-join of the built "
+    "dim against its is_current slice — keyed on the entity, version "
+    "fan-out only (bounded per entity), AQE-skew-safe.",
+    tags=("scd2", "type6", "join"),
+    staged=True,
+)
+def scd2_type6_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = _user_dim(spark, sf_dir)
+    cur = dim.where(F.col("is_current")).select(
+        "user_id",
+        F.col("plan_tier").alias("current_plan_tier"),
+        F.col("band").alias("current_band"),
+    )
+    return dim.join(cur, "user_id").select(
+        "user_id", "version", "effective_from", "effective_to",
+        "is_current", "plan_tier", "band",
+        "current_plan_tier", "current_band",
+    )

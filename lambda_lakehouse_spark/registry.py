@@ -47,6 +47,14 @@ REGISTRY: dict[str, Query] = {}
 # new work stages here and graduates into REGISTRY (+ DRIVER_PRIORITY) at
 # the next round boundary. Staging is a scheduling state, not a quality
 # tier — the pytest gate is identical.
+#
+# ROUND-6 GRADUATION PROCEDURE (first session of the next round):
+#   1. flip each query's ``staged=True`` to default (remove the kwarg);
+#   2. prepend its name to DRIVER_PRIORITY (staged queries have no green
+#      driver row yet, so they must sit inside the 50-slot window);
+#   3. re-run: python tools/gen_coverage_appendix.py && pytest
+#      tests/test_registry_contract.py — the window-fit invariant will
+#      fail loudly if too many uncertified queries would queue at once.
 STAGED: dict[str, Query] = {}
 
 

@@ -177,3 +177,24 @@ def test_mad_anomalies_crafted(spark):
     # 0,1,1,2,2,90 -> lower median (rank 3) = 1 -> flag dev > 3
     assert set(got) == {5}
     assert got[5].med == 10.0 and got[5].mad == 1.0 and got[5].dev == 90.0
+
+
+def test_containment_catches_subset_dup_jaccard_misses(spark):
+    """A short doc embedded verbatim in a long one: containment 1.0,
+    jaccard far below its threshold — the exact asymmetric case the
+    operator exists for."""
+    from lambda_lakehouse_spark.operators.dedup import (
+        ngram_containment_pairs, ngram_jaccard_pairs,
+    )
+
+    short = "unique needle phrase xyz"
+    long = ("totally different haystack content " * 5) + short
+    docs = spark.createDataFrame(
+        [(1, "s", short), (2, "s", long)],
+        "doc_id long, source string, text string",
+    )
+    cont = ngram_containment_pairs(docs, threshold=0.9).collect()
+    assert len(cont) == 1 and cont[0].doc_a == 1 and cont[0].doc_b == 2
+    assert cont[0].containment == 1.0
+    jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert jac == []  # jaccard never flags the subset pair
