@@ -1003,3 +1003,87 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("rank").cast("int").alias("rank"), "p1", "p2", "c_xy",
                 "lift", "conf_1_to_2", "conf_2_to_1")
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-D grid-bucketed proximity self-join (round-6 staged)
+# ---------------------------------------------------------------------------
+#
+# The spatial-join pattern generalized from operators/temporal.py's
+# 1-D band join: pairs of parts within BOTH a size tolerance and a
+# price tolerance. A bare conjunction of two non-equi predicates plans
+# as a nested-loop self-join (quadratic); the scale formulation
+# buckets each dimension by its tolerance, explodes the LEFT side into
+# the 3x3 neighborhood of its home cell, keeps the RIGHT side in its
+# single home cell, equi-joins on the cell id, and applies the exact
+# band predicates as a post-filter. Any qualifying pair differs by at
+# most one bucket per dimension, and the right side living in exactly
+# one cell means no pair can match twice — no dedup pass. Candidate
+# count is bounded by per-cell density (the data's local crowding),
+# not by table size.
+
+_GRID_SIZE_TOL = 1        # |size delta| bound; also the size bucket width
+_GRID_PRICE_TOL = 2.0     # |price delta| bound; also the price bucket width
+
+_GRID_ORACLE = f"""
+SELECT a.p_partkey AS p1, b.p_partkey AS p2,
+       abs(a.p_size - b.p_size) AS dsize,
+       abs(a.p_retailprice - b.p_retailprice) AS dprice
+FROM part a
+JOIN part b
+  ON a.p_partkey < b.p_partkey
+ AND abs(a.p_size - b.p_size) <= {_GRID_SIZE_TOL}
+ AND abs(a.p_retailprice - b.p_retailprice) <= {_GRID_PRICE_TOL}
+"""
+
+
+@register(
+    "grid_join_similar_parts",
+    _GRID_ORACLE,
+    doc="2-D proximity self-join via tolerance-width grid cells: left "
+    "explodes to its 3x3 cell neighborhood, right stays in its home "
+    "cell, equi-join on cell id + exact band post-filter — the "
+    "spatial-join shape that replaces a quadratic nested loop with "
+    "per-cell-density-bounded candidates (oracle is the brute force)",
+    tags=("join", "grid", "band", "spatial"),
+    staged=True,
+)
+def grid_join_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    sb = F.expr(f"p_size div {_GRID_SIZE_TOL}")
+    pb = F.expr(
+        f"cast(floor(p_retailprice / {_GRID_PRICE_TOL}) as bigint)"
+    )
+    left = (
+        part.withColumn("_sb", F.explode(F.array(sb - 1, sb, sb + 1)))
+        .withColumn("_pb", F.explode(F.array(pb - 1, pb, pb + 1)))
+        .select(
+            F.col("p_partkey").alias("p1"),
+            F.col("p_size").alias("s1"),
+            F.col("p_retailprice").alias("r1"),
+            "_sb", "_pb",
+        )
+    )
+    right = part.select(
+        F.col("p_partkey").alias("p2"),
+        F.col("p_size").alias("s2"),
+        F.col("p_retailprice").alias("r2"),
+        sb.alias("_sb"),
+        pb.alias("_pb"),
+    )
+    return (
+        left.join(right, ["_sb", "_pb"])
+        .where(
+            (F.col("p1") < F.col("p2"))
+            & (F.abs(F.col("s1") - F.col("s2")) <= _GRID_SIZE_TOL)
+            & (F.abs(F.col("r1") - F.col("r2")) <= _GRID_PRICE_TOL)
+        )
+        .select(
+            "p1",
+            "p2",
+            F.abs(F.col("s1") - F.col("s2")).alias("dsize"),
+            F.abs(F.col("r1") - F.col("r2")).alias("dprice"),
+        )
+    )

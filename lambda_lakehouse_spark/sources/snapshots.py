@@ -881,3 +881,47 @@ def snapshot_delete_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "snapshot_schema_evolution",
+    oracle="""
+        SELECT n_nationkey, n_name, n_regionkey,
+               CAST(NULL AS BIGINT) AS name_len
+        FROM nation WHERE n_regionkey < 2
+        UNION ALL
+        SELECT n_nationkey, n_name, n_regionkey,
+               CAST(length(n_name) AS BIGINT) AS name_len
+        FROM nation WHERE n_regionkey >= 2
+    """,
+    doc=(
+        "ADD-COLUMN schema evolution on the snapshot table (Iceberg's "
+        "safe evolution): append a batch carrying a NEW column with "
+        "merge_schema=True, then read the whole table — pre-evolution "
+        "files surface the added column as NULL without rewriting a "
+        "byte (schema is manifest metadata, not data), post-evolution "
+        "rows carry real values. Output derivable in pure SQL."
+    ),
+    tags=("table_format", "schema_evolution"),
+    staged=True,
+)
+def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"llh_snapshot_evo_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    t = SnapshotTable(spark, base, partition_by=["n_regionkey"])
+    t.create(nation.where("n_regionkey < 2"))
+    evolved = nation.where("n_regionkey >= 2").withColumn(
+        "name_len", F.length("n_name").cast("bigint")
+    )
+    t.append(evolved, merge_schema=True)
+    return t.read().select("n_nationkey", "n_name", "n_regionkey", "name_len")

@@ -198,3 +198,32 @@ def test_containment_catches_subset_dup_jaccard_misses(spark):
     assert cont[0].containment == 1.0
     jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
     assert jac == []  # jaccard never flags the subset pair
+
+
+def test_grid_join_equals_bruteforce_crafted(spark):
+    """Grid decomposition equals the naive quadratic join, including
+    boundary deltas exactly at the tolerance."""
+    import os
+
+    from lambda_lakehouse_spark.registry import load_staged
+
+    rows = [
+        (1, 10, 100.0), (2, 11, 101.5), (3, 12, 103.5),  # chain of neighbors
+        (4, 10, 102.0),  # price delta exactly 2.0 from part 1 -> included
+        (5, 20, 500.0),  # isolated
+        (6, 9, 98.0),    # both deltas exactly at tolerance from part 1
+    ]
+    import tempfile
+    with tempfile.TemporaryDirectory() as sf_dir:
+        spark.createDataFrame(
+            rows, "p_partkey long, p_size int, p_retailprice double"
+        ).write.parquet(os.path.join(sf_dir, "part.parquet"))
+        q = load_staged()["grid_join_similar_parts"]
+        got = sorted((r.p1, r.p2) for r in q.spark(spark, sf_dir).collect())
+    want = sorted(
+        (a, b)
+        for i, (a, sa, ra) in enumerate(rows)
+        for (b, sb, rb) in rows[i + 1:]
+        if abs(sa - sb) <= 1 and abs(ra - rb) <= 2.0 and a < b
+    )
+    assert got == want and (1, 4) in got and (1, 6) in got
