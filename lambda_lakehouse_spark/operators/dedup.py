@@ -1132,3 +1132,33 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "text"
     )
     return ngram_containment_pairs(docs, max_doc_freq=_NGRAM_MAX_DF)
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    _components_oracle_cte("comp")
+    + """,
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS n_docs FROM comp GROUP BY 1
+)
+SELECT n_docs AS cluster_size, COUNT(*) AS n_clusters
+FROM sizes GROUP BY 1
+""",
+    doc="Dedup observability: histogram of near-dup cluster sizes "
+    "from the MinHash-LSH connected components — the shape audit that "
+    "catches a degenerate giant component (one bad shingle rule "
+    "chaining the corpus together) before the materialization step "
+    "drops the wrong documents; two map-side-combined aggregates over "
+    "the (doc, cluster) relation",
+    tags=("dedup", "graph", "stats"),
+    staged=True,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clusters = doc_clusters(docs)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .groupBy(F.col("n_docs").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )

@@ -330,3 +330,102 @@ def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.lit(PATCH), F.col("w") - col * PATCH).alias("w_px"),
         F.least(F.lit(PATCH), F.col("h") - row * PATCH).alias("h_px"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio-envelope extraction (round-6 staged)
+# ---------------------------------------------------------------------------
+
+ENVELOPE_SCHEMA = (
+    "doc_id bigint, window_idx int, n_bytes bigint, byte_sum bigint, "
+    "peak bigint"
+)
+_ENVELOPE_WINDOW = 128
+
+
+def _envelope_batch(window: int):
+    """Deterministic fake audio feature: per-window byte statistics
+    (count / sum / peak) stand in for RMS-energy frames of a PCM
+    decode. Integer outputs, so the DuckDB oracle replays them
+    exactly byte-for-byte; a real implementation swaps the byte loop
+    for soundfile frames and keeps the 1→N schema contract."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ns, sums, peaks = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for w in range(0, len(b), window):
+                    chunk = b[w : w + window]
+                    ids.append(doc_id)
+                    idxs.append(w // window)
+                    ns.append(len(chunk))
+                    sums.append(sum(chunk))
+                    peaks.append(max(chunk))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "window_idx": pd.array(idxs, dtype="int32"),
+                    "n_bytes": pd.array(ns, dtype="int64"),
+                    "byte_sum": pd.array(sums, dtype="int64"),
+                    "peak": pd.array(peaks, dtype="int64"),
+                }
+            )
+
+    return fn
+
+
+def audio_envelope(
+    binary_df: DataFrame, window: int = _ENVELOPE_WINDOW
+) -> DataFrame:
+    """(doc_id, payload) → one row per ``window``-byte frame with
+    count/sum/peak byte statistics (1→N Arrow-batched mapInPandas —
+    the same streaming shape a PCM feature extractor needs; empty
+    payloads produce no frames)."""
+    return binary_df.mapInPandas(_envelope_batch(window), schema=ENVELOPE_SCHEMA)
+
+
+# Oracle replays the byte loop in hex space: byte i of the payload is
+# hex chars [2i, 2i+2), decoded with the same '0x' cast the dedup
+# oracles use. One number series sized by the longest payload,
+# filtered per-doc (the multimodal_frame_sample pattern).
+_ENVELOPE_ORACLE = f"""
+WITH payload AS (
+  SELECT doc_id, lower(hex(encode(text))) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+nums AS (
+  SELECT unnest(range(0, (SELECT MAX(n) FROM payload))) AS i
+),
+bytes AS (
+  SELECT doc_id, i,
+         ('0x' || substr(h, CAST(i * 2 + 1 AS BIGINT), 2))::BIGINT AS v
+  FROM payload CROSS JOIN nums
+  WHERE i < n
+)
+SELECT doc_id,
+       CAST(i // {_ENVELOPE_WINDOW} AS INT) AS window_idx,
+       COUNT(*) AS n_bytes,
+       SUM(v) AS byte_sum,
+       MAX(v) AS peak
+FROM bytes
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "multimodal_audio_envelope",
+    _ENVELOPE_ORACLE,
+    doc="Audio-envelope plumbing: opaque payload → per-128-byte-window "
+    "count/sum/peak statistics via 1→N Arrow-batched mapInPandas "
+    "(PCM decode stubbed deterministically; integer features replayed "
+    "byte-exactly by the hex-space DuckDB oracle)",
+    tags=("multimodal", "audio", "pandas-udf"),
+    staged=True,
+)
+def multimodal_audio_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return audio_envelope(docs)

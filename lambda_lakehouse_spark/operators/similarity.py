@@ -948,3 +948,90 @@ def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= TS_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift detection (round-6 staged)
+# ---------------------------------------------------------------------------
+#
+# The training-data ops question "did the embedding distribution move
+# between corpus batches?" answered per dimension: mean vector of
+# batch A vs batch B and the absolute per-dimension shift. Means use
+# this module's fixed-point trick (sum of floor(val * 1e15) as exact
+# int64, one double divide at the end) so the order-sensitive float
+# sum is order-independent and both engines agree bit-for-bit. At
+# 100 TB this is one position-exploded aggregate — the same
+# inverted-by-dimension shuffle the ANN scorers ride, map-side
+# combined, 64 output rows regardless of corpus size.
+
+
+def embedding_drift(emb: DataFrame, batch_expr) -> DataFrame:
+    """Per-dimension mean shift between two batches. ``batch_expr``
+    must evaluate to 0 (baseline) or 1 (candidate). Returns
+    (pos, n_a, n_b, mean_a, mean_b, abs_shift)."""
+    flat = emb.select(
+        batch_expr.alias("batch"),
+        F.posexplode("embedding").alias("pos0", "valf"),
+    ).select(
+        "batch",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    scaled = F.floor(F.col("val") * F.lit(float(SCALE))).cast("bigint")
+    agg = flat.groupBy("pos").agg(
+        F.count(F.when(F.col("batch") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("batch") == 1, 1)).alias("n_b"),
+        F.sum(F.when(F.col("batch") == 0, scaled)).alias("_sa"),
+        F.sum(F.when(F.col("batch") == 1, scaled)).alias("_sb"),
+    )
+    mean_a = F.col("_sa").cast("double") / F.lit(float(SCALE)) / F.col("n_a")
+    mean_b = F.col("_sb").cast("double") / F.lit(float(SCALE)) / F.col("n_b")
+    return agg.select(
+        "pos",
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        F.abs(mean_b - mean_a).alias("abs_shift"),
+    )
+
+
+_DRIFT_ORACLE = """
+WITH flat AS (
+  SELECT vec_id % 2 AS batch, pos, embedding[pos] AS val
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS pos)
+),
+agg AS (
+  SELECT pos,
+         COUNT(*) FILTER (batch = 0) AS n_a,
+         COUNT(*) FILTER (batch = 1) AS n_b,
+         SUM(CAST(FLOOR(val * 1e15) AS BIGINT)) FILTER (batch = 0) AS sa,
+         SUM(CAST(FLOOR(val * 1e15) AS BIGINT)) FILTER (batch = 1) AS sb
+  FROM flat
+  GROUP BY pos
+)
+SELECT CAST(pos AS INTEGER) AS pos, n_a, n_b,
+       CAST(sa AS DOUBLE) / 1e15 / n_a AS mean_a,
+       CAST(sb AS DOUBLE) / 1e15 / n_b AS mean_b,
+       abs(CAST(sb AS DOUBLE) / 1e15 / n_b
+           - CAST(sa AS DOUBLE) / 1e15 / n_a) AS abs_shift
+FROM agg
+"""
+
+
+@register(
+    "embed_drift_by_dim",
+    _DRIFT_ORACLE,
+    doc="Embedding distribution drift between corpus batches: "
+    "per-dimension mean shift via the fixed-point exact-sum trick "
+    "(order-independent, hash-certifiable) — one position-exploded "
+    "map-side-combined aggregate, 64 output rows at any corpus size",
+    tags=("similarity", "vector", "drift", "agg"),
+    staged=True,
+)
+def embed_drift_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return embedding_drift(emb, F.col("vec_id") % 2).select(
+        F.col("pos").cast("int").alias("pos"),
+        "n_a", "n_b", "mean_a", "mean_b", "abs_shift",
+    )
