@@ -622,3 +622,110 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "value"
     )
     return mad_anomalies(ev)
+
+
+# ---------------------------------------------------------------------------
+# Funnel time-to-convert percentiles (round-6 staged)
+# ---------------------------------------------------------------------------
+
+_TTC_STEP_A = "signup"
+_TTC_STEP_B = "purchase"
+
+
+def time_to_convert(
+    events: DataFrame, step_a: str = _TTC_STEP_A, step_b: str = _TTC_STEP_B
+) -> DataFrame:
+    """(user_id, delay_us): first ``step_a`` per user → first ``step_b``
+    at-or-after it. Users who never convert are absent (funnel
+    semantics; the companion funnel_conversion query counts them)."""
+    a = (
+        events.where(F.col("event_type") == step_a)
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("a_us"))
+    )
+    b = events.where(F.col("event_type") == step_b).select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("b_us")
+    )
+    return (
+        a.join(b, "user_id")
+        .where(F.col("b_us") >= F.col("a_us"))
+        .groupBy("user_id", "a_us")
+        .agg(F.min("b_us").alias("first_b_us"))
+        .select(
+            "user_id", (F.col("first_b_us") - F.col("a_us")).alias("delay_us")
+        )
+    )
+
+
+_TTC_ORACLE = f"""
+WITH a AS (
+  SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS a_us
+  FROM events WHERE event_type = '{_TTC_STEP_A}' GROUP BY 1
+),
+d AS (
+  SELECT a.user_id,
+         MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) - a.a_us AS delay_us
+  FROM a
+  JOIN events e ON e.user_id = a.user_id
+              AND e.event_type = '{_TTC_STEP_B}'
+              AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= a.a_us
+  GROUP BY a.user_id, a.a_us
+),
+ranked AS (
+  SELECT delay_us,
+         ROW_NUMBER() OVER (ORDER BY delay_us, user_id) AS rn,
+         COUNT(*) OVER () AS cnt
+  FROM d
+)
+SELECT CAST(MAX(cnt) AS BIGINT) AS n_converted,
+       MAX(CASE WHEN rn = CAST(floor((cnt + 1) / 2.0) AS BIGINT)
+                THEN delay_us END) AS p50_us,
+       MAX(CASE WHEN rn = CAST(floor((9 * cnt + 9) / 10.0) AS BIGINT)
+                THEN delay_us END) AS p90_us,
+       MAX(CASE WHEN rn = cnt THEN delay_us END) AS max_us
+FROM ranked
+"""
+
+
+@register(
+    "funnel_time_to_convert",
+    _TTC_ORACLE,
+    doc="Funnel latency: first signup → first subsequent purchase per "
+    "user, p50/p90/max of the delay as exact rank-based discrete "
+    "percentiles (agg_exact_percentiles shape) — per-user min-join "
+    "keeps the join output one row per (user, signup), never a "
+    "per-pair explosion",
+    tags=("events", "funnel", "percentile", "window"),
+    staged=True,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    d = time_to_convert(ev)
+    ranked = d.select(
+        "delay_us",
+        F.row_number()
+        .over(W.orderBy(F.col("delay_us"), F.col("user_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("cnt"),
+    )
+    return ranked.agg(
+        F.max("cnt").cast("bigint").alias("n_converted"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("cast(floor((cnt + 1) / 2.0) as bigint)"),
+                F.col("delay_us"),
+            )
+        ).alias("p50_us"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.expr("cast(floor((9 * cnt + 9) / 10.0) as bigint)"),
+                F.col("delay_us"),
+            )
+        ).alias("p90_us"),
+        F.max(F.when(F.col("rn") == F.col("cnt"), F.col("delay_us"))).alias(
+            "max_us"
+        ),
+    )
