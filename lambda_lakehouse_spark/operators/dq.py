@@ -157,3 +157,64 @@ SELECT * FROM (
 def dq_expectation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     return expectation_metrics(orders, _orders_rules())
+
+
+# ---------------------------------------------------------------------------
+# Freshness-lag monitoring (round-6 staged)
+# ---------------------------------------------------------------------------
+
+_FRESH_SLA_US = 24 * 3600 * 1_000_000  # 24h
+
+
+def freshness_lag(events: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Per-group data freshness: each group's newest event vs the
+    table's newest event, with an SLA breach flag. The operational
+    check that catches one silent upstream (a stalled source keeps
+    the table 'fresh' overall while its slice ages out). Integer
+    microsecond arithmetic throughout; the global max is a 1-row
+    broadcast."""
+    tu = F.unix_micros(F.col("ts").cast("timestamp"))
+    per = events.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"), F.max(tu).alias("max_us")
+    )
+    glob = events.agg(F.max(tu).alias("global_max_us"))
+    return per.crossJoin(F.broadcast(glob)).select(
+        group_col,
+        "n_rows",
+        "max_us",
+        (F.col("global_max_us") - F.col("max_us")).alias("lag_us"),
+        (
+            (F.col("global_max_us") - F.col("max_us")) > F.lit(_FRESH_SLA_US)
+        ).alias("sla_breached"),
+    )
+
+
+_FRESH_ORACLE = f"""
+WITH per AS (
+  SELECT event_type, COUNT(*) AS n_rows,
+         MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
+  FROM events GROUP BY 1
+),
+gmax AS (
+  SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS global_max_us FROM events
+)
+SELECT p.event_type, p.n_rows, p.max_us,
+       g.global_max_us - p.max_us AS lag_us,
+       (g.global_max_us - p.max_us) > {_FRESH_SLA_US} AS sla_breached
+FROM per p CROSS JOIN gmax g
+"""
+
+
+@register(
+    "dq_freshness_lag",
+    _FRESH_ORACLE,
+    doc="Per-source freshness lag vs the table's newest event with a "
+    "24h SLA breach flag — catches a single stalled upstream behind a "
+    "globally-fresh table; one map-side-combined aggregate + 1-row "
+    "global-max broadcast, integer microsecond arithmetic",
+    tags=("quality", "freshness", "agg"),
+    staged=True,
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select("event_type", "ts")
+    return freshness_lag(ev)
