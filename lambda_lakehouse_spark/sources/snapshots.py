@@ -12,7 +12,9 @@ spec's design (snapshot manifests listing immutable data files; a
 commit is the atomic publication of a new manifest):
 
   <table>/data/<commit-uuid>/...           immutable parquet data files
-  <table>/_manifests/v<N>.json             immutable snapshot manifests
+  <table>/_manifests/v<N>.json             immutable snapshot manifests (main)
+  <table>/_manifests/refs/<branch>/v<N>.json  branch manifest chains
+                                           (git-like refs, shared data/)
 
 A manifest enumerates the data files live in that snapshot (each with
 its hive-style partition tuple), so:
@@ -100,6 +102,12 @@ class SnapshotTable:
         self.path = path.rstrip("/")
         self.partition_by = list(partition_by)
         self.stats_by = list(stats_by)
+        # Nessie-style named ref: "main" is the default linear history;
+        # branches keep their own manifest chain under
+        # _manifests/refs/<name>/ while SHARING the table's data/ dir
+        # (zero-copy fork — a branch commit writes new files, never
+        # duplicates the parent's).
+        self.ref = "main"
         jvm = spark._jvm
         self._Path = jvm.org.apache.hadoop.fs.Path
         self._fs = self._Path(self.path).getFileSystem(
@@ -367,6 +375,90 @@ class SnapshotTable:
                             schema_json=old["schema"])
 
     # ------------------------------------------------------------------
+    # branches (the reference's Nessie catalog capability: git-like
+    # refs over table state — SURVEY "Catalog/versioning",
+    # docker-compose.yaml:284-308)
+    # ------------------------------------------------------------------
+    def _at_ref(self, ref: str) -> "SnapshotTable":
+        t = SnapshotTable(self.spark, self.path,
+                          partition_by=self.partition_by,
+                          stats_by=self.stats_by)
+        t.ref = ref
+        return t
+
+    def branches(self) -> list[str]:
+        """Active branch names (refs with at least one manifest)."""
+        root = self._Path(f"{self.path}/_manifests/refs")
+        if not self._fs.exists(root):
+            return []
+        return sorted(
+            st.getPath().getName()
+            for st in self._fs.listStatus(root)
+            if st.isDirectory()
+        )
+
+    def create_branch(self, name: str) -> "SnapshotTable":
+        """Fork the current snapshot as branch ``name`` — ZERO data
+        copy: the branch's v1 manifest references the same immutable
+        files (Nessie's cheap ref creation). Returns a SnapshotTable
+        bound to the branch; commits on it never move main."""
+        if name == "main" or not re.fullmatch(r"[A-Za-z0-9_\-]+", name):
+            raise ValueError(f"invalid branch name: {name!r}")
+        if name in self.branches():
+            raise ValueError(f"branch already exists: {name}")
+        cur = self._require_current()
+        br = self._at_ref(name)
+        br._commit("branch_create", cur["files"], None,
+                   schema_json=cur["schema"],
+                   meta={"fork_source_sid": cur["snapshot_id"]})
+        return br
+
+    def branch(self, name: str) -> "SnapshotTable":
+        if name not in self.branches():
+            raise ValueError(f"no such branch: {name}")
+        return self._at_ref(name)
+
+    def merge_branch(self, name: str) -> int:
+        """Fast-forward merge: publish the branch head's file set and
+        schema as a new commit on main. Raises :class:`CommitConflict`
+        if main advanced past the branch's fork point — Nessie's
+        conflict-on-merge contract; rebase by re-branching. The merged
+        commit records the branch and its head for lineage, and the
+        branch ref is dropped afterwards (a merged branch can never
+        advance main a second time)."""
+        if self.ref != "main":
+            raise ValueError("merge_branch must be called on main")
+        br = self.branch(name)
+        head = br._require_current()
+        fork_sid = br._manifest(1).get("fork_source_sid")
+        cur = self._require_current()
+        if cur["snapshot_id"] != fork_sid:
+            raise CommitConflict(
+                f"main advanced past branch {name!r}'s fork point "
+                f"(v{fork_sid} -> v{cur['snapshot_id']}); re-branch and "
+                "replay the branch's changes"
+            )
+        sid = self._commit(
+            "merge_branch", head["files"], None, parent=cur,
+            schema_json=head["schema"],
+            meta={"merged_branch": name,
+                  "merged_head_sid": head["snapshot_id"]},
+        )
+        self.discard_branch(name)
+        return sid
+
+    def discard_branch(self, name: str) -> None:
+        """Drop the branch ref. Data files written only by the branch
+        become unreferenced and are reclaimed by :meth:`vacuum` (which
+        scans every live ref, so an ACTIVE branch's files are never
+        collected)."""
+        if name not in self.branches():
+            raise ValueError(f"no such branch: {name}")
+        self._fs.delete(
+            self._Path(f"{self.path}/_manifests/refs/{name}"), True
+        )
+
+    # ------------------------------------------------------------------
     # read path
     # ------------------------------------------------------------------
     def read(
@@ -472,8 +564,10 @@ class SnapshotTable:
         import time as _time
 
         live: set[str] = set()
-        for sid in self._snapshot_ids():
-            live.update(f["path"] for f in self._manifest(sid)["files"])
+        for ref in ["main"] + self.branches():
+            t = self._at_ref(ref)
+            for sid in t._snapshot_ids():
+                live.update(f["path"] for f in t._manifest(sid)["files"])
         deleted = []
         data_root = self._Path(f"{self.path}/data")
         if not self._fs.exists(data_root):
@@ -625,9 +719,9 @@ class SnapshotTable:
         object-store deployment swaps this one method for a catalog
         CAS — the reference's Nessie commit)."""
         final = self._Path(self._manifest_path(sid))
-        mdir = self._Path(f"{self.path}/_manifests")
+        mdir = self._Path(self._manifest_dir())
         self._fs.mkdirs(mdir)
-        tmp = self._Path(f"{self.path}/_manifests/.tmp-{token}.json")
+        tmp = self._Path(f"{self._manifest_dir()}/.tmp-{token}.json")
         out = self._fs.create(tmp, False)
         out.write(bytearray(json.dumps(manifest).encode("utf-8")))
         out.close()
@@ -647,11 +741,16 @@ class SnapshotTable:
             if self._fs.exists(tmp):
                 self._fs.delete(tmp, False)
 
+    def _manifest_dir(self) -> str:
+        if self.ref == "main":
+            return f"{self.path}/_manifests"
+        return f"{self.path}/_manifests/refs/{self.ref}"
+
     def _manifest_path(self, sid: int) -> str:
-        return f"{self.path}/_manifests/v{sid}.json"
+        return f"{self._manifest_dir()}/v{sid}.json"
 
     def _snapshot_ids(self) -> list[int]:
-        mdir = self._Path(f"{self.path}/_manifests")
+        mdir = self._Path(self._manifest_dir())
         if not self._fs.exists(mdir):
             return []
         ids = []
@@ -925,3 +1024,47 @@ def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.append(evolved, merge_schema=True)
     return t.read().select("n_nationkey", "n_name", "n_regionkey", "name_len")
+
+
+@register(
+    "snapshot_branch_merge",
+    oracle="""
+        SELECT n_nationkey,
+               CASE WHEN n_regionkey < 2 THEN lower(n_name) ELSE n_name END
+                 AS n_name,
+               n_regionkey
+        FROM nation
+    """,
+    doc=(
+        "Git-like branch workflow on the snapshot table — the "
+        "reference's Nessie catalog capability (SURVEY "
+        "'Catalog/versioning', docker-compose.yaml:284-308): zero-copy "
+        "branch fork, an overwrite commit on the branch (main "
+        "untouched, verified by reading both refs), then fast-forward "
+        "merge publishing the branch head onto main. Final main state "
+        "derivable in pure SQL."
+    ),
+    tags=("table_format", "branch", "merge"),
+    staged=True,
+)
+def snapshot_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"llh_snapshot_branch_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    t = SnapshotTable(spark, base, partition_by=["n_regionkey"])
+    t.create(nation)
+    br = t.create_branch("etl")
+    br.overwrite_partitions(
+        nation.where("n_regionkey < 2").withColumn("n_name", F.lower("n_name"))
+    )
+    t.merge_branch("etl")  # branch isolation asserted in tests/test_staged.py
+    return t.read().select("n_nationkey", "n_name", "n_regionkey")

@@ -227,3 +227,50 @@ def test_grid_join_equals_bruteforce_crafted(spark):
         if abs(sa - sb) <= 1 and abs(ra - rb) <= 2.0 and a < b
     )
     assert got == want and (1, 4) in got and (1, 6) in got
+
+
+def test_branch_isolation_merge_and_conflict(spark, tmp_path):
+    """Branch commits never move main; fast-forward merge publishes
+    the branch head; a merge after main advanced raises (Nessie's
+    conflict contract); discarding a branch frees its files for
+    vacuum while an active branch's files survive it."""
+    import pytest
+
+    from lambda_lakehouse_spark.sources.snapshots import (
+        CommitConflict, SnapshotTable,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", i * 1.0) for i in range(10)],
+        "id long, part string, v double",
+    )
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), partition_by=["part"])
+    t.create(df)
+
+    br = t.create_branch("exp")
+    br.delete_where(F.col("id") >= 5)
+    # isolation both ways
+    assert t.read().count() == 10
+    assert br.read().count() == 5
+    # zero-copy fork: branch v1 references main's files, no data write
+    assert br.snapshots()[0]["operation"] == "branch_create"
+
+    # active branch protects its files from vacuum
+    assert t.vacuum() == []
+
+    sid = t.merge_branch("exp")
+    assert t.read().count() == 5
+    assert t.snapshots()[-1]["operation"] == "merge_branch"
+    assert sid == t.current_snapshot_id()
+    assert t.branches() == []  # merged ref dropped
+
+    # conflict: branch, then advance main, then merge -> refuse
+    br2 = t.create_branch("late")
+    t.append(df.where("id >= 5"))
+    br2.delete_where(F.col("id") < 2)
+    with pytest.raises(CommitConflict):
+        t.merge_branch("late")
+    # the conflicted branch stays active and readable
+    assert "late" in t.branches()
+    t.discard_branch("late")
+    assert t.branches() == []
