@@ -879,3 +879,114 @@ WHERE r.rank <= {PRIORITY_SAMPLE_K}
 def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return priority_sample(docs, "doc_id", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-grain duplication audit (round-6 staged)
+# ---------------------------------------------------------------------------
+#
+# Dolma/RedPajama-style SUB-document dedup signal: fingerprint
+# non-overlapping token windows ("paragraphs" — the corpus here is a
+# flat word stream, so the paragraph grain is a fixed window; swap the
+# splitter for '\n\n' on corpora that have real paragraphs) and score
+# each document by the fraction of its windows that also appear in at
+# least one OTHER document. Doc-level dedup misses this entirely: two
+# documents sharing 40% boilerplate score low on whole-doc Jaccard but
+# the shared paragraphs still leak duplicated text into training.
+#
+# Scale: fingerprints are a shuffle-free projection; the cross-corpus
+# window-frequency aggregate shuffles on the fingerprint (map-side
+# combined, the inverted-index key again); the join back to documents
+# is fingerprint-keyed with AQE handling hot boilerplate windows.
+
+PARA_LEN = 16  # non-overlapping: stride == length → no double counting
+
+
+def paragraph_dup_stats(docs: DataFrame, para_len: int = PARA_LEN) -> DataFrame:
+    """(doc_id, n_paras, n_dup_paras, dup_frac): windows whose
+    fingerprint occurs in ≥2 DISTINCT documents count as duplicated
+    (within-doc repetition alone does not — that is
+    text_repetition_score's signal)."""
+    w = docs.where(F.col("text") != "").select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    )
+    st = w.select(
+        "doc_id",
+        "w",
+        F.explode(F.expr(f"sequence(0, size(w) - 1, {para_len})")).alias("st"),
+    )
+    paras = st.select(
+        "doc_id",
+        F.md5(F.array_join(F.expr(f"slice(w, st + 1, {para_len})"), " ")).alias(
+            "fp"
+        ),
+    )
+    shared = (
+        paras.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("fp", F.lit(1).alias("_shared"))
+    )
+    return (
+        paras.join(shared, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.coalesce(F.col("_shared"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dup_paras"),
+        )
+        .select(
+            "doc_id",
+            "n_paras",
+            "n_dup_paras",
+            (
+                F.col("n_dup_paras").cast("double") / F.col("n_paras")
+            ).alias("dup_frac"),
+        )
+    )
+
+
+_PARA_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE text <> ''
+),
+st AS (
+  SELECT doc_id, w, UNNEST(range(0, len(w), {PARA_LEN})) AS st
+  FROM w
+),
+paras AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list_slice(w, st + 1, least(st + {PARA_LEN}, len(w))), ' '
+         )) AS fp
+  FROM st
+),
+shared AS (
+  SELECT fp FROM paras GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT p.doc_id,
+       COUNT(*) AS n_paras,
+       SUM(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) AS n_dup_paras,
+       CAST(SUM(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS dup_frac
+FROM paras p
+LEFT JOIN shared s ON s.fp = p.fp
+GROUP BY p.doc_id
+"""
+
+
+@register(
+    "dedup_paragraph_fraction",
+    _PARA_ORACLE,
+    doc="Sub-document duplication audit (Dolma-style paragraph dedup "
+    "signal): non-overlapping 16-token window fingerprints, windows "
+    "shared by ≥2 documents flagged, per-doc duplicated fraction — "
+    "catches boilerplate leakage whole-doc dedup scores near zero",
+    tags=("dedup", "paragraph", "corpus"),
+    staged=True,
+)
+def dedup_paragraph_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return paragraph_dup_stats(docs)

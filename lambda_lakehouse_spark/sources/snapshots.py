@@ -459,6 +459,63 @@ class SnapshotTable:
         )
 
     # ------------------------------------------------------------------
+    # tags (Nessie's immutable named refs: pin a snapshot under a name
+    # — release audits, reproducible training-data cuts)
+    # ------------------------------------------------------------------
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Pin ``snapshot_id`` (default: current) under ``name``.
+        Tags are immutable — re-tagging a name raises — and a tagged
+        snapshot survives :meth:`expire_snapshots`."""
+        if not re.fullmatch(r"[A-Za-z0-9_\-.]+", name):
+            raise ValueError(f"invalid tag name: {name!r}")
+        sid = snapshot_id or self._require_current()["snapshot_id"]
+        self._manifest(sid)  # must exist
+        tdir = self._Path(f"{self.path}/_manifests/tags")
+        self._fs.mkdirs(tdir)
+        p = self._Path(f"{self.path}/_manifests/tags/{name}.json")
+        out = self._fs.create(p, False)  # no-overwrite: immutability
+        out.write(bytearray(json.dumps(
+            {"name": name, "snapshot_id": sid}).encode("utf-8")))
+        out.close()
+        return sid
+
+    def tags(self) -> dict[str, int]:
+        tdir = self._Path(f"{self.path}/_manifests/tags")
+        if not self._fs.exists(tdir):
+            return {}
+        out = {}
+        for st in self._fs.listStatus(tdir):
+            n = st.getPath().getName()
+            if n.endswith(".json"):
+                stream = self._fs.open(st.getPath())
+                try:
+                    # same JVM-side drain as _manifest (py4j arrays are
+                    # pass-by-value; readFully can't fill a bytearray)
+                    content = (
+                        self.spark._jvm.org.apache.commons.io.IOUtils.toString(
+                            stream, "UTF-8"
+                        )
+                    )
+                finally:
+                    stream.close()
+                data = json.loads(content)
+                out[data["name"]] = data["snapshot_id"]
+        return out
+
+    def read_tag(self, name: str) -> DataFrame:
+        tags = self.tags()
+        if name not in tags:
+            raise ValueError(f"no such tag: {name}")
+        return self.read(snapshot_id=tags[name])
+
+    def delete_tag(self, name: str) -> None:
+        if name not in self.tags():
+            raise ValueError(f"no such tag: {name}")
+        self._fs.delete(
+            self._Path(f"{self.path}/_manifests/tags/{name}.json"), False
+        )
+
+    # ------------------------------------------------------------------
     # read path
     # ------------------------------------------------------------------
     def read(
@@ -538,12 +595,14 @@ class SnapshotTable:
     # ------------------------------------------------------------------
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop all but the newest ``keep_last`` manifests (time travel
-        to them ends), then vacuum unreferenced data files. Returns the
-        expired snapshot ids."""
+        to them ends), then vacuum unreferenced data files. Tagged
+        snapshots are never expired — a tag is an immutable named pin
+        (Nessie's tag ref). Returns the expired snapshot ids."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         ids = self._snapshot_ids()
-        expired = ids[:-keep_last]
+        pinned = set(self.tags().values()) if self.ref == "main" else set()
+        expired = [sid for sid in ids[:-keep_last] if sid not in pinned]
         for sid in expired:
             self._fs.delete(self._Path(self._manifest_path(sid)), False)
         self.vacuum()

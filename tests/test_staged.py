@@ -274,3 +274,33 @@ def test_branch_isolation_merge_and_conflict(spark, tmp_path):
     assert "late" in t.branches()
     t.discard_branch("late")
     assert t.branches() == []
+
+
+def test_tags_pin_snapshots_and_survive_expiry(spark, tmp_path):
+    """Tags are immutable named pins: read_tag resolves the pinned
+    snapshot, re-tagging raises, and expire_snapshots never drops a
+    tagged manifest."""
+    import pytest
+
+    from lambda_lakehouse_spark.sources.snapshots import SnapshotTable
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(6)], "id long, part string"
+    )
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), partition_by=["part"])
+    t.create(df)                       # v1
+    t.create_tag("cut-2026-08")        # pin v1
+    t.append(df.withColumn("id", F.col("id") + 100))  # v2
+    t.append(df.withColumn("id", F.col("id") + 200))  # v3
+
+    assert t.read_tag("cut-2026-08").count() == 6
+    with pytest.raises(Exception):
+        t.create_tag("cut-2026-08")    # immutable
+
+    expired = t.expire_snapshots(keep_last=1)
+    assert 1 not in expired            # tagged v1 pinned
+    assert 2 in expired                # untagged history expired
+    assert t.read_tag("cut-2026-08").count() == 6  # still readable
+
+    t.delete_tag("cut-2026-08")
+    assert t.expire_snapshots(keep_last=1) == [1]
