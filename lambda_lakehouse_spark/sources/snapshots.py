@@ -1127,3 +1127,87 @@ def snapshot_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.merge_branch("etl")  # branch isolation asserted in tests/test_staged.py
     return t.read().select("n_nationkey", "n_name", "n_regionkey")
+
+
+def write_audit_publish(
+    table: SnapshotTable,
+    df: DataFrame,
+    rules,
+    branch: str = "wap",
+) -> dict:
+    """Write-Audit-Publish — THE Iceberg/Nessie staging workflow the
+    branch refs exist for: stage the write on an isolated branch,
+    audit the staged rows with the declarative DQ rules
+    (operators/dq.py), and only a fully-clean batch is merged onto
+    main; a dirty batch is discarded without main ever seeing a row.
+    Readers of main observe either nothing or the complete, audited
+    batch — no torn states, no cleanup job.
+
+    Returns ``{"published": sid | None, "n_rows": int, "n_bad": int}``.
+    The audit's one count() is the control-plane gate decision (the
+    same cost a DQ dashboard query pays); the data itself moves only
+    through the branch append's Spark job.
+    """
+    from lambda_lakehouse_spark.operators.dq import with_expectations
+
+    br = table.create_branch(branch)
+    try:
+        br.append(df)
+        staged = br.read_incremental(from_id=1)
+        checked = with_expectations(staged, rules)
+        n_rows = checked.count()
+        n_bad = checked.where(~F.col("dq_pass")).count()
+        if n_bad:
+            return {"published": None, "n_rows": n_rows, "n_bad": n_bad}
+        sid = table.merge_branch(branch)
+        return {"published": sid, "n_rows": n_rows, "n_bad": 0}
+    finally:
+        if branch in table.branches():
+            table.discard_branch(branch)
+
+
+@register(
+    "snapshot_wap_publish",
+    oracle="""
+        SELECT c_custkey, c_mktsegment, c_acctbal
+        FROM customer WHERE c_acctbal >= 0
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, abs(c_acctbal) AS c_acctbal
+        FROM customer WHERE c_acctbal < 0
+    """,
+    doc=(
+        "Write-Audit-Publish on branch refs (the Iceberg/Nessie WAP "
+        "staging pattern): a rule-violating batch stages on a branch, "
+        "fails the declarative DQ audit, and is discarded with main "
+        "untouched; the corrected batch passes and fast-forward-merges. "
+        "Final main state derivable in pure SQL."
+    ),
+    tags=("table_format", "branch", "quality", "wap"),
+    staged=True,
+)
+def snapshot_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"llh_snapshot_wap_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    t = SnapshotTable(spark, base, partition_by=["c_mktsegment"])
+    t.create(cust.where("c_acctbal >= 0"))
+    rules = {"acctbal_non_negative": F.col("c_acctbal") >= 0}
+
+    bad = cust.where("c_acctbal < 0")
+    r1 = write_audit_publish(t, bad, rules, branch="nightly")
+    assert r1["published"] is None and r1["n_bad"] > 0
+
+    fixed = bad.withColumn("c_acctbal", F.abs("c_acctbal"))
+    r2 = write_audit_publish(t, fixed, rules, branch="nightly")
+    assert r2["published"] is not None and r2["n_bad"] == 0
+
+    return t.read().select("c_custkey", "c_mktsegment", "c_acctbal")

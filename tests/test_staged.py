@@ -304,3 +304,31 @@ def test_tags_pin_snapshots_and_survive_expiry(spark, tmp_path):
 
     t.delete_tag("cut-2026-08")
     assert t.expire_snapshots(keep_last=1) == [1]
+
+
+def test_wap_failed_audit_never_touches_main(spark, tmp_path):
+    from lambda_lakehouse_spark.sources.snapshots import (
+        SnapshotTable, write_audit_publish,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", float(i)) for i in range(8)],
+        "id long, part string, v double",
+    )
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), partition_by=["part"])
+    t.create(df)
+    before = t.current_snapshot_id()
+
+    bad = spark.createDataFrame([(100, "a", -1.0)], "id long, part string, v double")
+    r = write_audit_publish(t, bad, {"v_pos": F.col("v") >= 0}, branch="b1")
+    assert r == {"published": None, "n_rows": 1, "n_bad": 1}
+    assert t.current_snapshot_id() == before      # main untouched
+    assert t.branches() == []                     # staging branch cleaned
+
+    good = spark.createDataFrame([(101, "a", 5.0)], "id long, part string, v double")
+    r = write_audit_publish(t, good, {"v_pos": F.col("v") >= 0}, branch="b1")
+    # exactly ONE commit lands on main (the merge); the branch's own
+    # commits live on the ref and die with it
+    assert r["published"] == before + 1
+    assert t.read().count() == 9
+    assert t.branches() == []
