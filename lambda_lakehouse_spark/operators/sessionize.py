@@ -729,3 +729,68 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_us"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounce rate per day (round-6 staged)
+# ---------------------------------------------------------------------------
+
+_BOUNCE_ORACLE = f"""
+WITH flagged AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR date_diff('second', LAG(ts) OVER w, ts) > {GAP_MINUTES * 60}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS INTEGER)
+              AS session_seq
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_seq,
+         CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         COUNT(*) AS n_events
+  FROM sess GROUP BY 1, 2
+)
+SELECT day,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS bounce_rate
+FROM per_session
+GROUP BY day
+"""
+
+
+@register(
+    "sessionize_bounce_rate",
+    _BOUNCE_ORACLE,
+    doc="Daily bounce rate from gap-based sessions (a session is "
+    "attributed to its START day): single-event-session share per "
+    "day — the same one-shuffle sessionize plan feeding a second "
+    "map-side-combined rollup",
+    tags=("window", "sessionize", "agg", "events"),
+    staged=True,
+)
+def sessionize_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    sess = sessionize(ev, key="user_id", ts_col="ts")
+    per = sess.groupBy("user_id", "session_seq").agg(
+        F.to_date(F.min("ts")).alias("day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return per.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bounces"),
+        (
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("bounce_rate"),
+    )

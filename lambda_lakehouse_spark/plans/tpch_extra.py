@@ -1087,3 +1087,86 @@ def grid_join_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("r1") - F.col("r2")).alias("dprice"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (round-6 staged)
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH rfm AS (
+  SELECT o_custkey AS c_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+           AS monetary
+  FROM orders
+  GROUP BY 1
+),
+scored AS (
+  SELECT c_custkey, last_order, frequency, monetary,
+         CAST(NTILE(5) OVER (ORDER BY last_order DESC, c_custkey)
+              AS INTEGER) AS r_score,
+         CAST(NTILE(5) OVER (ORDER BY frequency DESC, c_custkey)
+              AS INTEGER) AS f_score,
+         CAST(NTILE(5) OVER (ORDER BY monetary DESC, c_custkey)
+              AS INTEGER) AS m_score
+  FROM rfm
+)
+SELECT c_custkey, last_order, frequency, monetary,
+       r_score, f_score, m_score,
+       CASE WHEN r_score = 1 AND f_score <= 2 AND m_score <= 2
+              THEN 'champion'
+            WHEN r_score >= 4 AND f_score <= 2 THEN 'at_risk'
+            WHEN r_score >= 4 AND f_score >= 4 THEN 'lost'
+            ELSE 'regular' END AS segment
+FROM scored
+"""
+
+
+@register(
+    "rfm_customer_segments",
+    _RFM_ORACLE,
+    doc="RFM segmentation: one aggregate over orders (decimal-routed "
+    "monetary sum), three NTILE(5) quintile windows with explicit "
+    "(metric DESC, key) total orders so bucket boundaries are "
+    "deterministic on any engine, and a rule-based segment label. "
+    "The quintile windows are global single-partition sorts over the "
+    "per-customer aggregate (already reduced N:1 from the fact); for "
+    "few-huge-group shapes the two-phase histogram refinement in "
+    "agg_exact_percentiles applies.",
+    tags=("agg", "window", "ntile", "segmentation"),
+    staged=True,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    rfm = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    r = F.ntile(5).over(W.orderBy(F.col("last_order").desc(), "c_custkey"))
+    f = F.ntile(5).over(W.orderBy(F.col("frequency").desc(), "c_custkey"))
+    m = F.ntile(5).over(W.orderBy(F.col("monetary").desc(), "c_custkey"))
+    scored = rfm.select(
+        "c_custkey", "last_order", "frequency", "monetary",
+        r.cast("int").alias("r_score"),
+        f.cast("int").alias("f_score"),
+        m.cast("int").alias("m_score"),
+    )
+    segment = (
+        F.when(
+            (F.col("r_score") == 1)
+            & (F.col("f_score") <= 2)
+            & (F.col("m_score") <= 2),
+            "champion",
+        )
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "at_risk")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "lost")
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", segment)
