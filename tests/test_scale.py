@@ -254,6 +254,7 @@ def test_no_pathological_join_plans(spark):
         "bloom_semijoin_prune",  # 1-row count aggregates cross-joined
         "sample_priority_weighted",  # 1-row tau threshold broadcast
         "basket_association_rules",  # 1-row basket-count broadcast
+        "dq_freshness_lag",  # 1-row global-max timestamp broadcast
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
