@@ -365,6 +365,27 @@ class SnapshotTable:
         return self._commit("delete", files, None, parent=parent,
                             schema_json=parent["schema"])
 
+    def evolve_partitioning(self, new_partition_by: Sequence[str]) -> int:
+        """Change the partition spec for FUTURE writes — Iceberg
+        partition evolution: a metadata-only commit; no existing file
+        is rewritten, old files keep their old layout, and
+        ``read(where=...)`` prunes conservatively across specs (a file
+        without the queried key is kept — see :meth:`read`). Re-opened
+        instances should construct with ``current_partition_spec()``.
+        """
+        parent = self._require_current()
+        self.partition_by = list(new_partition_by)
+        return self._commit(
+            "evolve_partitioning", parent["files"], None, parent=parent,
+            schema_json=parent["schema"],
+        )
+
+    def current_partition_spec(self) -> list[str]:
+        """The partition spec of the current snapshot (authoritative
+        after :meth:`evolve_partitioning`; manifests record the spec
+        active at each commit)."""
+        return list(self._require_current().get("partition_by", []))
+
     def rollback(self, snapshot_id: int) -> int:
         """Publish snapshot ``snapshot_id``'s file set as a NEW
         snapshot (history stays append-only, as in Iceberg's
@@ -551,8 +572,15 @@ class SnapshotTable:
                 raise ValueError(f"non-partition columns in where: {sorted(bad)}")
             want = {k: (_HIVE_NULL if v is None else str(v))
                     for k, v in where.items()}
-            files = [f for f in files
-                     if all(f["partition"].get(k) == v for k, v in want.items())]
+            # partition-spec evolution (Iceberg semantics): a file
+            # written under an older spec has no value for a newer
+            # partition key — absence cannot prove exclusion, so such
+            # files are KEPT and the caller's row-level filter decides.
+            files = [
+                f for f in files
+                if all(k not in f["partition"] or f["partition"][k] == v
+                       for k, v in want.items())
+            ]
         if range_filter is not None:
             col, lo, hi = range_filter
             lo, hi = _stat_value(lo), _stat_value(hi)
@@ -1211,3 +1239,44 @@ def snapshot_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert r2["published"] is not None and r2["n_bad"] == 0
 
     return t.read().select("c_custkey", "c_mktsegment", "c_acctbal")
+
+
+@register(
+    "snapshot_partition_evolution",
+    oracle="""
+        SELECT n_nationkey, n_name, n_regionkey
+        FROM nation WHERE n_regionkey = 1
+    """,
+    doc=(
+        "Iceberg partition-spec evolution: table created unpartitioned, "
+        "spec evolved to (n_regionkey), a new batch written under the "
+        "new layout — then a partition-pruned read: files from the "
+        "pre-evolution spec carry no value for the new key, so pruning "
+        "keeps them conservatively and the row filter decides; the "
+        "matching rows living ONLY in old-spec files is exactly the "
+        "case naive pruning silently loses."
+    ),
+    tags=("table_format", "partition_evolution"),
+    staged=True,
+)
+def snapshot_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"llh_snapshot_pevo_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    t = SnapshotTable(spark, base)  # unpartitioned v1
+    t.create(nation.where("n_regionkey < 3"))
+    t.evolve_partitioning(["n_regionkey"])
+    t.append(nation.where("n_regionkey >= 3"))  # hive layout from here on
+    pruned = t.read(where={"n_regionkey": 1})
+    return pruned.where(F.col("n_regionkey") == 1).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )

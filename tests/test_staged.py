@@ -332,3 +332,29 @@ def test_wap_failed_audit_never_touches_main(spark, tmp_path):
     assert r["published"] == before + 1
     assert t.read().count() == 9
     assert t.branches() == []
+
+
+def test_partition_evolution_prunes_conservatively(spark, tmp_path):
+    """Old-spec files have no value for the evolved key: pruning must
+    keep them (row filter decides); new-spec files prune exactly."""
+    from lambda_lakehouse_spark.sources.snapshots import SnapshotTable
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(9)], "id long, grp int"
+    )
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.create(df.where("id < 5"))                 # unpartitioned
+    t.evolve_partitioning(["grp"])
+    assert t.current_partition_spec() == ["grp"]
+    t.append(df.where("id >= 5"))                # hive-partitioned
+
+    pruned = t.read(where={"grp": 1})
+    # every grp=1 row survives — including those in pre-evolution files
+    got = sorted(r.id for r in pruned.where("grp = 1").collect())
+    assert got == [1, 4, 7]
+    # pruning did drop non-matching NEW-spec files: ids >= 5 with
+    # grp != 1 never reach the scan
+    assert sorted(r.id for r in pruned.collect() if r.id >= 5) == [7]
+
+    # manifests record the spec per commit
+    assert t.snapshots()[-2]["operation"] == "evolve_partitioning"
