@@ -1162,3 +1162,114 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_docs").alias("cluster_size"))
         .agg(F.count(F.lit(1)).alias("n_clusters"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash banded pairing (round-6 staged)
+# ---------------------------------------------------------------------------
+
+_SIMHASH_MAX_HAMMING = 3  # 4 bands of 4 bits: pigeonhole-complete for <= 3
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame, max_hamming: int = _SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    """All doc pairs within ``max_hamming`` bit flips of each other on
+    the 16-bit simhash, via banded blocking: split each signature into
+    4 non-overlapping 4-bit bands; pairs within hamming ≤ 3 MUST agree
+    on at least one band (pigeonhole — 3 flips cannot touch 4 bands),
+    so an equi self-join on (band_idx, band_bits) generates every
+    candidate and the exact per-bit count filters. The Manku et al.
+    (WWW'07) near-duplicate table-split scheme as one declarative
+    plan; candidates are bounded by band-bucket density, never
+    all-pairs."""
+    sigs = docs.select(
+        "doc_id", F.split(F.col("text"), r"\s+").alias("toks")
+    ).select("doc_id", F.expr(_simhash_expr()).alias("simhash"))
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3),"
+                " b -> struct(b AS band_idx,"
+                "             substr(simhash, b * 4 + 1, 4) AS band_bits))"
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_bits")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()  # pairs agreeing on >1 band collapse to one row
+    )
+    ham = F.expr(
+        "size(filter(sequence(1, 16),"
+        " p -> substr(sig_a, p, 1) <> substr(sig_b, p, 1)))"
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+),
+sigs AS (
+  SELECT doc_id,
+         list_aggregate(
+           [CASE WHEN list_sum([CASE WHEN ({_hexval("substr(md5(t), p, 1)")}) >= 8
+                                THEN 1 ELSE -1 END
+                                FOR t IN toks]) >= 0
+                 THEN '1' ELSE '0' END
+            FOR p IN range(1, 17)], 'string_agg', '') AS simhash
+  FROM tok
+),
+bands AS (
+  SELECT doc_id, simhash, b AS band_idx,
+         substr(simhash, b * 4 + 1, 4) AS band_bits
+  FROM sigs, (SELECT unnest(range(0, 4)) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sig_a, b.simhash AS sig_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx
+              AND a.band_bits = b.band_bits
+              AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_filter(range(1, 17),
+                 p -> sig_a[p] <> sig_b[p])) AS INTEGER) AS hamming
+FROM cand
+WHERE len(list_filter(range(1, 17), p -> sig_a[p] <> sig_b[p]))
+        <= {_SIMHASH_MAX_HAMMING}
+"""
+
+
+@register(
+    "dedup_simhash_hamming_pairs",
+    _SIMHASH_PAIRS_ORACLE,
+    doc="SimHash near-dup PAIRS (Manku WWW'07 banded scheme): 4x4-bit "
+    "band equi self-join — pigeonhole-complete for hamming <= 3 — "
+    "then exact bit-count verify; bucket-density-bounded candidates, "
+    "never all-pairs",
+    tags=("dedup", "hash", "join", "scale"),
+    staged=True,
+)
+def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_hamming_pairs(docs)

@@ -1170,3 +1170,82 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("regular")
     )
     return scored.withColumn("segment", segment)
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line interval counting (round-6 staged)
+# ---------------------------------------------------------------------------
+#
+# "How many orders were open on each day?" — the interval-stabbing
+# aggregate. The naive plan joins a date spine against the interval
+# table (spine × intervals candidate pairs); the sweep-line
+# formulation emits +1 at each interval's start and -1 the day after
+# its end, aggregates deltas per day, and takes a running sum over
+# the (bounded, one-row-per-active-day) delta relation — O(intervals)
+# shuffled once on the date key, never a spine×intervals join. The
+# running-sum window is a single global sort over at most
+# |distinct days| rows — spine-sized, not fact-sized.
+#
+# An order's open interval: o_orderdate .. max(l_shipdate) of its
+# line items (orders with no line items never open).
+
+_BACKLOG_ORACLE = """
+WITH iv AS (
+  SELECT o.o_orderkey, o.o_orderdate AS start_day,
+         MAX(l.l_shipdate) AS end_day
+  FROM orders o
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+deltas AS (
+  SELECT start_day AS day, 1 AS delta FROM iv
+  UNION ALL
+  SELECT end_day + INTERVAL 1 DAY AS day, -1 AS delta FROM iv
+),
+per_day AS (
+  SELECT CAST(day AS DATE) AS day, SUM(delta) AS delta FROM deltas GROUP BY 1
+)
+SELECT day,
+       CAST(SUM(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS open_orders
+FROM per_day
+"""
+
+
+@register(
+    "interval_open_orders_sweep",
+    _BACKLOG_ORACLE,
+    doc="Sweep-line interval counting: open-order backlog per day via "
+    "+1/-1 boundary deltas + one running sum over the per-day delta "
+    "relation — O(intervals) with no date-spine×interval join; the "
+    "global window sorts spine-sized input only",
+    tags=("interval", "sweep", "window", "agg"),
+    staged=True,
+)
+def interval_open_orders_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    iv = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("end_day"))
+    )
+    deltas = iv.select(
+        F.to_date("o_orderdate").alias("day"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select(
+            F.date_add(F.to_date("end_day"), 1).alias("day"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    per_day = deltas.groupBy("day").agg(F.sum("delta").alias("delta"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return per_day.select(
+        "day", F.sum("delta").over(w).cast("bigint").alias("open_orders")
+    )

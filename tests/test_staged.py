@@ -358,3 +358,39 @@ def test_partition_evolution_prunes_conservatively(spark, tmp_path):
 
     # manifests record the spec per commit
     assert t.snapshots()[-2]["operation"] == "evolve_partitioning"
+
+
+def test_simhash_banded_pairs_equal_bruteforce(spark):
+    """Pigeonhole completeness: the 4-band blocking must find EXACTLY
+    the pairs a brute-force all-pairs hamming scan finds at the <= 3
+    threshold."""
+    from pyspark.sql import functions as SF
+
+    from lambda_lakehouse_spark.operators.dedup import (
+        _simhash_expr, simhash_hamming_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 4} alpha beta gamma delta w{i % 7} z{i % 3}")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    banded = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_hamming_pairs(docs).collect()
+    }
+
+    sigs = {
+        r.doc_id: r.simhash
+        for r in docs.select(
+            "doc_id", SF.split(SF.col("text"), r"\s+").alias("toks")
+        ).select("doc_id", SF.expr(_simhash_expr()).alias("simhash")).collect()
+    }
+    brute = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = sum(x != y for x, y in zip(sigs[a], sigs[b]))
+            if h <= 3:
+                brute[(a, b)] = h
+    assert banded == brute and brute  # non-vacuous
