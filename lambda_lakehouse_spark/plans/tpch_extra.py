@@ -1249,3 +1249,62 @@ def interval_open_orders_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_day.select(
         "day", F.sum("delta").over(w).cast("bigint").alias("open_orders")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal index decomposition (round-6 staged)
+# ---------------------------------------------------------------------------
+
+_SEASONAL_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(month(o_orderdate) AS INTEGER) AS month,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+  FROM orders
+  GROUP BY 1
+),
+base AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+           / COUNT(DISTINCT month(o_orderdate)) AS mean_monthly_revenue
+  FROM orders
+)
+SELECT m.month, m.n_orders, m.revenue,
+       m.revenue / b.mean_monthly_revenue AS seasonal_index
+FROM monthly m CROSS JOIN base b
+"""
+
+
+@register(
+    "seasonal_index_monthly",
+    _SEASONAL_ORACLE,
+    doc="Classical multiplicative seasonal index: month-of-year "
+    "revenue over the mean monthly revenue — decimal-routed sums, one "
+    "division, 12 output rows at any scale; the 1-row base aggregate "
+    "broadcasts",
+    tags=("agg", "timeseries", "seasonal"),
+    staged=True,
+)
+def seasonal_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    )
+    monthly = orders.groupBy(
+        F.month("o_orderdate").cast("int").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+    base = orders.agg(
+        (
+            dsum("o_totalprice")
+            / F.count_distinct(F.month("o_orderdate"))
+        ).alias("mean_monthly_revenue")
+    )
+    return monthly.crossJoin(F.broadcast(base)).select(
+        "month",
+        "n_orders",
+        "revenue",
+        (F.col("revenue") / F.col("mean_monthly_revenue")).alias(
+            "seasonal_index"
+        ),
+    )

@@ -255,6 +255,7 @@ def test_no_pathological_join_plans(spark):
         "sample_priority_weighted",  # 1-row tau threshold broadcast
         "basket_association_rules",  # 1-row basket-count broadcast
         "dq_freshness_lag",  # 1-row global-max timestamp broadcast
+        "seasonal_index_monthly",  # 1-row mean-monthly-revenue broadcast
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
@@ -329,6 +330,8 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
         "sample_priority_weighted": {"documents.parquet"},
         # 1-row distinct-basket-count aggregate
         "basket_association_rules": {"lineitem.parquet"},
+        # 1-row mean-monthly-revenue aggregate
+        "seasonal_index_monthly": {"orders.parquet"},
     }
     bounding_ops = (
         "Filter", "HashAggregate", "SortAggregate", "ObjectHashAggregate",
