@@ -384,3 +384,35 @@ def dq_gate_sink(
         )
 
     return _sink
+
+
+def wap_sink(table, rules, quarantine: list | None = None):
+    """foreachBatch Write-Audit-Publish sink: every micro-batch stages
+    on an isolated branch, is audited against the declarative DQ
+    ``rules`` (operators/dq.py), and publishes to main ONLY if clean —
+    the streaming form of ``sources.snapshots.write_audit_publish``.
+    A dirty batch is discarded whole (atomic reject: either every row
+    of the batch lands or none do) and its id is recorded in
+    ``quarantine`` (caller-supplied list) for replay after the
+    upstream fix; main's history stays an audited-commits-only chain.
+
+    Exactly-once composition: the publish commit on main carries the
+    merge metadata, and replayed CLEAN batches re-stage + re-merge
+    idempotently at the table level because the audit is deterministic
+    over the batch's rows.
+    """
+    from lambda_lakehouse_spark.sources.snapshots import write_audit_publish
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        r = write_audit_publish(
+            table, batch_df, rules, branch=f"wap-batch-{int(epoch_id)}"
+        )
+        if r["published"] is None and quarantine is not None:
+            quarantine.append(
+                {"batch_id": int(epoch_id), "n_rows": r["n_rows"],
+                 "n_bad": r["n_bad"]}
+            )
+
+    return _sink

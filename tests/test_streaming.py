@@ -525,3 +525,52 @@ def test_stream_static_enrich_matches_batch(spark, events_src):
     assert {(r.type_group, r["count"]) for r in got} == {
         (r.type_group, r["count"]) for r in expected
     } and len(got) > 0
+
+
+def test_wap_sink_publishes_clean_quarantines_dirty(spark, tmp_path):
+    """Streaming Write-Audit-Publish: micro-batches stage on a branch
+    per batch; clean batches publish atomically, a dirty batch is
+    rejected WHOLE and recorded for replay — main's history holds
+    audited commits only."""
+    from lambda_lakehouse_spark.sources.snapshots import SnapshotTable
+    from lambda_lakehouse_spark.streaming.jobs import wap_sink
+
+    src = str(tmp_path / "src")
+    # 3 single-file batches: two clean, one with a negative value
+    spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)],
+                          "id long, part string, v double"
+                          ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame([(3, "a", -5.0), (4, "b", 30.0)],
+                          "id long, part string, v double"
+                          ).coalesce(1).write.parquet(src + "/f2")
+    spark.createDataFrame([(5, "a", 40.0)],
+                          "id long, part string, v double"
+                          ).coalesce(1).write.parquet(src + "/f3")
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), partition_by=["part"])
+    t.create(spark.createDataFrame([], "id long, part string, v double"))
+
+    schema = "id long, part string, v double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    quarantine: list = []
+    q = (
+        stream.writeStream.foreachBatch(
+            wap_sink(t, {"v_non_negative": F.col("v") >= 0}, quarantine)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(r.id for r in t.read().collect())
+    assert got == [1, 2, 5]                      # dirty batch fully absent
+    assert len(quarantine) == 1
+    assert quarantine[0]["n_bad"] == 1 and quarantine[0]["n_rows"] == 2
+    assert t.branches() == []                    # no staging debris
+    ops = [s["operation"] for s in t.snapshots()]
+    assert ops[0] == "create" and all(o == "merge_branch" for o in ops[1:])
