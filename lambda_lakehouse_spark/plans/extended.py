@@ -1687,3 +1687,66 @@ def stats_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("sy") - F.col("slope") * F.col("sx").cast("double"))
          / F.col("n").cast("double")).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram profiling (round-6 staged)
+# ---------------------------------------------------------------------------
+
+_HIST_N_BUCKETS = 20
+
+_HIST_ORACLE = f"""
+WITH bounds AS (
+  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+),
+bucketed AS (
+  SELECT CAST(least(floor((o.o_totalprice - b.lo)
+                          / ((b.hi - b.lo) / {_HIST_N_BUCKETS})),
+                    {_HIST_N_BUCKETS} - 1) AS INTEGER) AS bucket,
+         o.o_totalprice
+  FROM orders o CROSS JOIN bounds b
+)
+SELECT bucket,
+       COUNT(*) AS n_rows,
+       MIN(o_totalprice) AS bucket_min,
+       MAX(o_totalprice) AS bucket_max
+FROM bucketed
+GROUP BY bucket
+"""
+
+
+@register(
+    "profile_histogram_equiwidth",
+    _HIST_ORACLE,
+    doc=f"Equi-width histogram ({_HIST_N_BUCKETS} buckets) of order "
+    "totals: 1-row min/max bounds broadcast, fixed-shape double bucket "
+    "arithmetic mirrored verbatim in the oracle (top edge clamped into "
+    "the last bucket), one map-side-combined aggregate — the "
+    "distribution profile a data catalog renders, bounded output at "
+    "any scale",
+    tags=("profile", "histogram", "agg"),
+    staged=True,
+)
+def profile_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").select("o_totalprice")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    n = _HIST_N_BUCKETS
+    bucket = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("lo"))
+            / ((F.col("hi") - F.col("lo")) / F.lit(n))
+        ),
+        F.lit(n - 1),
+    ).cast("int")
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_totalprice").alias("bucket_min"),
+            F.max("o_totalprice").alias("bucket_max"),
+        )
+    )

@@ -256,6 +256,7 @@ def test_no_pathological_join_plans(spark):
         "basket_association_rules",  # 1-row basket-count broadcast
         "dq_freshness_lag",  # 1-row global-max timestamp broadcast
         "seasonal_index_monthly",  # 1-row mean-monthly-revenue broadcast
+        "profile_histogram_equiwidth",  # 1-row min/max bounds broadcast
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
@@ -332,6 +333,8 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
         "basket_association_rules": {"lineitem.parquet"},
         # 1-row mean-monthly-revenue aggregate
         "seasonal_index_monthly": {"orders.parquet"},
+        # 1-row min/max histogram bounds aggregate
+        "profile_histogram_equiwidth": {"orders.parquet"},
     }
     bounding_ops = (
         "Filter", "HashAggregate", "SortAggregate", "ObjectHashAggregate",
