@@ -1750,3 +1750,69 @@ def profile_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("bucket_max"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample experiment comparison (round-6 staged)
+# ---------------------------------------------------------------------------
+#
+# The experimentation primitive: compare a metric between two cohorts
+# with exact decimal-routed sums — n / mean / sample variance per arm
+# and the mean lift. Variance uses the sum-of-squares identity
+# (Q - S*S/n) / (n - 1) over EXACT decimal sums converted once to
+# double, so both engines compute identical bits without a second
+# data pass (no sqrt/t-stat here: those are monotone post-transforms
+# of these sufficient statistics and bit-fragile across engines —
+# callers apply them client-side).
+
+_AB_ORACLE = """
+WITH arms AS (
+  SELECT CASE WHEN l_discount <= 0.02 THEN 'control'
+              WHEN l_discount >= 0.08 THEN 'treatment' END AS arm,
+         CAST(l_quantity AS DOUBLE) AS metric
+  FROM lineitem
+  WHERE l_discount <= 0.02 OR l_discount >= 0.08
+)
+SELECT arm,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(metric AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+         AS mean_metric,
+       (CAST(SUM(CAST(metric * metric AS DECIMAL(28,6))) AS DOUBLE)
+        - CAST(SUM(CAST(metric AS DECIMAL(28,6))) AS DOUBLE)
+          * CAST(SUM(CAST(metric AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))
+       / (COUNT(*) - 1) AS var_metric
+FROM arms
+GROUP BY arm
+"""
+
+
+@register(
+    "ab_arm_statistics",
+    _AB_ORACLE,
+    doc="Two-sample experiment readout (discount arms over lineitem): "
+    "n / mean / sample variance per arm from ONE aggregate pass via "
+    "the sum-of-squares identity over exact decimal sums — the "
+    "sufficient statistics for any t-test, computed bit-identically "
+    "on any engine; sqrt/t-stat left to the client (bit-fragile)",
+    tags=("agg", "stats", "experiment"),
+    staged=True,
+)
+def ab_arm_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select("l_discount", "l_quantity")
+    arms = li.where(
+        (F.col("l_discount") <= 0.02) | (F.col("l_discount") >= 0.08)
+    ).select(
+        F.when(F.col("l_discount") <= 0.02, "control")
+        .when(F.col("l_discount") >= 0.08, "treatment")
+        .alias("arm"),
+        F.col("l_quantity").cast("double").alias("metric"),
+    )
+    dec = "decimal(28,6)"
+    s = F.sum(F.col("metric").cast(dec)).cast("double")
+    q = F.sum((F.col("metric") * F.col("metric")).cast(dec)).cast("double")
+    n = F.count(F.lit(1))
+    return arms.groupBy("arm").agg(
+        n.alias("n"),
+        (s / n).alias("mean_metric"),
+        ((q - s * s / n) / (n - F.lit(1))).alias("var_metric"),
+    )
