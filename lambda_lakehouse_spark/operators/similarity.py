@@ -1035,3 +1035,147 @@ def embed_drift_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("int").alias("pos"),
         "n_a", "n_b", "mean_a", "mean_b", "abs_shift",
     )
+
+
+# ---------------------------------------------------------------------------
+# Principal component by power iteration (round-6 staged)
+# ---------------------------------------------------------------------------
+#
+# Distributed linear algebra as pure relational ops: the top
+# principal direction of the embedding matrix via two unrolled power
+# iterations — each iteration is two join+aggregate matrix-vector
+# products (s = X v on vec_id, w = Xᵀ s on pos) with decimal-quantized
+# product sums (order-independent), and the normalization uses
+# sqrt(), which IEEE 754 specifies as CORRECTLY ROUNDED — unlike
+# ln/exp (engine-specific libm), sqrt produces identical bits on
+# every conforming engine, so the whole eigenvector hash-certifies.
+# The start vector is the exact constant 1/8 = 0.125 (64 dims).
+#
+# Scale: X stays position-exploded (the same layout every ANN scorer
+# here uses); each product shuffles once on its key, map-side
+# combined; v/norm are dimension-sized (64 rows / 1 row) broadcasts.
+# More iterations = more unrolled stages; for many components, deflate
+# and repeat (documented, not implemented — one direction suffices to
+# certify the kernel).
+
+_PCA_DIMS = 64
+_PCA_V0 = 0.125  # 1/sqrt(64), exactly representable
+
+
+def _pca_iterate(flat: DataFrame, v: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One power iteration: returns (w, norm) — the unnormalized next
+    vector and its L2 norm (1-row)."""
+    s = (
+        flat.join(F.broadcast(v), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.sum((F.col("val") * F.col("v")).cast(_DEC_PCA))
+            .cast("double")
+            .alias("s")
+        )
+    )
+    w = (
+        flat.join(s, "vec_id")
+        .groupBy("pos")
+        .agg(
+            F.sum((F.col("val") * F.col("s")).cast(_DEC_PCA))
+            .cast("double")
+            .alias("w")
+        )
+    )
+    norm = w.agg(
+        F.sqrt(
+            F.sum((F.col("w") * F.col("w")).cast(_DEC_PCA)).cast("double")
+        ).alias("norm")
+    )
+    return w, norm
+
+
+_DEC_PCA = "decimal(28,6)"
+
+
+def pca_top_component(emb: DataFrame, n_iter: int = 2) -> DataFrame:
+    """(pos, loading, eigenvalue_est): unit top principal direction
+    after ``n_iter`` power iterations from the constant start vector,
+    with ||X·Xᵀ·v|| of the final step as the eigenvalue estimate."""
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "valf")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    v = flat.select("pos").distinct().select(
+        "pos", F.lit(_PCA_V0).alias("v")
+    )
+    w = norm = None
+    for _ in range(n_iter):
+        w, norm = _pca_iterate(flat, v)
+        v = w.crossJoin(F.broadcast(norm)).select(
+            "pos", (F.col("w") / F.col("norm")).alias("v")
+        )
+    return v.crossJoin(F.broadcast(norm)).select(
+        F.col("pos").cast("int").alias("pos"),
+        F.col("v").alias("loading"),
+        F.col("norm").alias("eigenvalue_est"),
+    )
+
+
+def _pca_iter_sql(flat: str, vin: str, tag: str) -> str:
+    return f"""
+s{tag} AS (
+  SELECT f.vec_id,
+         CAST(SUM(CAST(f.val * v.v AS DECIMAL(28,6))) AS DOUBLE) AS s
+  FROM {flat} f JOIN {vin} v USING (pos) GROUP BY f.vec_id
+),
+w{tag} AS (
+  SELECT f.pos,
+         CAST(SUM(CAST(f.val * s.s AS DECIMAL(28,6))) AS DOUBLE) AS w
+  FROM {flat} f JOIN s{tag} s USING (vec_id) GROUP BY f.pos
+),
+n{tag} AS (
+  SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,6))) AS DOUBLE)) AS norm
+  FROM w{tag}
+),
+v{tag} AS (
+  SELECT pos, w / (SELECT norm FROM n{tag}) AS v FROM w{tag}
+)"""
+
+
+_PCA_ORACLE = (
+    f"""
+WITH flat AS (
+  SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS val
+  FROM embeddings, (SELECT unnest(range(1, {_PCA_DIMS + 1})) AS pos)
+),
+v0 AS (
+  SELECT unnest(range(1, {_PCA_DIMS + 1})) AS pos,
+         CAST({_PCA_V0} AS DOUBLE) AS v
+),"""
+    + _pca_iter_sql("flat", "v0", "1").lstrip()
+    + ","
+    + _pca_iter_sql("flat", "v1", "2")
+    + f"""
+SELECT CAST(v2.pos AS INTEGER) AS pos,
+       v2.v AS loading,
+       (SELECT norm FROM n2) AS eigenvalue_est
+FROM v2
+"""
+)
+
+
+@register(
+    "embed_pca_top_component",
+    _PCA_ORACLE,
+    doc="Top principal component of the embedding matrix by two "
+    "unrolled power iterations — matrix-vector products as "
+    "join+aggregate over the position-exploded layout, decimal-exact "
+    "product sums, IEEE-correctly-rounded sqrt normalization (the one "
+    "transcendental that hash-certifies); 64-row output at any corpus "
+    "size",
+    tags=("similarity", "vector", "pca", "iterative"),
+    staged=True,
+)
+def embed_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return pca_top_component(emb)

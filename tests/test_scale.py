@@ -257,6 +257,7 @@ def test_no_pathological_join_plans(spark):
         "dq_freshness_lag",  # 1-row global-max timestamp broadcast
         "seasonal_index_monthly",  # 1-row mean-monthly-revenue broadcast
         "profile_histogram_equiwidth",  # 1-row min/max bounds broadcast
+        "embed_pca_top_component",  # 64-row vector + 1-row norm broadcasts
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
@@ -335,6 +336,9 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
         "seasonal_index_monthly": {"orders.parquet"},
         # 1-row min/max histogram bounds aggregate
         "profile_histogram_equiwidth": {"orders.parquet"},
+        # the dimension-sized (64-row distinct-agg) direction vector and
+        # the 1-row norm aggregate
+        "embed_pca_top_component": {"embeddings.parquet"},
     }
     bounding_ops = (
         "Filter", "HashAggregate", "SortAggregate", "ObjectHashAggregate",

@@ -394,3 +394,35 @@ def test_simhash_banded_pairs_equal_bruteforce(spark):
             if h <= 3:
                 brute[(a, b)] = h
     assert banded == brute and brute  # non-vacuous
+
+
+def test_pca_power_iteration_equals_quantized_model(spark):
+    """Spark PCA kernel == pure-Python power iteration with the same
+    decimal(28,6) product quantization and IEEE sqrt."""
+    import math
+
+    from lambda_lakehouse_spark.operators.similarity import pca_top_component
+
+    vecs = {
+        i: [((i * 7 + p * 3) % 11 - 5) / 5.0 for p in range(4)]
+        for i in range(12)
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = {r.pos: (r.loading, r.eigenvalue_est)
+           for r in pca_top_component(emb, n_iter=2).collect()}
+
+    q = lambda x: round(x, 6)  # decimal(28,6) quantize per product
+    v = [0.125] * 4  # matches the operator's constant start vector
+    norm = None
+    for _ in range(2):
+        s = {i: sum(q(x[p] * v[p]) for p in range(4)) for i, x in vecs.items()}
+        w = [sum(q(vecs[i][p] * s[i]) for i in vecs) for p in range(4)]
+        norm = math.sqrt(sum(q(x * x) for x in w))
+        v = [x / norm for x in w]
+    for p in range(4):
+        assert math.isclose(got[p + 1][0], v[p], abs_tol=1e-4), (p, got[p + 1], v[p])
+        assert math.isclose(got[p + 1][1], norm, abs_tol=1e-3)
+    # unit vector up to quantization
+    assert math.isclose(sum(x * x for x, _ in got.values()), 1.0, abs_tol=1e-4)
