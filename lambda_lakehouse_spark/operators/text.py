@@ -586,3 +586,90 @@ GROUP BY w.doc_id
 def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     return vocab_coverage(docs)
+
+
+# ---------------------------------------------------------------------------
+# First-occurrence novelty scoring (round-6 staged)
+# ---------------------------------------------------------------------------
+
+_NOVELTY_NGRAM = 3
+
+
+def novelty_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_shingles, n_novel, novelty): fraction of a document's
+    distinct 3-grams whose FIRST corpus occurrence (minimum doc_id) is
+    this document. A dedup-aware sampling signal: processing docs in
+    id order, `novelty` is how much genuinely new character content
+    each contributes — boilerplate-heavy late documents score near 0
+    even when no whole-doc or paragraph duplicate exists.
+
+    Scale: shingle explode → min-aggregate on the shingle key (the
+    inverted-index shuffle, map-side combined) → join back on the same
+    key → per-doc aggregate. Attribution is deterministic by min().
+    """
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, greatest(length(text)-2, 1)),"
+                " i -> substr(text, i, 3)))"
+            )
+        ).alias("s"),
+    )
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_shingles")).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+_NOVELTY_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([substr(text, i, 3)
+                FOR i IN range(1, greatest(length(text)-2, 1) + 1)])) AS s
+  FROM documents
+),
+first AS (
+  SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY 1
+)
+SELECT sh.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS novelty
+FROM sh JOIN first f USING (s)
+GROUP BY sh.doc_id
+"""
+
+
+@register(
+    "text_novelty_score",
+    _NOVELTY_ORACLE,
+    doc="First-occurrence novelty: fraction of each doc's distinct "
+    "3-grams first seen (min doc_id) in that doc — dedup-aware "
+    "contribution scoring over the inverted-index shuffle; "
+    "deterministic min() attribution",
+    tags=("text", "dedup", "novelty"),
+    staged=True,
+)
+def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return novelty_scores(docs)

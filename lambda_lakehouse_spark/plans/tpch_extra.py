@@ -1308,3 +1308,71 @@ def seasonal_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonal_index"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-concentration index (round-6 staged)
+# ---------------------------------------------------------------------------
+
+_HHI_ORACLE = """
+WITH rev AS (
+  SELECT s.s_nationkey AS nationkey, l.l_suppkey,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+           AS supp_rev
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT nationkey,
+         CAST(SUM(CAST(supp_rev AS DECIMAL(28,6))) AS DOUBLE) AS nation_rev,
+         COUNT(*) AS n_suppliers
+  FROM rev GROUP BY 1
+)
+SELECT r.nationkey, t.n_suppliers, t.nation_rev,
+       CAST(SUM(CAST((r.supp_rev / t.nation_rev)
+                     * (r.supp_rev / t.nation_rev)
+                     AS DECIMAL(28,6))) AS DOUBLE) AS hhi
+FROM rev r JOIN tot t USING (nationkey)
+GROUP BY r.nationkey, t.n_suppliers, t.nation_rev
+"""
+
+
+@register(
+    "market_concentration_hhi",
+    _HHI_ORACLE,
+    doc="Herfindahl–Hirschman concentration per nation: supplier "
+    "revenue shares squared and exactly summed (decimal-quantized) — "
+    "two decimal-routed aggregates + one share computation, monopoly "
+    "markets score 1.0; the antitrust-grade concentration metric as "
+    "a certified plan",
+    tags=("agg", "economics", "share"),
+    staged=True,
+)
+def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    rev = (
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
+        .agg(dsum("l_extendedprice").alias("supp_rev"))
+    )
+    tot = rev.groupBy("nationkey").agg(
+        dsum("supp_rev").alias("nation_rev"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    share = F.col("supp_rev") / F.col("nation_rev")
+    return (
+        rev.join(tot, "nationkey")
+        .groupBy("nationkey", "n_suppliers", "nation_rev")
+        .agg(
+            F.sum((share * share).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("hhi")
+        )
+        .select("nationkey", "n_suppliers", "nation_rev", "hhi")
+    )
