@@ -794,3 +794,102 @@ def sessionize_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("bounce_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection (round-6 staged)
+# ---------------------------------------------------------------------------
+
+def cusum_changepoints(events: DataFrame) -> DataFrame:
+    """Per event type: the time-ordered CUSUM of deviations from the
+    group mean and its maximum-|CUSUM| position — the classical
+    level-shift changepoint statistic (Page 1954). Deviations are
+    decimal-quantized before the running sum, so the order-sensitive
+    prefix reduction is exact and the argmax position
+    hash-certifies. One shuffle on the group key; the running sum and
+    both ranking windows share its sort."""
+    from lambda_lakehouse_spark.functions.scalar import dsum
+
+    base = events.select(
+        "event_id", "event_type", F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").cast("double").alias("v"),
+    )
+    m = base.groupBy("event_type").agg(
+        (dsum("v") / F.count(F.lit(1))).alias("mean_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    dev = (
+        base.join(m, "event_type")
+        .withColumn(
+            "_cusum",
+            F.sum(
+                (F.col("v") - F.col("mean_value")).cast("decimal(28,6)")
+            ).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        .withColumn("_pos", F.row_number().over(w))
+    )
+    pick = F.row_number().over(
+        W.partitionBy("event_type").orderBy(
+            F.abs(F.col("_cusum")).desc(), F.col("_pos")
+        )
+    )
+    return (
+        dev.withColumn("_pick", pick)
+        .where(F.col("_pick") == 1)
+        .select(
+            "event_type",
+            "n_events",
+            "mean_value",
+            F.col("_pos").cast("int").alias("cp_position"),
+            F.abs(F.col("_cusum")).cast("double").alias("max_abs_cusum"),
+        )
+    )
+
+
+_CUSUM_ORACLE = """
+WITH base AS (
+  SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+           AS mean_value,
+         COUNT(*) AS n_events
+  FROM base GROUP BY 1
+),
+dev AS (
+  SELECT b.event_type, m.n_events, m.mean_value,
+         SUM(CAST(b.v - m.mean_value AS DECIMAL(28,6)))
+           OVER (PARTITION BY b.event_type ORDER BY b.ts, b.event_id
+                 ROWS UNBOUNDED PRECEDING) AS cusum,
+         ROW_NUMBER() OVER (PARTITION BY b.event_type
+                            ORDER BY b.ts, b.event_id) AS pos
+  FROM base b JOIN m USING (event_type)
+)
+SELECT event_type, n_events, mean_value,
+       CAST(pos AS INTEGER) AS cp_position,
+       CAST(abs(cusum) AS DOUBLE) AS max_abs_cusum
+FROM dev
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                           ORDER BY abs(cusum) DESC, pos) = 1
+"""
+
+
+@register(
+    "events_cusum_changepoint",
+    _CUSUM_ORACLE,
+    doc="CUSUM changepoint per event type (Page 1954): decimal-exact "
+    "running sum of mean deviations in time order, argmax-|CUSUM| "
+    "position as the level-shift estimate — one group-key shuffle "
+    "shared by the prefix sum and both ranking windows",
+    tags=("events", "changepoint", "window", "stats"),
+    staged=True,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    return cusum_changepoints(ev)

@@ -1376,3 +1376,79 @@ def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("nationkey", "n_suppliers", "nation_rev", "hhi")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient (round-6 staged)
+# ---------------------------------------------------------------------------
+#
+# Inequality of customer spend via the rank formula
+#   G = 2 * Σ(i * y_i) / (n * Σ y_i) - (n + 1) / n
+# over ascending-sorted per-customer totals — entirely rational
+# arithmetic: ranks are integers, spend totals are decimal-routed,
+# and the one order-sensitive reduction (Σ i*y_i) quantizes each
+# product to decimal(28,6) before an exact sum. Companion to the HHI
+# query (concentration measures the top; Gini the whole curve).
+#
+# Scale: per-customer totals reduce the fact N:1 first; the rank
+# window sorts the customer-sized relation once (the
+# agg_exact_percentiles single-sort caveat applies).
+
+_GINI_ORACLE = """
+WITH y AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS spend
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT spend,
+         ROW_NUMBER() OVER (ORDER BY spend, o_custkey) AS i,
+         COUNT(*) OVER () AS n
+  FROM y
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(spend AS DECIMAL(28,6))) AS DOUBLE) AS total_spend,
+       2.0 * CAST(SUM(CAST(i * spend AS DECIMAL(28,6))) AS DOUBLE)
+         / (MAX(n) * CAST(SUM(CAST(spend AS DECIMAL(28,6))) AS DOUBLE))
+         - (CAST(MAX(n) AS DOUBLE) + 1.0) / MAX(n) AS gini
+FROM ranked
+"""
+
+
+@register(
+    "customer_spend_gini",
+    _GINI_ORACLE,
+    doc="Gini coefficient of per-customer spend by the rank formula — "
+    "integer ranks, decimal-routed sums, per-term decimal quantization "
+    "of the rank-weighted sum: fully rational, hash-certifiable "
+    "inequality measurement; fact reduces N:1 before the single "
+    "customer-sized sort",
+    tags=("agg", "window", "economics", "gini"),
+    staged=True,
+)
+def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    y = (
+        read_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .groupBy("o_custkey")
+        .agg(dsum("o_totalprice").alias("spend"))
+    )
+    ranked = y.select(
+        "spend",
+        F.row_number().over(W.orderBy("spend", "o_custkey")).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    dec = "decimal(28,6)"
+    s_y = F.sum(F.col("spend").cast(dec)).cast("double")
+    s_iy = F.sum((F.col("i") * F.col("spend")).cast(dec)).cast("double")
+    n = F.max("n")
+    return ranked.agg(
+        n.cast("bigint").alias("n_customers"),
+        s_y.alias("total_spend"),
+        (
+            F.lit(2.0) * s_iy / (n * s_y)
+            - (n.cast("double") + F.lit(1.0)) / n
+        ).alias("gini"),
+    )
