@@ -1,0 +1,224 @@
+"""Distributed global-order primitives: top-k, exact rank, ntile,
+prefix max — none of which may single-partition-sort an
+sf-proportional relation.
+
+Why this module exists: ``row_number().over(Window.orderBy(...))``
+with no partition spec moves EVERY row to one task ("WindowExec: No
+Partition Defined" at runtime) — fine on 60k rows, dead at 100 TB.
+Round-5 review found ten query plans doing exactly that for two
+distinct needs, each of which has a classic distributed formulation:
+
+- **global top-k** (``global_topk``): ``orderBy().limit(k)`` plans as
+  ``TakeOrderedAndProject`` — every partition keeps its local top-k,
+  a single reduce merges the k-row survivors — then rank 1..k is
+  re-derived over the ≤k bounded rows with the same two-pass rank
+  machinery (never an unpartitioned window, so the plan carries zero
+  single-partition sorts of data-sized relations).
+
+- **exact global rank over ALL rows** (``exact_global_rank``), for
+  order statistics that genuinely need every row's position (Gini's
+  Σ i·y_i, exact ntile buckets, exact percentile picks): the two-pass
+  range-partitioned rank. Pass 1 ``repartitionByRange`` on the sort
+  key so partition p holds keys strictly below partition p+1, rank
+  locally within each partition (window partitioned by the physical
+  partition id). Pass 2 count rows per partition — a #partitions-row
+  relation, bounded by cluster config, not by data — prefix-sum those
+  counts in a single-row array fold (sorted ``collect_list`` →
+  ``aggregate`` higher-order function: a driver-free prefix scan with
+  no window and no sort), broadcast the offsets back, add. Identical
+  integer ranks to a global sort.
+
+- **exclusive running max** (``prefix_max_exclusive``), the skyline /
+  sweep-prefix shape: same range partitioning; local exclusive
+  prefix max within each partition, combined with the running max of
+  every STRICTLY EARLIER partition's total (the same bounded array
+  fold over per-partition maxima) — the textbook distributed
+  prefix-scan decomposition.
+
+Determinism contract (everything here is driver-certified): callers
+must pass a TOTAL order — the last sort key unique per row —
+otherwise range-partition boundaries could split ties arbitrarily.
+Every call site in this repo orders by (metric, unique key).
+
+Reference: the reference engine has no counterpart (single-node
+pandas pipelines sort in memory, e.g.
+``jobs/transform/vn_stg_processing.py`` sorting a day's frame); these
+helpers are what the same semantics require on a cluster.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _cols(order: Sequence) -> list:
+    return [F.col(c) if isinstance(c, str) else c for c in order]
+
+
+def _fold_offsets(counts: DataFrame, key: str, val: str, out: str) -> DataFrame:
+    """(key, val) → (key, out) where ``out`` = sum of ``val`` over all
+    strictly smaller keys: an exclusive prefix sum computed as one
+    array fold over the sorted, collected (bounded — #partitions-row)
+    relation. No window, no sort node, no driver action."""
+    return (
+        counts.agg(
+            F.sort_array(F.collect_list(F.struct(key, val))).alias("_a")
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    f"aggregate(_a,"
+                    f" struct(cast(0 as bigint) as acc,"
+                    f"   cast(array() as array<struct<k:int,o:bigint>>) as out),"
+                    f" (s, x) -> struct(s.acc + x.{val},"
+                    f"   array_append(s.out, named_struct('k', x.{key}, 'o', s.acc))),"
+                    f" s -> s.out)"
+                )
+            ).alias("_o")
+        )
+        .select(F.col("_o.k").alias(key), F.col("_o.o").alias(out))
+    )
+
+
+def exact_global_rank(
+    df: DataFrame,
+    order: Sequence,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Add ``rank_col`` = the exact 1-based global rank of each row
+    under the total order ``order``, without a single-partition sort:
+    range-partition on the sort key, rank locally, then add broadcast
+    cumulative partition-count offsets (see module docstring). Output
+    ranks are identical to ``row_number() OVER (ORDER BY order)``;
+    the rank column is LONG."""
+    order = _cols(order)
+    tagged = df.repartitionByRange(*order).withColumn(
+        "_egr_pid", F.spark_partition_id()
+    )
+    local = tagged.withColumn(
+        "_egr_lrank",
+        F.row_number().over(W.partitionBy("_egr_pid").orderBy(*order)),
+    )
+    counts = tagged.groupBy("_egr_pid").agg(
+        F.count(F.lit(1)).alias("_egr_c")
+    )
+    offsets = _fold_offsets(counts, "_egr_pid", "_egr_c", "_egr_off")
+    return (
+        local.join(F.broadcast(offsets), "_egr_pid")
+        .withColumn(
+            rank_col,
+            (F.col("_egr_lrank") + F.col("_egr_off")).cast("bigint"),
+        )
+        .drop("_egr_pid", "_egr_lrank", "_egr_off")
+    )
+
+
+def global_topk(
+    df: DataFrame,
+    order: Sequence,
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-``k`` rows of ``df`` under the total order ``order``, with a
+    1-based LONG ``rank_col``. Plans as ``TakeOrderedAndProject``
+    (per-partition partial top-k, one k-row merge); ranks over the ≤k
+    survivors come from :func:`exact_global_rank`, so no step of the
+    plan windows over an unpartitioned relation."""
+    order = _cols(order)
+    return exact_global_rank(df.orderBy(*order).limit(k), order, rank_col)
+
+
+def exact_global_ntile(
+    df: DataFrame,
+    order: Sequence,
+    n_buckets: int,
+    out_col: str,
+) -> DataFrame:
+    """Add ``out_col`` = exact ``NTILE(n_buckets) OVER (ORDER BY
+    order)`` (int, 1-based) via :func:`exact_global_rank` plus the SQL
+    ntile formula: with N rows, the first ``N mod n`` buckets hold
+    ``ceil(N/n)`` rows, the rest ``floor(N/n)``. All integer ``div``
+    arithmetic — bit-identical to any engine's NTILE."""
+    ranked = exact_global_rank(df, order, rank_col="_egn_r")
+    total = df.agg(F.count(F.lit(1)).alias("_egn_n"))
+    t = (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("_egn_q", F.expr(f"_egn_n div {n_buckets}"))
+        .withColumn("_egn_rem", F.expr(f"_egn_n % {n_buckets}"))
+    )
+    # CaseWhen evaluates branches lazily, so the `div _egn_q` branch is
+    # never reached when q = 0 (then rem = N and every rank takes the
+    # first branch) — no ANSI divide-by-zero.
+    bucket = F.when(
+        F.col("_egn_r") <= F.col("_egn_rem") * (F.col("_egn_q") + 1),
+        F.expr("(_egn_r - 1) div (_egn_q + 1) + 1"),
+    ).otherwise(
+        F.col("_egn_rem")
+        + F.expr("(_egn_r - 1 - _egn_rem * (_egn_q + 1)) div _egn_q")
+        + 1
+    )
+    return t.withColumn(out_col, bucket.cast("int")).drop(
+        "_egn_r", "_egn_n", "_egn_q", "_egn_rem"
+    )
+
+
+def prefix_max_exclusive(
+    df: DataFrame,
+    order: Sequence,
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Add ``out_col`` = max of ``value_col`` over all STRICTLY
+    preceding rows in the global order (null for the first row) —
+    ``max() OVER (ORDER BY order ROWS BETWEEN UNBOUNDED PRECEDING AND
+    1 PRECEDING)`` without the single-partition sort. Order keys must
+    be unique (rows-frame semantics under ties would otherwise depend
+    on partition boundaries).
+
+    Distributed prefix-scan decomposition: local exclusive prefix max
+    within each range partition, combined with the running max of all
+    earlier partitions' totals (bounded array fold, broadcast back).
+    ``greatest()`` skips nulls, so the combine is null only when both
+    sides are — exactly the global first rows."""
+    order = _cols(order)
+    vt = df.schema[value_col].dataType.simpleString()
+    tagged = df.repartitionByRange(*order).withColumn(
+        "_pfx_pid", F.spark_partition_id()
+    )
+    loc_w = (
+        W.partitionBy("_pfx_pid")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = tagged.withColumn("_pfx_loc", F.max(value_col).over(loc_w))
+    pmax = tagged.groupBy("_pfx_pid").agg(F.max(value_col).alias("_pfx_mx"))
+    prior = (
+        pmax.agg(
+            F.sort_array(
+                F.collect_list(F.struct("_pfx_pid", "_pfx_mx"))
+            ).alias("_a")
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    f"aggregate(_a,"
+                    f" struct(cast(null as {vt}) as acc,"
+                    f"   cast(array() as array<struct<k:int,m:{vt}>>) as out),"
+                    f" (s, x) -> struct(greatest(s.acc, x._pfx_mx),"
+                    f"   array_append(s.out, named_struct('k', x._pfx_pid, 'm', s.acc))),"
+                    f" s -> s.out)"
+                )
+            ).alias("_o")
+        )
+        .select(
+            F.col("_o.k").alias("_pfx_pid"), F.col("_o.m").alias("_pfx_prior")
+        )
+    )
+    return (
+        local.join(F.broadcast(prior), "_pfx_pid")
+        .withColumn(out_col, F.greatest("_pfx_loc", "_pfx_prior"))
+        .drop("_pfx_pid", "_pfx_loc", "_pfx_prior")
+    )
