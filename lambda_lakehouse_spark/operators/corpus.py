@@ -18,6 +18,7 @@ from lambda_lakehouse_spark.operators.dedup import (
     _components_oracle_cte,
     doc_clusters,
 )
+from lambda_lakehouse_spark.operators.ranking import global_topk
 from lambda_lakehouse_spark.registry import register
 from lambda_lakehouse_spark.sources.readers import read_table
 
@@ -688,12 +689,11 @@ def collocations_lift(
             ).alias("lift"),
         )
     )
-    rk = F.row_number().over(
-        W.orderBy(F.col("lift").desc(), F.col("w1"), F.col("w2"))
-    )
-    return scored.select(rk.alias("rank"), "w1", "w2", "c_xy", "lift").where(
-        F.col("rank") <= k
-    )
+    # distributed top-k (TakeOrderedAndProject, operators/ranking.py) —
+    # the scored pair relation is vocabulary-sized, never globally sorted
+    return global_topk(
+        scored, [F.col("lift").desc(), "w1", "w2"], k, "rank"
+    ).select("rank", "w1", "w2", "c_xy", "lift")
 
 
 _COLLOC_ORACLE = f"""
@@ -747,7 +747,6 @@ WHERE rank <= {COLLOC_TOP_K}
     "expression) with min-support pruning BEFORE the unigram joins "
     "and a support-bounded global top-k window",
     tags=("corpus", "text", "collocation", "topk"),
-    staged=True,
 )
 def corpus_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -774,10 +773,10 @@ def corpus_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash-certify a weighted sample, which a pow()/ln()-based scheme
 # would never survive.
 #
-# Scale shape: priorities are a pure projection; top-(k+1) is the
-# same single bounded global window every top-k query here uses
-# (partial top-k per partition is the refinement at extreme scale);
-# tau is a 1-row aggregate broadcast back over the k winners.
+# Scale shape: priorities are a pure projection; top-(k+1) is a
+# distributed TakeOrderedAndProject (per-partition partial top-k, one
+# (k+1)-row merge — operators/ranking.py global_topk); tau is a 1-row
+# aggregate broadcast back over the k winners.
 
 PRIORITY_SAMPLE_K = 100
 _U_DENOM = 1 << 60  # 15 md5 hex chars → 60-bit uniform
@@ -804,16 +803,14 @@ def priority_sample(
     prio = F.col(weight_col).cast("double") / (
         (h + F.lit(1)).cast("double") / F.lit(float(_U_DENOM))
     )
-    ranked = items.select(
-        F.col(id_col),
-        F.col(weight_col),
-        prio.alias("priority"),
-    ).withColumn(
+    # distributed top-(k+1): TakeOrderedAndProject, never a corpus-wide
+    # single-partition rank (operators/ranking.py)
+    ranked = global_topk(
+        items.select(F.col(id_col), F.col(weight_col), prio.alias("priority")),
+        [F.col("priority").desc(), F.col(id_col)],
+        k + 1,
         "rank",
-        F.row_number().over(
-            W.orderBy(F.col("priority").desc(), F.col(id_col))
-        ),
-    ).where(F.col("rank") <= k + 1)
+    )
     tau = ranked.agg(
         F.max(F.when(F.col("rank") == k + 1, F.col("priority"))).alias("tau")
     )
@@ -874,7 +871,6 @@ WHERE r.rank <= {PRIORITY_SAMPLE_K}
     "its unbiased estimator hash-certify across engines; weights are "
     "document lengths",
     tags=("sampling", "corpus", "weighted", "topk"),
-    staged=True,
 )
 def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
@@ -985,7 +981,6 @@ GROUP BY p.doc_id
     "shared by ≥2 documents flagged, per-doc duplicated fraction — "
     "catches boilerplate leakage whole-doc dedup scores near zero",
     tags=("dedup", "paragraph", "corpus"),
-    staged=True,
 )
 def dedup_paragraph_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")

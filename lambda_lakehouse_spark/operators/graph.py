@@ -36,9 +36,9 @@ tests/test_scale.py, checkpointed iteration in operators/dedup.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from lambda_lakehouse_spark.operators.ranking import global_topk
 from lambda_lakehouse_spark.registry import register
 from lambda_lakehouse_spark.sources.readers import read_table
 
@@ -156,7 +156,7 @@ WHERE rank <= {TOP_K}
     "order-sensitive SUM per iteration is exact; oracle unrolls the "
     "same three iterations as CTEs. Top-100 by (rank DESC, node).",
     tags=("graph", "pagerank", "iterative", "join"),
-    staged=True,
+    bench=True,
 )
 def graph_pagerank_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select(
@@ -167,7 +167,7 @@ def graph_pagerank_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select(F.col("s").alias("src"), F.col("p").alias("dst"))
     )
     pr = pagerank_fixed(edges)
-    rk = F.row_number().over(W.orderBy(F.col("r").desc(), F.col("node")))
-    return pr.select(rk.alias("rank"), "node", "r").where(
-        F.col("rank") <= TOP_K
-    ).select(F.col("rank").cast("int").alias("rank"), "node", "r")
+    # distributed top-k over the node-sized rank relation
+    # (TakeOrderedAndProject — operators/ranking.py)
+    top = global_topk(pr, [F.col("r").desc(), "node"], TOP_K, "rank")
+    return top.select(F.col("rank").cast("int").alias("rank"), "node", "r")

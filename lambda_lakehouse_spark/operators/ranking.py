@@ -19,9 +19,11 @@ distinct needs, each of which has a classic distributed formulation:
   order statistics that genuinely need every row's position (Gini's
   Σ i·y_i, exact ntile buckets, exact percentile picks): the two-pass
   range-partitioned rank. Pass 1 ``repartitionByRange`` on the sort
-  key so partition p holds keys strictly below partition p+1, rank
-  locally within each partition (window partitioned by the physical
-  partition id). Pass 2 count rows per partition — a #partitions-row
+  key so partition p holds keys strictly below partition p+1, sort
+  within partitions, and read the local rank off
+  ``monotonically_increasing_id``'s documented per-partition counter
+  bits — one exchange + one local sort, no window, no extra shuffle.
+  Pass 2 count rows per partition — a #partitions-row
   relation, bounded by cluster config, not by data — prefix-sum those
   counts in a single-row array fold (sorted ``collect_list`` →
   ``aggregate`` higher-order function: a driver-free prefix scan with
@@ -83,6 +85,45 @@ def _fold_offsets(counts: DataFrame, key: str, val: str, out: str) -> DataFrame:
     )
 
 
+def _ranked_and_counts(
+    df: DataFrame, order: Sequence, rank_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Core of the two-pass rank: (ranked df, per-partition counts df).
+    The counts relation (``_egr_pid``, ``_egr_c``) is #partitions rows
+    and shares the range exchange with the rank branch.
+
+    The local rank is read off ``monotonically_increasing_id()`` after
+    the in-partition sort — its documented layout is the partition id
+    in the upper bits and a per-partition row counter in the lower 33
+    — so the rank branch costs exactly ONE exchange of the data (the
+    range shuffle) and one local sort: no window, and none of the
+    extra hash-by-partition-id shuffle a
+    ``row_number() OVER (PARTITION BY pid)`` would add. (Bound: 2^33
+    rows per partition — ~8.5e9, far above any sane partition.)"""
+    order = _cols(order)
+    tagged = (
+        df.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .withColumn("_egr_mid", F.monotonically_increasing_id())
+        .withColumn("_egr_pid", F.shiftright("_egr_mid", 33).cast("int"))
+        .withColumn("_egr_lrank", F.col("_egr_mid") % F.lit(1 << 33) + 1)
+        .drop("_egr_mid")
+    )
+    counts = tagged.groupBy("_egr_pid").agg(
+        F.count(F.lit(1)).alias("_egr_c")
+    )
+    offsets = _fold_offsets(counts, "_egr_pid", "_egr_c", "_egr_off")
+    ranked = (
+        tagged.join(F.broadcast(offsets), "_egr_pid")
+        .withColumn(
+            rank_col,
+            (F.col("_egr_lrank") + F.col("_egr_off")).cast("bigint"),
+        )
+        .drop("_egr_pid", "_egr_lrank", "_egr_off")
+    )
+    return ranked, counts
+
+
 def exact_global_rank(
     df: DataFrame,
     order: Sequence,
@@ -94,26 +135,8 @@ def exact_global_rank(
     cumulative partition-count offsets (see module docstring). Output
     ranks are identical to ``row_number() OVER (ORDER BY order)``;
     the rank column is LONG."""
-    order = _cols(order)
-    tagged = df.repartitionByRange(*order).withColumn(
-        "_egr_pid", F.spark_partition_id()
-    )
-    local = tagged.withColumn(
-        "_egr_lrank",
-        F.row_number().over(W.partitionBy("_egr_pid").orderBy(*order)),
-    )
-    counts = tagged.groupBy("_egr_pid").agg(
-        F.count(F.lit(1)).alias("_egr_c")
-    )
-    offsets = _fold_offsets(counts, "_egr_pid", "_egr_c", "_egr_off")
-    return (
-        local.join(F.broadcast(offsets), "_egr_pid")
-        .withColumn(
-            rank_col,
-            (F.col("_egr_lrank") + F.col("_egr_off")).cast("bigint"),
-        )
-        .drop("_egr_pid", "_egr_lrank", "_egr_off")
-    )
+    ranked, _ = _ranked_and_counts(df, order, rank_col)
+    return ranked
 
 
 def global_topk(
@@ -142,8 +165,12 @@ def exact_global_ntile(
     ntile formula: with N rows, the first ``N mod n`` buckets hold
     ``ceil(N/n)`` rows, the rest ``floor(N/n)``. All integer ``div``
     arithmetic — bit-identical to any engine's NTILE."""
-    ranked = exact_global_rank(df, order, rank_col="_egn_r")
-    total = df.agg(F.count(F.lit(1)).alias("_egn_n"))
+    ranked, counts = _ranked_and_counts(df, order, rank_col="_egn_r")
+    # N from the bounded per-partition counts (shares the rank branch's
+    # range exchange) — never a second full aggregation of the input
+    total = counts.agg(
+        F.coalesce(F.sum("_egr_c"), F.lit(0)).alias("_egn_n")
+    )
     t = (
         ranked.crossJoin(F.broadcast(total))
         .withColumn("_egn_q", F.expr(f"_egn_n div {n_buckets}"))

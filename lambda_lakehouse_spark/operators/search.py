@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from lambda_lakehouse_spark.operators.ranking import global_topk
 from lambda_lakehouse_spark.registry import register
 from lambda_lakehouse_spark.sources.readers import read_table
 
@@ -85,9 +86,10 @@ def bm25_topk(
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dft = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     if query_terms is None:
-        rkq = F.row_number().over(W.orderBy(F.col("df").desc(), F.col("word")))
+        # df ranks via distributed top-QRANK_HI (TakeOrderedAndProject —
+        # operators/ranking.py), never a vocab-wide unpartitioned rank
         query_terms = (
-            dft.select("word", rkq.alias("rk"))
+            global_topk(dft, [F.col("df").desc(), "word"], QRANK_HI, "rk")
             .where(F.col("rk").between(QRANK_LO, QRANK_HI))
             .select(
                 ((F.col("rk") - QRANK_LO) % N_QUERIES).cast("int").alias(
@@ -148,9 +150,8 @@ def corpus_query_terms(docs: DataFrame) -> DataFrame:
         words.groupBy("doc_id", "word").agg(F.lit(1).alias("_one"))
         .groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     )
-    rk = F.row_number().over(W.orderBy(F.col("df").desc(), F.col("word")))
     return (
-        dft.select("word", rk.alias("rk"))
+        global_topk(dft, [F.col("df").desc(), "word"], QRANK_HI, "rk")
         .where(F.col("rk").between(QRANK_LO, QRANK_HI))
         .select(
             ((F.col("rk") - QRANK_LO) % N_QUERIES).cast("int").alias("query_id"),

@@ -615,7 +615,6 @@ WHERE a.mad > 0 AND d.dev > CAST({_MAD_FACTOR} AS DOUBLE) * a.mad
     "(no approx sketch, no interpolation) — two sort-window passes on "
     "the same group partitioning, flagged set hash-certifies",
     tags=("events", "anomaly", "robust", "window"),
-    staged=True,
 )
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select(
@@ -696,20 +695,20 @@ FROM ranked
     "keeps the join output one row per (user, signup), never a "
     "per-pair explosion",
     tags=("events", "funnel", "percentile", "window"),
-    staged=True,
 )
 def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts"
     )
+    from lambda_lakehouse_spark.operators.ranking import exact_global_rank
+
     d = time_to_convert(ev)
-    ranked = d.select(
-        "delay_us",
-        F.row_number()
-        .over(W.orderBy(F.col("delay_us"), F.col("user_id")))
-        .alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("cnt"),
-    )
+    # exact global rank via the two-pass range-partitioned decomposition
+    # (operators/ranking.py) — no single-partition sort of the converted-
+    # user relation; the total count rides in as a 1-row broadcast
+    ranked = exact_global_rank(
+        d, ["delay_us", "user_id"], rank_col="rn"
+    ).crossJoin(F.broadcast(d.agg(F.count(F.lit(1)).alias("cnt"))))
     return ranked.agg(
         F.max("cnt").cast("bigint").alias("n_converted"),
         F.max(
@@ -775,7 +774,6 @@ GROUP BY day
     "day — the same one-shuffle sessionize plan feeding a second "
     "map-side-combined rollup",
     tags=("window", "sessionize", "agg", "events"),
-    staged=True,
 )
 def sessionize_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
@@ -807,7 +805,20 @@ def cusum_changepoints(events: DataFrame) -> DataFrame:
     decimal-quantized before the running sum, so the order-sensitive
     prefix reduction is exact and the argmax position
     hash-certifies. One shuffle on the group key; the running sum and
-    both ranking windows share its sort."""
+    both ranking windows share its sort.
+
+    Skew bound: the partition key is ``event_type`` — LOW cardinality
+    by design (the statistic is one prefix scan per type), so each
+    type's full history lands in one task: per-task work is
+    O(|largest type|), and total parallelism is |types|. That is the
+    intrinsic cost of an order-sensitive per-type prefix reduction —
+    acceptable when |rows per type| fits a task (here: events/|types|)
+    — NOT an accidental global sort. At 100 TB, bound the input first
+    (e.g. pre-aggregate to per-(type, hour) means and CUSUM the
+    hour series — |days|·24 rows per type), or apply the two-pass
+    range-partitioned prefix decomposition of operators/ranking.py
+    within each type; both change the statistic's granularity, so the
+    certified query keeps the exact per-event form."""
     from lambda_lakehouse_spark.functions.scalar import dsum
 
     base = events.select(
@@ -886,7 +897,6 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
     "position as the level-shift estimate — one group-key shuffle "
     "shared by the prefix sum and both ranking windows",
     tags=("events", "changepoint", "window", "stats"),
-    staged=True,
 )
 def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select(

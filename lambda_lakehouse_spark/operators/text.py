@@ -514,21 +514,17 @@ VOCAB_K = 100
 def vocab_coverage(docs: DataFrame, k: int = VOCAB_K) -> DataFrame:
     """doc_id, n_tokens, in_vocab_tokens, vocab_coverage against the
     corpus top-``k`` word vocabulary."""
-    from pyspark.sql import Window as W
+    from lambda_lakehouse_spark.operators.ranking import global_topk
 
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
-    # single-partition window over the DISTINCT-WORD counts only (vocab
-    # candidates, not corpus tokens) — bounded input, and only rank <= k
-    # survives
-    rk = F.row_number().over(W.orderBy(F.col("cnt").desc(), F.col("word")))
-    vocab = (
-        counts.select("word", rk.alias("rk"))
-        .where(F.col("rk") <= k)
-        .select("word", F.lit(1).alias("_in_vocab"))
-    )
+    # distributed top-k over the distinct-word counts (web-scale vocab
+    # is billions of rows): TakeOrderedAndProject via ranking.global_topk
+    vocab = global_topk(
+        counts, [F.col("cnt").desc(), "word"], k, "rk"
+    ).select("word", F.lit(1).alias("_in_vocab"))
     return (
         words.join(vocab, "word", "left")
         .groupBy("doc_id")
@@ -668,7 +664,6 @@ GROUP BY sh.doc_id
     "contribution scoring over the inverted-index shuffle; "
     "deterministic min() attribution",
     tags=("text", "dedup", "novelty"),
-    staged=True,
 )
 def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")

@@ -914,14 +914,13 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
     "q15_top_supplier",
     _Q15_ORACLE,
     doc="TPC-H Q15 shape: supplier(s) with the quarter's maximum revenue "
-    "— the scalar-subquery-equals-MAX pattern, decorrelated to a global "
-    "window max over the (|suppliers|-row) aggregate so the fact table "
-    "is scanned once",
+    "— the scalar-subquery-equals-MAX pattern, decorrelated to a 1-row "
+    "broadcast MAX aggregate joined back over the per-supplier revenue "
+    "relation so the fact table is scanned once and nothing is "
+    "single-partition sorted",
     tags=("agg", "subquery", "window", "join"),
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     li = read_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
@@ -932,9 +931,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue"
         )
     )
-    top = rev.withColumn(
-        "_max", F.max("total_revenue").over(W.partitionBy())
-    ).where(F.col("total_revenue") == F.col("_max"))
+    # the scalar MAX as a 1-row broadcast aggregate (supplier relation is
+    # sf-proportional — an unpartitioned window max would single-task it)
+    mx = rev.agg(F.max("total_revenue").alias("_max"))
+    top = rev.crossJoin(F.broadcast(mx)).where(
+        F.col("total_revenue") == F.col("_max")
+    )
     return (
         supp.join(F.broadcast(top), F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")

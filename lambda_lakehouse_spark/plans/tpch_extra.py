@@ -28,6 +28,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lambda_lakehouse_spark.functions.scalar import davg, dsum
+from lambda_lakehouse_spark.operators.ranking import (
+    exact_global_ntile,
+    exact_global_rank,
+    global_topk,
+    prefix_max_exclusive,
+)
 from lambda_lakehouse_spark.registry import register
 from lambda_lakehouse_spark.sources.readers import read_table
 
@@ -849,10 +855,11 @@ def q20_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 # max and equals their own level's max. No self-join anywhere.
 #
 # Scale: the level table is |distinct prices| — usually orders smaller
-# than the fact. The prefix-max window is an ordered scan over it; if
-# the level domain itself is huge, range-partition the levels, compute
-# per-range prefix maxima, and merge the per-range boundary maxima in
-# a second tiny pass (the distributed-prefix-sum pattern).
+# than the fact, but still data-sized, so the prefix max runs as the
+# distributed prefix-scan decomposition (operators/ranking.py
+# prefix_max_exclusive): range-partitioned local prefix maxima merged
+# with broadcast per-partition boundary maxima — no single-partition
+# ordered scan anywhere.
 
 _SKYLINE_ORACLE = """
 SELECT p.p_partkey, p.p_retailprice, p.p_size
@@ -875,14 +882,13 @@ WHERE NOT EXISTS (
     tags=("skyline", "window", "dominance"),
 )
 def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     parts = read_table(spark, sf_dir, "part").select(
         "p_partkey", "p_retailprice", "p_size"
     )
     levels = parts.groupBy("p_retailprice").agg(F.max("p_size").alias("_mx"))
-    w = W.orderBy("p_retailprice").rowsBetween(W.unboundedPreceding, -1)
-    levels = levels.withColumn("_prev_mx", F.max("_mx").over(w))
+    # distributed prefix max over the price levels (range-partitioned,
+    # never a single-partition sort — see operators/ranking.py)
+    levels = prefix_max_exclusive(levels, ["p_retailprice"], "_mx", "_prev_mx")
     return (
         parts.join(levels, "p_retailprice")
         .where(
@@ -948,11 +954,9 @@ WHERE rank <= {_BASKET_TOP_K}
     "lift/confidence (no log), top-k by lift. The a-priori candidate "
     "step of association-rule mining as one declarative plan.",
     tags=("basket", "association", "join", "topk"),
-    staged=True,
+    bench=True,
 )
 def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     b = (
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -995,14 +999,13 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c_xy").cast("double") / F.col("c2")).alias("conf_2_to_1"),
         )
     )
-    rk = F.row_number().over(W.orderBy(F.col("lift").desc(), "p1", "p2"))
-    return (
-        scored.select(rk.alias("rank"), "p1", "p2", "c_xy", "lift",
-                      "conf_1_to_2", "conf_2_to_1")
-        .where(F.col("rank") <= _BASKET_TOP_K)
-        .select(F.col("rank").cast("int").alias("rank"), "p1", "p2", "c_xy",
-                "lift", "conf_1_to_2", "conf_2_to_1")
+    # distributed top-k (TakeOrderedAndProject), never a global sort of
+    # the full pair relation — see operators/ranking.py
+    top = global_topk(
+        scored, [F.col("lift").desc(), "p1", "p2"], _BASKET_TOP_K, "rank"
     )
+    return top.select(F.col("rank").cast("int").alias("rank"), "p1", "p2",
+                      "c_xy", "lift", "conf_1_to_2", "conf_2_to_1")
 
 
 # ---------------------------------------------------------------------------
@@ -1046,7 +1049,6 @@ JOIN part b
     "spatial-join shape that replaces a quadratic nested loop with "
     "per-cell-density-bounded candidates (oracle is the brute force)",
     tags=("join", "grid", "band", "spatial"),
-    staged=True,
 )
 def grid_join_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = read_table(spark, sf_dir, "part").select(
@@ -1128,19 +1130,17 @@ FROM scored
     "rfm_customer_segments",
     _RFM_ORACLE,
     doc="RFM segmentation: one aggregate over orders (decimal-routed "
-    "monetary sum), three NTILE(5) quintile windows with explicit "
+    "monetary sum), three exact NTILE(5) quintiles with explicit "
     "(metric DESC, key) total orders so bucket boundaries are "
     "deterministic on any engine, and a rule-based segment label. "
-    "The quintile windows are global single-partition sorts over the "
-    "per-customer aggregate (already reduced N:1 from the fact); for "
-    "few-huge-group shapes the two-phase histogram refinement in "
-    "agg_exact_percentiles applies.",
+    "Quintiles use the two-pass range-partitioned exact rank "
+    "(operators/ranking.py) + the integer ntile formula — identical "
+    "buckets to a global-sort NTILE with no single-partition sort of "
+    "the customer-sized aggregate.",
     tags=("agg", "window", "ntile", "segmentation"),
-    staged=True,
+    bench=True,
 )
 def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     orders = read_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
     )
@@ -1149,14 +1149,21 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         dsum("o_totalprice").alias("monetary"),
     )
-    r = F.ntile(5).over(W.orderBy(F.col("last_order").desc(), "c_custkey"))
-    f = F.ntile(5).over(W.orderBy(F.col("frequency").desc(), "c_custkey"))
-    m = F.ntile(5).over(W.orderBy(F.col("monetary").desc(), "c_custkey"))
-    scored = rfm.select(
+    # exact NTILE(5) per metric via the two-pass range-partitioned rank
+    # (operators/ranking.py) — identical buckets to a global-sort
+    # NTILE, but the customer-sized relation is never single-sorted
+    scored = exact_global_ntile(
+        rfm, [F.col("last_order").desc(), "c_custkey"], 5, "r_score"
+    )
+    scored = exact_global_ntile(
+        scored, [F.col("frequency").desc(), "c_custkey"], 5, "f_score"
+    )
+    scored = exact_global_ntile(
+        scored, [F.col("monetary").desc(), "c_custkey"], 5, "m_score"
+    )
+    scored = scored.select(
         "c_custkey", "last_order", "frequency", "monetary",
-        r.cast("int").alias("r_score"),
-        f.cast("int").alias("f_score"),
-        m.cast("int").alias("m_score"),
+        "r_score", "f_score", "m_score",
     )
     segment = (
         F.when(
@@ -1220,7 +1227,6 @@ FROM per_day
     "relation — O(intervals) with no date-spine×interval join; the "
     "global window sorts spine-sized input only",
     tags=("interval", "sweep", "window", "agg"),
-    staged=True,
 )
 def interval_open_orders_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -1282,7 +1288,6 @@ FROM monthly m CROSS JOIN base b
     "division, 12 output rows at any scale; the 1-row base aggregate "
     "broadcasts",
     tags=("agg", "timeseries", "seasonal"),
-    staged=True,
 )
 def seasonal_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
@@ -1347,7 +1352,6 @@ GROUP BY r.nationkey, t.n_suppliers, t.nation_rev
     "markets score 1.0; the antitrust-grade concentration metric as "
     "a certified plan",
     tags=("agg", "economics", "share"),
-    staged=True,
 )
 def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select(
@@ -1385,31 +1389,35 @@ def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Inequality of customer spend via the rank formula
 #   G = 2 * Σ(i * y_i) / (n * Σ y_i) - (n + 1) / n
 # over ascending-sorted per-customer totals — entirely rational
-# arithmetic: ranks are integers, spend totals are decimal-routed,
-# and the one order-sensitive reduction (Σ i*y_i) quantizes each
-# product to decimal(28,6) before an exact sum. Companion to the HHI
-# query (concentration measures the top; Gini the whole curve).
+# arithmetic: ranks are integers, spend totals stay DECIMAL end to
+# end, and the one order-sensitive reduction (Σ i*y_i) is an exact
+# integer-scaled decimal product-sum (never a double->decimal cast,
+# whose rounding is engine-specific). Companion to the HHI query
+# (concentration measures the top; Gini the whole curve).
 #
-# Scale: per-customer totals reduce the fact N:1 first; the rank
-# window sorts the customer-sized relation once (the
-# agg_exact_percentiles single-sort caveat applies).
+# Scale: per-customer totals reduce the fact N:1 first; the exact
+# rank comes from the two-pass range-partitioned decomposition in
+# operators/ranking.py, so the customer-sized relation is range-
+# sharded and locally ranked — never moved to one partition.
 
 _GINI_ORACLE = """
 WITH y AS (
   SELECT o_custkey,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS spend
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DECIMAL(20,6))
+           AS spend_dec
   FROM orders GROUP BY 1
 ),
 ranked AS (
-  SELECT spend,
-         ROW_NUMBER() OVER (ORDER BY spend, o_custkey) AS i,
+  SELECT spend_dec,
+         ROW_NUMBER() OVER (ORDER BY spend_dec, o_custkey) AS i,
          COUNT(*) OVER () AS n
   FROM y
 )
 SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
-       CAST(SUM(CAST(spend AS DECIMAL(28,6))) AS DOUBLE) AS total_spend,
-       2.0 * CAST(SUM(CAST(i * spend AS DECIMAL(28,6))) AS DOUBLE)
-         / (MAX(n) * CAST(SUM(CAST(spend AS DECIMAL(28,6))) AS DOUBLE))
+       CAST(CAST(SUM(spend_dec) AS VARCHAR) AS DOUBLE) AS total_spend,
+       2.0 * CAST(CAST(SUM(CAST(i AS DECIMAL(18,0)) * spend_dec)
+                       AS VARCHAR) AS DOUBLE)
+         / (MAX(n) * CAST(CAST(SUM(spend_dec) AS VARCHAR) AS DOUBLE))
          - (CAST(MAX(n) AS DOUBLE) + 1.0) / MAX(n) AS gini
 FROM ranked
 """
@@ -1419,31 +1427,47 @@ FROM ranked
     "customer_spend_gini",
     _GINI_ORACLE,
     doc="Gini coefficient of per-customer spend by the rank formula — "
-    "integer ranks, decimal-routed sums, per-term decimal quantization "
-    "of the rank-weighted sum: fully rational, hash-certifiable "
-    "inequality measurement; fact reduces N:1 before the single "
-    "customer-sized sort",
+    "integer ranks, decimal-routed sums, exact decimal rank-weighted "
+    "product-sum: fully rational, hash-certifiable "
+    "inequality measurement; fact reduces N:1, then ranks come from "
+    "the two-pass range-partitioned exact rank (no global sort)",
     tags=("agg", "window", "economics", "gini"),
-    staged=True,
 )
 def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
+    # spend stays DECIMAL end-to-end: a double spend would force a
+    # double->decimal cast of the i*spend product, and Spark rounds
+    # that cast via the double's shortest decimal repr while DuckDB
+    # rounds the exact binary value — they disagree in the 6th decimal
+    # on some rows (caught by the sf0.01 driver simulation). With
+    # i:DECIMAL(18,0) * spend:DECIMAL(20,6) the product is exact
+    # DECIMAL(38,6) on both engines and the sums match bit-for-bit.
     y = (
         read_table(spark, sf_dir, "orders")
         .select("o_custkey", "o_totalprice")
         .groupBy("o_custkey")
-        .agg(dsum("o_totalprice").alias("spend"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("decimal(20,6)")
+            .alias("spend_dec")
+        )
     )
-    ranked = y.select(
-        "spend",
-        F.row_number().over(W.orderBy("spend", "o_custkey")).alias("i"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    # exact global rank i via the two-pass range-partitioned rank
+    # (operators/ranking.py) — no customer-sized single-partition sort;
+    # n falls out of the final one-row aggregate as a plain count
+    ranked = exact_global_rank(y, ["spend_dec", "o_custkey"], rank_col="i")
+    # decimal -> STRING -> double: a scaled decimal whose integer form
+    # exceeds 2^53 is double-rounded by DuckDB's direct decimal->double
+    # cast (int128 -> double, then /10^scale), off the correctly-rounded
+    # value by 1 ulp; both engines parse the exact decimal STRING
+    # correctly rounded, so the string hop makes the conversion
+    # bit-identical at any magnitude.
+    s_y = F.sum(F.col("spend_dec")).cast("string").cast("double")
+    s_iy = (
+        F.sum(F.col("i").cast("decimal(18,0)") * F.col("spend_dec"))
+        .cast("string")
+        .cast("double")
     )
-    dec = "decimal(28,6)"
-    s_y = F.sum(F.col("spend").cast(dec)).cast("double")
-    s_iy = F.sum((F.col("i") * F.col("spend")).cast(dec)).cast("double")
-    n = F.max("n")
+    n = F.count(F.lit(1))
     return ranked.agg(
         n.cast("bigint").alias("n_customers"),
         s_y.alias("total_spend"),

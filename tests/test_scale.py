@@ -258,6 +258,9 @@ def test_no_pathological_join_plans(spark):
         "seasonal_index_monthly",  # 1-row mean-monthly-revenue broadcast
         "profile_histogram_equiwidth",  # 1-row min/max bounds broadcast
         "embed_pca_top_component",  # 64-row vector + 1-row norm broadcasts
+        "rfm_customer_segments",  # 1-row total-count broadcast per ntile
+        "funnel_time_to_convert",  # 1-row converted-count broadcast
+        "q15_top_supplier",  # 1-row max-revenue broadcast
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
@@ -270,6 +273,105 @@ def test_no_pathological_join_plans(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert not offenders, offenders
+
+
+def test_no_unpartitioned_window_over_unbounded_input(spark):
+    """Third plan guardrail (round-5 verdict): no registry query may
+    execute a WindowExec with an empty partition spec ("No Partition
+    Defined … moving all data to a single partition") unless its input
+    subtree is bounded — either by a limit-class operator
+    (TakeOrderedAndProject / CollectLimit / GlobalLimit) or by an
+    explicitly allowlisted aggregation whose group-key domain does not
+    grow with scale factor. This is the check that would have caught
+    the ten single-partition global-sort plans fixed this round
+    (operators/ranking.py holds the sanctioned replacements)."""
+    import re
+
+    from lambda_lakehouse_spark.registry import load_all, load_staged
+
+    # Unpartitioned windows whose input relation is bounded by an
+    # AGGREGATE on a fixed-cardinality key (a limit would be visible to
+    # the structural check below; these need human sign-off instead):
+    global_window_ok = {
+        # per-nation revenue aggregate: |nations| rows at any sf
+        "window_share_of_total": "input aggregated to one row per nation",
+        # sweep-line running sum over per-day deltas: date-spine-sized
+        # (|distinct days|), orders of magnitude below the interval fact
+        "interval_open_orders_sweep": "input aggregated to one row per day",
+    }
+    bounding = ("TakeOrderedAndProject", "CollectLimit", "GlobalLimit")
+
+    def depth(line):
+        return len(re.match(r"^([ :]*)", line).group(1))
+
+    def bracket_groups(s):
+        """Top-level [...] groups of a plan node's argument list."""
+        out, d, cur = [], 0, None
+        for ch in s:
+            if ch == "[":
+                d += 1
+                if d == 1:
+                    cur = []
+                    continue
+            elif ch == "]":
+                d -= 1
+                if d == 0:
+                    out.append("".join(cur))
+                    cur = None
+                    continue
+            if cur is not None:
+                cur.append(ch)
+        return out
+
+    def unpartitioned_global_windows(df):
+        """[(order_spec, subtree_is_bounded)] for every Window node with
+        no partition columns. In toString form a Window prints
+        ``Window [exprs], [partitionSpec], [orderSpec]`` with the
+        partition group absent when empty; order groups carry ASC/DESC
+        markers, partition groups don't."""
+        lines = df._jdf.queryExecution().executedPlan().toString().splitlines()
+        hits = []
+        for i, line in enumerate(lines):
+            m = re.match(r"^[\s:+*()\d-]*Window (\[.*)$", line)
+            if not m:
+                continue
+            groups = bracket_groups(m.group(1))
+            partition_groups = [
+                g
+                for g in groups[1:]
+                if g and not re.search(r"\b(ASC|DESC)\b", g)
+            ]
+            if partition_groups:
+                continue  # partitioned — scales out
+            d = depth(line)
+            subtree = []
+            for sub in lines[i + 1 :]:
+                if depth(sub) <= d:
+                    break
+                subtree.append(sub)
+            bounded = any(b in sub for sub in subtree for b in bounding)
+            order = groups[1] if len(groups) > 1 else "<none>"
+            hits.append((order[:80], bounded))
+        return hits
+
+    offenders, allowlist_hits = [], set()
+    for name, q in sorted({**load_all(), **load_staged()}.items()):
+        for order, bounded in unpartitioned_global_windows(
+            q.spark(spark, SF_DIR)
+        ):
+            if bounded:
+                continue
+            if name in global_window_ok:
+                allowlist_hits.add(name)
+            else:
+                offenders.append((name, order))
+    assert not offenders, (
+        "unpartitioned WindowExec over an unbounded input — use "
+        "operators/ranking.py (global_topk / exact_global_rank / "
+        "prefix_max_exclusive) instead: " + repr(offenders)
+    )
+    stale = set(global_window_ok) - allowlist_hits
+    assert not stale, f"allowlist entries no longer needed: {stale}"
 
 
 def test_no_forced_broadcast_of_sf_proportional_tables(spark):
@@ -339,6 +441,13 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
         # the dimension-sized (64-row distinct-agg) direction vector and
         # the 1-row norm aggregate
         "embed_pca_top_component": {"embeddings.parquet"},
+        # two-pass exact-rank offsets: #shuffle-partitions-row aggregates
+        # broadcast back over the range-partitioned relation
+        # (operators/ranking.py exact_global_rank / prefix_max_exclusive)
+        "rfm_customer_segments": {"orders.parquet"},
+        "customer_spend_gini": {"orders.parquet"},
+        "skyline_pareto_parts": {"part.parquet"},
+        "text_vocab_coverage": {"documents.parquet"},
     }
     bounding_ops = (
         "Filter", "HashAggregate", "SortAggregate", "ObjectHashAggregate",
