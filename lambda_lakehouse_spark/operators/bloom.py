@@ -113,7 +113,6 @@ SELECT (SELECT COUNT(*) FROM dim) AS n_dim_keys,
     "cost at any dimension size, no fact shuffle; certifies the exact "
     "candidate/match/false-positive accounting against DuckDB",
     tags=("join", "bloom", "semi", "pruning"),
-    staged=True,
 )
 def bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = (

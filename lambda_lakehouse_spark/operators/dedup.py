@@ -1125,7 +1125,6 @@ WHERE CAST(n_common AS DOUBLE) / least(sa.n, sb.n)
     "scores near zero (Broder'97 containment); same inverted-index "
     "plan and stop-shingle DF cap as dedup_ngram_jaccard_capped",
     tags=("dedup", "containment", "join", "scale"),
-    staged=True,
 )
 def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
@@ -1151,7 +1150,6 @@ FROM sizes GROUP BY 1
     "drops the wrong documents; two map-side-combined aggregates over "
     "the (doc, cluster) relation",
     tags=("dedup", "graph", "stats"),
-    staged=True,
 )
 def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1268,8 +1266,127 @@ WHERE len(list_filter(range(1, 17), p -> sig_a[p] <> sig_b[p]))
     "then exact bit-count verify; bucket-density-bounded candidates, "
     "never all-pairs",
     tags=("dedup", "hash", "join", "scale"),
-    staged=True,
 )
 def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     return simhash_hamming_pairs(docs)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact Jaccard self-join (AllPairs / PPJoin family;
+# round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# The third, strongest answer to the quadratic-self-join problem
+# (after the DF cap and MinHash-LSH): Bayardo/Ma/Srikant "Scaling Up
+# All Pairs Similarity Search" (WWW 2007) and Xiao et al. PPJoin
+# (WWW 2008). Order every document's shingles by a canonical global
+# order (ascending document frequency — rarest first — tie-broken by
+# shingle), and index only each document's PREFIX: the first
+# |x| - ceil(t*|x|) + 1 shingles. Any pair with Jaccard >= t has
+# >= ceil(t*max(|a|,|b|)) common shingles, and by pigeonhole the
+# smallest common shingle (in the canonical order) must fall inside
+# BOTH prefixes — so the prefix-only equi self-join is COMPLETE: it
+# generates every qualifying pair, unlike the DF cap (which certifies
+# only a subset) — while joining on the rarest ~(1-t) fraction of
+# each document's tokens. Candidates are then verified with the exact
+# full-set intersection, computed only per candidate pair.
+#
+# Because the filter is complete, the ORACLE is the plain brute-force
+# Jaccard SQL (_ngram_oracle()) — the driver certifies that the
+# prefix plan returns EXACTLY the full-join answer.
+
+
+def jaccard_prefix_filter_pairs(
+    docs: DataFrame, threshold: float = _JACCARD_THRESHOLD
+) -> DataFrame:
+    """Exact 3-gram Jaccard pairs within ``source`` at >= ``threshold``
+    via the AllPairs prefix filter. Output and guarantees identical to
+    :func:`ngram_jaccard_pairs` (uncapped); the join side is each
+    doc's (1-t)-fraction rarest-shingle prefix instead of its full
+    shingle set."""
+    from pyspark.sql import Window as W
+
+    sh = docs.select(
+        "doc_id", "source",
+        F.expr(
+            "array_distinct(transform(sequence(1, greatest(length(text)-2, 1)),"
+            " i -> substr(text, i, 3)))"
+        ).alias("shingles"),
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    ex = sh.select(
+        "doc_id", "source", F.size("shingles").alias("n"),
+        F.explode("shingles").alias("s"),
+    )
+    # canonical order: within-source document frequency (the join is
+    # within-source), rarest first; DF is count per (source, s) since
+    # shingles are distinct per doc
+    dfreq = ex.groupBy("source", "s").agg(F.count(F.lit(1)).alias("_df"))
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy("_df", "s")  # per-doc: scales
+    )
+    prefix = (
+        ex.join(dfreq, ["source", "s"])
+        .withColumn("_rk", rk)
+        # prefix length |x| - ceil(t|x|) + 1
+        .where(
+            F.col("_rk")
+            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        )
+        .select("doc_id", "source", "s")
+    )
+    px, py = prefix.alias("px"), prefix.alias("py")
+    cand = (
+        px.join(
+            py,
+            (F.col("px.source") == F.col("py.source"))
+            & (F.col("px.s") == F.col("py.s"))
+            & (F.col("px.doc_id") < F.col("py.doc_id")),
+        )
+        .select(
+            F.col("px.doc_id").alias("doc_a"),
+            F.col("py.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # exact verify on candidates only: count full-set common shingles
+    ea = ex.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s"))
+    eb = ex.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s"))
+    inter = (
+        cand.join(ea, "doc_a")
+        .join(eb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+@register(
+    "dedup_jaccard_prefix_filter",
+    _ngram_oracle(),
+    doc="Exact 3-gram Jaccard pairs via the AllPairs/PPJoin prefix "
+    "filter (Bayardo WWW'07): docs join only on their rarest "
+    "(1-t)-fraction shingle prefix under the global DF order — "
+    "pigeonhole-COMPLETE for jaccard >= t, so the oracle is the plain "
+    "brute-force SQL — then exact per-candidate verification. The "
+    "lossless counterpart to the DF-cap heuristic.",
+    tags=("dedup", "join", "scale", "prefix-filter"),
+    staged=True,
+)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    return jaccard_prefix_filter_pairs(docs)

@@ -213,7 +213,6 @@ FROM per p CROSS JOIN gmax g
     "globally-fresh table; one map-side-combined aggregate + 1-row "
     "global-max broadcast, integer microsecond arithmetic",
     tags=("quality", "freshness", "agg"),
-    staged=True,
 )
 def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select("event_type", "ts")

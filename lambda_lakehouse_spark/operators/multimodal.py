@@ -422,7 +422,6 @@ GROUP BY 1, 2
     "(PCM decode stubbed deterministically; integer features replayed "
     "byte-exactly by the hex-space DuckDB oracle)",
     tags=("multimodal", "audio", "pandas-udf"),
-    staged=True,
 )
 def multimodal_audio_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(

@@ -1027,7 +1027,6 @@ FROM agg
     "(order-independent, hash-certifiable) — one position-exploded "
     "map-side-combined aggregate, 64 output rows at any corpus size",
     tags=("similarity", "vector", "drift", "agg"),
-    staged=True,
 )
 def embed_drift_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -1174,7 +1173,6 @@ FROM v2
     "transcendental that hash-certifies); 64-row output at any corpus "
     "size",
     tags=("similarity", "vector", "pca", "iterative"),
-    staged=True,
 )
 def embed_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")

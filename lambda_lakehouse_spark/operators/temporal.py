@@ -323,7 +323,6 @@ def _register_nearest() -> None:
         "single shuffle, equidistant ties resolve backward, 6h "
         "tolerance; oracle is the brute-force per-key QUALIFY argmin",
         tags=("join", "asof", "nearest", "events"),
-        staged=True,
     )
     def asof_join_nearest(spark, sf_dir: str) -> DataFrame:
         ev = read_table(spark, sf_dir, "events").select(

@@ -1725,7 +1725,6 @@ GROUP BY bucket
     "distribution profile a data catalog renders, bounded output at "
     "any scale",
     tags=("profile", "histogram", "agg"),
-    staged=True,
 )
 def profile_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select("o_totalprice")
@@ -1749,6 +1748,66 @@ def profile_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_totalprice").alias("bucket_min"),
             F.max("o_totalprice").alias("bucket_max"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-DEPTH histogram profiling (round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# The quantile companion to the equi-width profile above: buckets hold
+# (near-)equal ROW COUNTS instead of equal value ranges, i.e. the
+# bucket edges ARE the exact 5%-quantiles — what an optimizer's
+# histogram statistics or a data catalog's distribution sketch wants
+# for skewed columns, where equi-width piles everything into two bars.
+# Bucketing is exact NTILE semantics computed by the two-pass
+# range-partitioned rank in operators/ranking.py (no single-partition
+# sort of the fact), with the (value, key) total order making bucket
+# boundaries deterministic on any engine.
+
+_HIST_EQ_DEPTH_BUCKETS = 20
+
+_HIST_DEPTH_ORACLE = f"""
+WITH t AS (
+  SELECT o_totalprice,
+         CAST(NTILE({_HIST_EQ_DEPTH_BUCKETS})
+              OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS bucket
+  FROM orders
+)
+SELECT bucket,
+       COUNT(*) AS n_rows,
+       MIN(o_totalprice) AS bucket_min,
+       MAX(o_totalprice) AS bucket_max
+FROM t
+GROUP BY bucket
+"""
+
+
+@register(
+    "profile_histogram_equidepth",
+    _HIST_DEPTH_ORACLE,
+    doc=f"Equi-depth histogram ({_HIST_EQ_DEPTH_BUCKETS} buckets) of "
+    "order totals: exact NTILE bucketing via the two-pass "
+    "range-partitioned rank (operators/ranking.py — no global sort), "
+    "per-bucket count/min/max; the bucket edges are exact quantiles, "
+    "the skew-robust profile equi-width can't give",
+    tags=("profile", "histogram", "ntile", "agg"),
+    staged=True,
+)
+def profile_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lambda_lakehouse_spark.operators.ranking import exact_global_ntile
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    bucketed = exact_global_ntile(
+        orders, ["o_totalprice", "o_orderkey"], _HIST_EQ_DEPTH_BUCKETS,
+        "bucket",
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_totalprice").alias("bucket_min"),
+        F.max("o_totalprice").alias("bucket_max"),
     )
 
 
@@ -1795,7 +1854,6 @@ GROUP BY arm
     "sufficient statistics for any t-test, computed bit-identically "
     "on any engine; sqrt/t-stat left to the client (bit-fragile)",
     tags=("agg", "stats", "experiment"),
-    staged=True,
 )
 def ab_arm_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select("l_discount", "l_quantity")

@@ -411,7 +411,6 @@ JOIN scd2_dim cur ON cur.user_id = d.user_id AND cur.is_current
     "dim against its is_current slice — keyed on the entity, version "
     "fan-out only (bounded per entity), AQE-skew-safe.",
     tags=("scd2", "type6", "join"),
-    staged=True,
 )
 def scd2_type6_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = _user_dim(spark, sf_dir)

@@ -48,13 +48,16 @@ REGISTRY: dict[str, Query] = {}
 # the next round boundary. Staging is a scheduling state, not a quality
 # tier — the pytest gate is identical.
 #
-# ROUND-6 GRADUATION PROCEDURE (first session of the next round):
+# GRADUATION PROCEDURE (first session of the following round):
 #   1. flip each query's ``staged=True`` to default (remove the kwarg);
 #   2. prepend its name to DRIVER_PRIORITY (staged queries have no green
 #      driver row yet, so they must sit inside the 50-slot window);
 #   3. re-run: python tools/gen_coverage_appendix.py && pytest
 #      tests/test_registry_contract.py — the window-fit invariant will
 #      fail loudly if too many uncertified queries would queue at once.
+# The round-5 cohort of 33 staged queries graduated at the round-6
+# boundary following exactly this procedure (currently STAGED is empty;
+# new over-window work stages here again).
 STAGED: dict[str, Query] = {}
 
 
@@ -87,65 +90,54 @@ def register(
 # (every query beyond slot 50 holds a prior green row) is pinned by
 # tests/test_registry_contract.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # — round-5 additions / changed queries (no green row yet) —
-    "search_bm25_topk",
-    "snapshot_time_travel",
-    "snapshot_merge_changelog",
-    "corpus_top_ngrams",
-    "sample_cap_per_source",
-    "text_chunk_stride",
-    "event_transition_matrix",
-    "skyline_pareto_parts",
-    "fuzzy_pairs_edit1",
-    "rollup_incremental_merge",
-    "hierarchy_flatten_iterative",
-    "multimodal_patch_grid",
-    "source_json_roundtrip",
-    "stats_group_regression",
-    "snapshot_incremental_read",
-    "sessionize_paths",
-    "ts_similarity_topk",
-    "dedup_ngram_jaccard_capped",
-    # restructured in round 5: now emits exact aggregates + sketch-
-    # contract booleans, so it finally carries a real DuckDB oracle
-    # after four rounds of err:no_oracle rows
-    "agg_approx_sketches",
-    "ann_cosine_topk_ivf_pretrained",
-    "ann_cosine_topk_hyperlsh",
-    "text_pii_redact",
-    "sample_stratified_exact",
-    "dedup_materialize_corpus_best",
-    "profile_column_stats",
-    "dedup_lsh_eval",
-    "dedup_minhash_lsh_verified",
-    "embed_quantize_int8",
-    # round-5 session-2 additions: the four partsupp-dependent TPC-H
-    # shapes (adapted supply relation) completing the 22-query suite,
-    # plus Gopher-style repetition scoring
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q16_parts_supplier_count",
-    "q20_excess_inventory",
-    "text_repetition_score",
-    "agg_exact_percentiles",
-    "pack_sequences_nextfit",
-    "timeseries_gap_fill",
-    "retention_cohorts",
-    "zorder_layout_keys",
-    "dq_expectation_metrics",
-    "scd2_incremental_fold",
-    "interval_join_events",
+    # — round-6 graduation: the 33 formerly-STAGED queries (pytest
+    # oracle-green since round 5, no driver row yet — all must sit
+    # inside the 50-slot window). Seven of them had their global-window
+    # plans replaced with the distributed formulations in
+    # operators/ranking.py BEFORE this certification (round-5 verdict
+    # items 1–2), so the rows below certify the scale-shaped plans. —
+    "asof_join_nearest",
+    "scd2_type6_dim",
+    "profile_histogram_equiwidth",
+    "ab_arm_statistics",
+    "basket_association_rules",
+    "grid_join_similar_parts",
+    "rfm_customer_segments",
+    "interval_open_orders_sweep",
+    "seasonal_index_monthly",
+    "market_concentration_hhi",
+    "customer_spend_gini",
+    "text_novelty_score",
+    "dedup_ngram_containment",
+    "dedup_cluster_size_histogram",
+    "dedup_simhash_hamming_pairs",
+    "multimodal_audio_envelope",
+    "embed_drift_by_dim",
+    "embed_pca_top_component",
+    "events_anomaly_mad",
+    "funnel_time_to_convert",
+    "sessionize_bounce_rate",
+    "events_cusum_changepoint",
+    "corpus_collocations_lift",
+    "sample_priority_weighted",
+    "dedup_paragraph_fraction",
+    "dq_freshness_lag",
+    "snapshot_delete_rollback",
+    "snapshot_schema_evolution",
+    "snapshot_branch_merge",
+    "snapshot_wap_publish",
+    "snapshot_partition_evolution",
+    "graph_pagerank_supply",
+    "bloom_semijoin_prune",
+    # — certified queries whose plans changed this round (round-5
+    # verdict item 3: global-window → ranking.py rewrites; q15's
+    # window max → broadcast max): fresh rows certify the new plans —
+    "q15_top_supplier",
     "text_vocab_coverage",
-    "join_salted_hot_key",
-    "window_gap_islands",
-    "agg_weighted_stats",
-    # — stale rows: last green r2/r3; code unchanged, but fresh rows
-    # guard against environment drift (e.g. the Spark-4 NTZ bump) —
-    "fact_assembly_star",
-    "pit_join_fact_dim",
-    "scd2_user_dim",
-    "asof_join_daily_score",
-    "cdc_table_diff",
+    "search_bm25_topk",
+    "skyline_pareto_parts",
+    # — stale-row rotation (verdict item 8): the r2 cohort is now the
+    # oldest; 13 of them fill the remaining window slots this round —
     "agg_count_distinct",
     "agg_cube",
     "agg_grouping_sets",
@@ -159,8 +151,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_semi_anti",
     "lambda_serving_merge",
     "pivot_status_by_segment",
+    # — beyond slot 50: every query below holds a prior green row
+    # (pinned by tests/test_registry_contract.py); kept in staleness
+    # order so future rotations just reshuffle this tail —
     "q14_promo_revenue",
-    "q15_top_supplier",
     "q18_large_volume",
     "q19_disjunctive_join",
     "q4_late_orders",
@@ -180,6 +174,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "window_rolling_range",
     "window_topk_per_group",
     "window_lag_lead_running",
+    "fact_assembly_star",
+    "pit_join_fact_dim",
+    "scd2_user_dim",
+    "asof_join_daily_score",
+    "cdc_table_diff",
 )
 
 

@@ -1034,7 +1034,6 @@ def snapshot_merge_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "states, each derivable from the input in pure SQL."
     ),
     tags=("table_format", "delete", "rollback"),
-    staged=True,
 )
 def snapshot_delete_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -1089,7 +1088,6 @@ def snapshot_delete_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows carry real values. Output derivable in pure SQL."
     ),
     tags=("table_format", "schema_evolution"),
-    staged=True,
 )
 def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -1132,7 +1130,6 @@ def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "derivable in pure SQL."
     ),
     tags=("table_format", "branch", "merge"),
-    staged=True,
 )
 def snapshot_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -1211,7 +1208,7 @@ def write_audit_publish(
         "Final main state derivable in pure SQL."
     ),
     tags=("table_format", "branch", "quality", "wap"),
-    staged=True,
+    bench=True,
 )
 def snapshot_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -1257,7 +1254,6 @@ def snapshot_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         "case naive pruning silently loses."
     ),
     tags=("table_format", "partition_evolution"),
-    staged=True,
 )
 def snapshot_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os

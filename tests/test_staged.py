@@ -132,7 +132,7 @@ def test_basket_rules_crafted(spark, tmp_path):
     confidence 1.0 in both directions."""
     import os
 
-    from lambda_lakehouse_spark.registry import load_staged
+    from lambda_lakehouse_spark.registry import load_all
 
     # baskets: {1,2} x3, {1,2,3} x1, {4,5} x2, {6} x2  -> 8 baskets
     rows = []
@@ -146,7 +146,7 @@ def test_basket_rules_crafted(spark, tmp_path):
         rows, "l_orderkey long, l_partkey long"
     ).write.parquet(os.path.join(sf_dir, "lineitem.parquet"))
 
-    q = load_staged()["basket_association_rules"]
+    q = load_all()["basket_association_rules"]
     got = {(r.p1, r.p2): r for r in q.spark(spark, sf_dir).collect()}
     r12 = got[(1, 2)]
     # c_xy=4, c1=c2=4, n=8 -> lift = 4*8/(4*4) = 2.0, conf 1.0 each way
@@ -205,7 +205,7 @@ def test_grid_join_equals_bruteforce_crafted(spark):
     boundary deltas exactly at the tolerance."""
     import os
 
-    from lambda_lakehouse_spark.registry import load_staged
+    from lambda_lakehouse_spark.registry import load_all
 
     rows = [
         (1, 10, 100.0), (2, 11, 101.5), (3, 12, 103.5),  # chain of neighbors
@@ -218,7 +218,7 @@ def test_grid_join_equals_bruteforce_crafted(spark):
         spark.createDataFrame(
             rows, "p_partkey long, p_size int, p_retailprice double"
         ).write.parquet(os.path.join(sf_dir, "part.parquet"))
-        q = load_staged()["grid_join_similar_parts"]
+        q = load_all()["grid_join_similar_parts"]
         got = sorted((r.p1, r.p2) for r in q.spark(spark, sf_dir).collect())
     want = sorted(
         (a, b)
@@ -426,3 +426,61 @@ def test_pca_power_iteration_equals_quantized_model(spark):
         assert math.isclose(got[p + 1][1], norm, abs_tol=1e-3)
     # unit vector up to quantization
     assert math.isclose(sum(x * x for x, _ in got.values()), 1.0, abs_tol=1e-4)
+
+
+def test_prefix_filter_equals_bruteforce_and_prunes(spark):
+    """AllPairs prefix filter: (a) the pair set EQUALS the uncapped
+    inverted-index join's (completeness — unlike the DF cap, which
+    certifies a subset); (b) the indexed prefix relation is a strict
+    subset of the full exploded index (the pruning that bounds the
+    self-join)."""
+    from pyspark.sql import functions as F
+
+    from lambda_lakehouse_spark.operators.dedup import (
+        jaccard_prefix_filter_pairs,
+        ngram_jaccard_pairs,
+    )
+    from lambda_lakehouse_spark.sources.readers import read_table
+    from tests.conftest import SF_DIR
+
+    docs = read_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "text"
+    )
+    full = {
+        (r.doc_a, r.doc_b, r.n_common, round(r.jaccard, 12))
+        for r in ngram_jaccard_pairs(docs).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b, r.n_common, round(r.jaccard, 12))
+        for r in jaccard_prefix_filter_pairs(docs).collect()
+    }
+    assert pref == full and full  # identical, and non-trivially so
+
+    # prefix index strictly smaller than the full index
+    ex_n = docs.select(
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, greatest(length(text)-2, 1)),"
+                " i -> substr(text, i, 3)))"
+            )
+        )
+    ).count()
+    # re-derive the prefix relation size via the operator's internals:
+    # threshold 0.35 keeps ~65% of each doc's shingles
+    from lambda_lakehouse_spark.operators.dedup import _JACCARD_THRESHOLD
+
+    sh = docs.select(
+        "doc_id",
+        F.size(
+            F.expr(
+                "array_distinct(transform(sequence(1, greatest(length(text)-2, 1)),"
+                " i -> substr(text, i, 3)))"
+            )
+        ).alias("n"),
+    )
+    prefix_n = sh.select(
+        F.sum(
+            F.col("n") - F.ceil(F.lit(_JACCARD_THRESHOLD) * F.col("n")) + 1
+        )
+    ).collect()[0][0]
+    assert prefix_n < ex_n * 0.75  # at least ~threshold-fraction pruned
