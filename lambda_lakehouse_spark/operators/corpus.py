@@ -985,3 +985,321 @@ GROUP BY p.doc_id
 def dedup_paragraph_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     return paragraph_dup_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (highest-random-weight) shard routing (round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# Thaler & Ravishankar, "Using name-based mappings to increase hit
+# rates" (ToN 1998): route each key to argmax over shards of
+# h(shard, key). Unlike mod-N hashing, adding/removing a shard remaps
+# ONLY the keys whose winning shard changed (~1/N of them) — the
+# minimal-movement property consistent-hashing rings approximate,
+# with no ring state at all. This is the routing layer a sharded
+# ingest/serving tier puts in front of the corpus (which writer owns
+# a doc, which cache serves it), kept engine-portable by md5-derived
+# 60-bit scores so the full assignment hash-certifies.
+#
+# Scale: |keys| x N_SHARDS candidate rows from a projection-explode
+# (no shuffle), one map-side-combined argmax aggregate on doc_id —
+# the winner is a lexicographic struct max, so partial aggregation
+# does the heavy lifting; nothing is ever sorted globally.
+
+RENDEZVOUS_SHARDS = 16
+_RV_SEED = "rv1"
+
+
+def rendezvous_route(
+    keys: DataFrame, key_col: str, n_shards: int = RENDEZVOUS_SHARDS,
+    seed: str = _RV_SEED,
+) -> DataFrame:
+    """(key, shard, score): each key's winning shard by
+    highest-random-weight; deterministic (score DESC, shard ASC)
+    winner."""
+    shards = F.explode(
+        F.sequence(F.lit(0), F.lit(n_shards - 1))
+    ).alias("shard")
+    score = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(seed), F.col("shard").cast("string"),
+                    F.col(key_col).cast("string"),
+                )
+            ),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("bigint")
+    scored = keys.select(F.col(key_col), shards).withColumn("score", score)
+    best = scored.groupBy(key_col).agg(
+        F.max(F.struct(F.col("score"), (-F.col("shard")).alias("ns"))).alias(
+            "_b"
+        )
+    )
+    return best.select(
+        F.col(key_col),
+        (-F.col("_b.ns")).cast("int").alias("shard"),
+        F.col("_b.score").alias("score"),
+    )
+
+
+_RENDEZVOUS_ORACLE = f"""
+WITH scored AS (
+  SELECT d.doc_id, s.shard,
+         ('0x' || substr(md5('{_RV_SEED}' || ':' || s.shard || ':' || d.doc_id),
+                         1, 15))::BIGINT AS score
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range(0, {RENDEZVOUS_SHARDS})) AS shard) s
+)
+SELECT doc_id, CAST(shard AS INTEGER) AS shard, score
+FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, shard) = 1
+"""
+
+
+@register(
+    "shard_rendezvous_routing",
+    _RENDEZVOUS_ORACLE,
+    doc=f"Rendezvous (highest-random-weight) routing of every document "
+    f"to one of {RENDEZVOUS_SHARDS} shards: md5-scored argmax with "
+    "deterministic tie-break, computed as a map-side-combined struct-max "
+    "aggregate (explode + argmax, no shuffle of scored candidates, no "
+    "window) — the minimal-movement shard assignment layer",
+    tags=("sharding", "routing", "hash"),
+    staged=True,
+)
+def shard_rendezvous_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return rendezvous_route(docs, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture sampling (round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# The alpha-smoothed source mixture used for multilingual/multi-source
+# training (e.g. mBERT/XLM-R's p_s ∝ size_s^alpha with alpha ~ 0.3-0.7):
+# big sources are damped, scarce sources upweighted, here with
+# alpha = 0.5. Everything after the one IEEE sqrt (correctly rounded
+# on any engine, then scaled to integer micro-units) is EXACT integer
+# arithmetic — per-source basis-point rates fall out of one integer
+# division, so the sampled set hash-certifies bit-for-bit:
+#
+#   w_s      = floor(sqrt(size_chars_s) * 1e6)          (bigint)
+#   rate_bp  = min( (10000 * (N div 5) * w_s)
+#                     div (W * n_docs_s), 10000 )       (exact div)
+#
+# i.e. a ~20% total-document budget allocated proportionally to
+# sqrt(char mass), capped at keep-everything per source. Selection is
+# the same seeded-md5 bucket test every sampler here uses.
+#
+# Scale: one groupBy(source) aggregate, a 1-row totals broadcast, a
+# |sources|-row rate table joined back (AQE broadcasts it), and a
+# pushdown-friendly per-row filter — no shuffle of the corpus.
+
+_TEMP_SEED = "temp1"
+_TEMP_BUDGET_DENOM = 5  # target ~ N/5 docs
+
+
+def _temperature_oracle() -> str:
+    return f"""
+WITH s AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS size_chars
+  FROM documents GROUP BY 1
+),
+w AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(CAST(size_chars AS DOUBLE)) * 1000000) AS HUGEINT)
+           AS w
+  FROM s
+),
+tot AS (
+  SELECT SUM(w) AS wt, SUM(n_docs) AS n FROM w
+),
+r AS (
+  SELECT w.source, CAST(least(
+           (10000 * (t.n // {_TEMP_BUDGET_DENOM}) * w.w)
+             // (t.wt * w.n_docs),
+           10000) AS BIGINT) AS rate_bp
+  FROM w CROSS JOIN tot t
+)
+SELECT d.doc_id, d.source, r.rate_bp
+FROM documents d JOIN r USING (source)
+WHERE ('0x' || substr(md5('{_TEMP_SEED}:' || d.doc_id), 1, 7))::BIGINT
+      % 10000 < r.rate_bp
+"""
+
+
+@register(
+    "sample_temperature_mixture",
+    _temperature_oracle(),
+    doc="Temperature-scaled (alpha=0.5) source mixture sampling: "
+    "per-source rates proportional to sqrt(char mass) under a ~20% "
+    "document budget, derived with exact integer arithmetic after one "
+    "correctly-rounded sqrt — big sources damped, scarce sources "
+    "upweighted, capped at keep-all; seeded-md5 selection so the "
+    "sample is deterministic and engine-portable",
+    tags=("sampling", "corpus", "mixture", "temperature"),
+    staged=True,
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("size_chars"),
+    )
+    w = s.withColumn(
+        "w",
+        F.floor(F.sqrt(F.col("size_chars").cast("double")) * 1000000)
+        .cast("decimal(38,0)"),
+    )
+    tot = w.agg(F.sum("w").alias("wt"), F.sum("n_docs").alias("n"))
+    r = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "rate_bp",
+            F.least(
+                F.expr(
+                    f"cast((cast(10000 as decimal(38,0))"
+                    f" * cast(n div {_TEMP_BUDGET_DENOM} as decimal(38,0))"
+                    f" * w) div (wt * cast(n_docs as decimal(38,0)))"
+                    f" as bigint)"
+                ),
+                F.lit(10000).cast("bigint"),
+            ),
+        )
+        .select("source", "rate_bp")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{_TEMP_SEED}:"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1, 7,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 10000
+    )
+    return (
+        docs.join(r, "source")
+        .where(bucket < F.col("rate_bp"))
+        .select("doc_id", "source", "rate_bp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source n-gram overlap matrix (round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# Leakage observability: how much 5-gram phrase vocabulary each pair
+# of sources shares — the source-level companion to per-doc
+# decontamination (is src7 a scrape of src3? did the eval split leak
+# into a training source?). Computed on DISTINCT (source, 5-gram)
+# pairs, so a shingle repeated within one source counts once, and the
+# shingle self-join fans out at most |sources| rows per key — the
+# candidate count is bounded by K^2 per shingle regardless of corpus
+# size. Output: per source pair, shared-shingle count and the
+# Jaccard-normalized overlap (exact integer counts, one double ratio).
+
+_XSRC_NGRAM = 5
+
+
+def _cross_source_oracle() -> str:
+    n = _XSRC_NGRAM
+    return f"""
+WITH ws AS (
+  SELECT source, string_split(text, ' ') AS ws FROM documents
+),
+ex AS (
+  SELECT DISTINCT source, g
+  FROM (
+    SELECT source,
+           unnest([array_to_string(ws[i:i+{n - 1}], ' ')
+                   FOR i IN range(1, len(ws) - {n - 1} + 1)]) AS g
+    FROM ws WHERE len(ws) >= {n}
+  )
+),
+sz AS (
+  SELECT source, COUNT(*) AS n_grams FROM ex GROUP BY 1
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+  FROM ex a
+  JOIN ex b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b, p.n_shared,
+       CAST(p.n_shared AS DOUBLE)
+         / (sa.n_grams + sb.n_grams - p.n_shared) AS overlap
+FROM pairs p
+JOIN sz sa ON sa.source = p.source_a
+JOIN sz sb ON sb.source = p.source_b
+"""
+
+
+@register(
+    "corpus_cross_source_overlap",
+    _cross_source_oracle(),
+    doc=f"Cross-source {_XSRC_NGRAM}-gram overlap matrix: distinct "
+    "(source, shingle) inverted index self-joined on the shingle "
+    "(fan-out <= |sources| per key at any corpus size), exact shared "
+    "counts + Jaccard-normalized overlap per source pair — the "
+    "source-level leakage/contamination observability report",
+    tags=("corpus", "dedup", "contamination", "join"),
+    staged=True,
+)
+def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _XSRC_NGRAM
+    docs = read_table(spark, sf_dir, "documents").select("source", "text")
+    ws = docs.select("source", F.split("text", " ").alias("ws"))
+    ex = (
+        ws.where(F.size("ws") >= n)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ws) - {n - 1}),"
+                    f" i -> concat_ws(' ', slice(ws, i, {n})))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    sz = ex.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sz.select(F.col("source").alias("source_a"), F.col("n_grams").alias("na"))
+    sb = sz.select(F.col("source").alias("source_b"), F.col("n_grams").alias("nb"))
+    return (
+        pairs.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared"))
+            ).alias("overlap"),
+        )
+    )

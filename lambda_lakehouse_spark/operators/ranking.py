@@ -192,6 +192,69 @@ def exact_global_ntile(
     )
 
 
+def grouped_prefix_sum_rank(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence,
+    value,
+    sum_col: str,
+    pos_col: str,
+) -> DataFrame:
+    """Per-key inclusive running sum of ``value`` and 1-based position
+    under ``order`` — ``SUM(v) OVER (PARTITION BY keys ORDER BY order
+    ROWS UNBOUNDED PRECEDING)`` + ``ROW_NUMBER()`` — WITHOUT one task
+    per key. A plain keys-partitioned window serializes each key's
+    whole history through a single task, which for low-cardinality
+    keys (event types, tenants) is the grouped twin of the global-sort
+    anti-pattern. Decomposition: range-partition on (keys, order) so a
+    hot key's history spans MANY partitions while each partition holds
+    contiguous runs; compute local prefix sums/positions within
+    (partition, key); then add per-key offsets accumulated over the
+    (#partitions x #keys-touching-boundaries) boundary relation — each
+    key's boundary slice is <= #partitions rows, bounded by cluster
+    config. Exact for decimal values (addition is associative).
+
+    ``value`` may be any Column; callers wanting exactness pass a
+    decimal-cast expression. Total order required under each key."""
+    order = _cols(order)
+    keys = list(keys)
+    tagged = df.repartitionByRange(
+        *[F.col(k) for k in keys], *order
+    ).withColumn("_gps_pid", F.spark_partition_id())
+    w = W.partitionBy("_gps_pid", *keys).orderBy(*order)
+    local = tagged.withColumn(
+        "_gps_lsum",
+        F.sum(value).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    ).withColumn("_gps_lpos", F.row_number().over(w))
+    bnd = tagged.groupBy("_gps_pid", *keys).agg(
+        F.sum(value).alias("_gps_t"), F.count(F.lit(1)).alias("_gps_c")
+    )
+    ow = (
+        W.partitionBy(*keys)
+        .orderBy("_gps_pid")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = bnd.select(
+        "_gps_pid",
+        *keys,
+        F.sum("_gps_t").over(ow).alias("_gps_osum"),
+        F.coalesce(F.sum("_gps_c").over(ow), F.lit(0)).alias("_gps_opos"),
+    )
+    return (
+        local.join(offs, ["_gps_pid", *keys])
+        .withColumn(
+            sum_col,
+            F.when(F.col("_gps_osum").isNull(), F.col("_gps_lsum")).otherwise(
+                F.col("_gps_lsum") + F.col("_gps_osum")
+            ),
+        )
+        .withColumn(
+            pos_col, (F.col("_gps_lpos") + F.col("_gps_opos")).cast("bigint")
+        )
+        .drop("_gps_pid", "_gps_lsum", "_gps_lpos", "_gps_osum", "_gps_opos")
+    )
+
+
 def prefix_max_exclusive(
     df: DataFrame,
     order: Sequence,

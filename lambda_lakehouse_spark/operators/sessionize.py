@@ -803,23 +803,23 @@ def cusum_changepoints(events: DataFrame) -> DataFrame:
     group mean and its maximum-|CUSUM| position — the classical
     level-shift changepoint statistic (Page 1954). Deviations are
     decimal-quantized before the running sum, so the order-sensitive
-    prefix reduction is exact and the argmax position
-    hash-certifies. One shuffle on the group key; the running sum and
-    both ranking windows share its sort.
+    prefix reduction is exact and the argmax position hash-certifies.
 
-    Skew bound: the partition key is ``event_type`` — LOW cardinality
-    by design (the statistic is one prefix scan per type), so each
-    type's full history lands in one task: per-task work is
-    O(|largest type|), and total parallelism is |types|. That is the
-    intrinsic cost of an order-sensitive per-type prefix reduction —
-    acceptable when |rows per type| fits a task (here: events/|types|)
-    — NOT an accidental global sort. At 100 TB, bound the input first
-    (e.g. pre-aggregate to per-(type, hour) means and CUSUM the
-    hour series — |days|·24 rows per type), or apply the two-pass
-    range-partitioned prefix decomposition of operators/ranking.py
-    within each type; both change the statistic's granularity, so the
-    certified query keeps the exact per-event form."""
+    Skew shape: ``event_type`` is LOW cardinality, so a plain
+    type-partitioned window would serialize each type's full history
+    through one task. Instead the prefix sum and position come from
+    the grouped two-pass decomposition
+    (operators/ranking.py grouped_prefix_sum_rank — a hot type's
+    history spans many range partitions; per-key boundary offsets are
+    cluster-bounded), and the per-type argmax is a two-level
+    aggregation on a lexicographic (|cusum|, -pos) struct max — no
+    per-type single-task stage anywhere, parallelism follows data
+    size, not |types|. Decimal addition is associative, so the split
+    prefix sums are bit-identical to the one-task window."""
     from lambda_lakehouse_spark.functions.scalar import dsum
+    from lambda_lakehouse_spark.operators.ranking import (
+        grouped_prefix_sum_rank,
+    )
 
     base = events.select(
         "event_id", "event_type", F.col("ts").cast("timestamp").alias("ts"),
@@ -829,32 +829,32 @@ def cusum_changepoints(events: DataFrame) -> DataFrame:
         (dsum("v") / F.count(F.lit(1))).alias("mean_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    w = W.partitionBy("event_type").orderBy("ts", "event_id")
-    dev = (
-        base.join(m, "event_type")
-        .withColumn(
-            "_cusum",
-            F.sum(
-                (F.col("v") - F.col("mean_value")).cast("decimal(28,6)")
-            ).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
-        )
-        .withColumn("_pos", F.row_number().over(w))
+    dev = grouped_prefix_sum_rank(
+        base.join(m, "event_type"),
+        keys=["event_type"],
+        order=["ts", "event_id"],
+        value=(F.col("v") - F.col("mean_value")).cast("decimal(28,6)"),
+        sum_col="_cusum",
+        pos_col="_pos",
     )
-    pick = F.row_number().over(
-        W.partitionBy("event_type").orderBy(
-            F.abs(F.col("_cusum")).desc(), F.col("_pos")
-        )
+    # per-type argmax of (|cusum| DESC, pos ASC) as a two-level struct
+    # max: local per-partition candidates first, then one tiny reduce —
+    # max(struct) compares fields lexicographically, and -pos turns the
+    # ascending tie-break into a max
+    best = dev.groupBy("event_type", "n_events", "mean_value").agg(
+        F.max(
+            F.struct(
+                F.abs(F.col("_cusum")).alias("a"),
+                (-F.col("_pos")).alias("np"),
+            )
+        ).alias("_best")
     )
-    return (
-        dev.withColumn("_pick", pick)
-        .where(F.col("_pick") == 1)
-        .select(
-            "event_type",
-            "n_events",
-            "mean_value",
-            F.col("_pos").cast("int").alias("cp_position"),
-            F.abs(F.col("_cusum")).cast("double").alias("max_abs_cusum"),
-        )
+    return best.select(
+        "event_type",
+        "n_events",
+        "mean_value",
+        (-F.col("_best.np")).cast("int").alias("cp_position"),
+        F.col("_best.a").cast("double").alias("max_abs_cusum"),
     )
 
 

