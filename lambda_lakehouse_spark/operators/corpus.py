@@ -1303,3 +1303,129 @@ def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact two-sample Kolmogorov–Smirnov drift (round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# Distribution drift between two sources as the exact two-sample KS
+# statistic sup_x |F_a(x) - F_b(x)| over the doc-length distribution —
+# the supremum of ECDF differences is attained at a sample point, so
+# the exact statistic is max over distinct values of
+# |ca*nb - cb*na| / (na*nb) with integer cumulative counts ca/cb.
+# Everything up to the final ratio is integer arithmetic (cross-
+# multiplied to avoid per-row division), so the argmax value and the
+# numerator hash-certify; products go through decimal(38,0) so the
+# comparison is exact at any corpus size.
+#
+# Scale: per-value counts are one aggregate; the two cumulative
+# counts come from the distributed prefix-sum decomposition
+# (operators/ranking.py prefix_sums_inclusive — no single-partition
+# ordered scan of the distinct-value relation); the argmax is a
+# two-level lexicographic struct max.
+
+_KS_SRC_A = "src0"
+_KS_SRC_B = "src1"
+
+
+def ks_two_sample(
+    df: DataFrame, group_col: str, a: str, b: str, value_col: str
+) -> DataFrame:
+    """One-row (n_a, n_b, ks_at_value, ks_numerator, ks_stat):
+    exact two-sample KS between groups ``a`` and ``b`` of
+    ``value_col``'s distribution."""
+    from lambda_lakehouse_spark.operators.ranking import (
+        prefix_sums_inclusive,
+    )
+
+    f = (
+        df.where(F.col(group_col).isin(a, b))
+        .groupBy(value_col)
+        .agg(
+            F.sum(F.when(F.col(group_col) == a, 1).otherwise(0)).alias("_da"),
+            F.sum(F.when(F.col(group_col) == b, 1).otherwise(0)).alias("_db"),
+        )
+    )
+    p = prefix_sums_inclusive(f, [value_col], ["_da", "_db"], ["_ca", "_cb"])
+    tot = f.agg(
+        F.sum("_da").cast("bigint").alias("_na"),
+        F.sum("_db").cast("bigint").alias("_nb"),
+    )
+    dec = "decimal(38,0)"
+    num = F.abs(
+        F.col("_ca").cast(dec) * F.col("_nb").cast(dec)
+        - F.col("_cb").cast(dec) * F.col("_na").cast(dec)
+    )
+    best = (
+        p.crossJoin(F.broadcast(tot))
+        .select(
+            "_na",
+            "_nb",
+            F.struct(
+                num.alias("num"), (-F.col(value_col)).alias("nv")
+            ).alias("_cand"),
+        )
+        .groupBy("_na", "_nb")
+        .agg(F.max("_cand").alias("_best"))
+    )
+    return best.select(
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        (-F.col("_best.nv")).alias("ks_at_value"),
+        F.col("_best.num").cast("bigint").alias("ks_numerator"),
+        (
+            F.col("_best.num").cast("double")
+            / (F.col("_na").cast("double") * F.col("_nb"))
+        ).alias("ks_stat"),
+    )
+
+
+_KS_ORACLE = f"""
+WITH f AS (
+  SELECT n_chars,
+         SUM(CASE WHEN source = '{_KS_SRC_A}' THEN 1 ELSE 0 END) AS da,
+         SUM(CASE WHEN source = '{_KS_SRC_B}' THEN 1 ELSE 0 END) AS db
+  FROM documents
+  WHERE source IN ('{_KS_SRC_A}', '{_KS_SRC_B}')
+  GROUP BY 1
+),
+p AS (
+  SELECT n_chars,
+         SUM(da) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS ca,
+         SUM(db) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cb
+  FROM f
+),
+t AS (
+  SELECT CAST(SUM(da) AS BIGINT) AS na, CAST(SUM(db) AS BIGINT) AS nb FROM f
+)
+SELECT t.na AS n_a, t.nb AS n_b,
+       p.n_chars AS ks_at_value,
+       CAST(abs(CAST(p.ca AS HUGEINT) * t.nb
+                - CAST(p.cb AS HUGEINT) * t.na) AS BIGINT) AS ks_numerator,
+       CAST(abs(CAST(p.ca AS HUGEINT) * t.nb
+                - CAST(p.cb AS HUGEINT) * t.na) AS DOUBLE)
+         / (CAST(t.na AS DOUBLE) * t.nb) AS ks_stat
+FROM p CROSS JOIN t
+QUALIFY ROW_NUMBER() OVER (
+  ORDER BY abs(CAST(p.ca AS HUGEINT) * t.nb
+               - CAST(p.cb AS HUGEINT) * t.na) DESC, p.n_chars
+) = 1
+"""
+
+
+@register(
+    "stats_ks_drift_sources",
+    _KS_ORACLE,
+    doc=f"Exact two-sample Kolmogorov–Smirnov drift between sources "
+    f"'{_KS_SRC_A}' and '{_KS_SRC_B}' over doc length: integer ECDF "
+    "cross-multiplication (no per-row division), cumulative counts "
+    "from the distributed prefix-sum decomposition, argmax as a "
+    "two-level struct max — the statistic, its attaining value, and "
+    "the exact integer numerator all hash-certify",
+    tags=("stats", "drift", "distribution", "corpus"),
+    staged=True,
+)
+def stats_ks_drift_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("source", "n_chars")
+    return ks_two_sample(docs, "source", _KS_SRC_A, _KS_SRC_B, "n_chars")

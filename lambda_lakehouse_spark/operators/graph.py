@@ -54,10 +54,17 @@ def pagerank_fixed(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
     """PageRank over a directed edge list (src, dst) for a fixed
     number of iterations. Every node must have ≥1 outgoing edge
     (callers symmetrize; asserted nowhere — documented contract).
-    Returns (node, r) with r after ``n_iter`` rounds."""
+    Returns (node, r) with r after ``n_iter`` rounds.
+
+    The degree-annotated edge relation is localCheckpoint-ed once:
+    without it every iteration's lineage re-derives the edges from
+    the raw fact (scan + distinct per round — measured 3x the total
+    query cost at sf0.1); with it iterations join against the settled
+    relation — the same lineage-truncation pattern
+    ``operators/dedup.doc_clusters`` uses for its min-label rounds."""
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = edges.join(deg, "src")  # outdeg rides the edge relation
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    ed = edges.join(deg, "src").localCheckpoint()  # settled (src,dst,outdeg)
+    nodes = ed.select(F.col("src").alias("node")).distinct()
     nstats = nodes.agg(F.count(F.lit(1)).alias("n"))
     ranks = nodes.crossJoin(F.broadcast(nstats)).select(
         "node", "n", (F.lit(1.0) / F.col("n")).alias("r")

@@ -255,6 +255,78 @@ def grouped_prefix_sum_rank(
     )
 
 
+def prefix_sums_inclusive(
+    df: DataFrame,
+    order: Sequence,
+    value_cols: Sequence[str],
+    out_cols: Sequence[str],
+) -> DataFrame:
+    """Inclusive running sums of several BIGINT columns under the
+    global total order ``order`` — N x ``SUM(v) OVER (ORDER BY order
+    ROWS UNBOUNDED PRECEDING)`` — via the same range-partitioned
+    decomposition as :func:`exact_global_rank`: local prefix sums per
+    partition (one shared WindowExec partitioned by the physical
+    partition id), per-partition totals folded into exclusive offsets
+    in a single-row array fold, broadcast back. Exact for integer
+    values at any partitioning."""
+    order = _cols(order)
+    vo = list(zip(value_cols, out_cols))
+    tagged = df.repartitionByRange(*order).withColumn(
+        "_pfs_pid", F.spark_partition_id()
+    )
+    w = (
+        W.partitionBy("_pfs_pid")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = tagged
+    for v, o in vo:
+        local = local.withColumn(f"_pfs_loc_{o}", F.sum(v).over(w))
+    bnd = tagged.groupBy("_pfs_pid").agg(
+        *[F.sum(v).alias(f"_pfs_t_{o}") for v, o in vo]
+    )
+    accs = ", ".join(f"cast(0 as bigint) as acc_{o}" for _, o in vo)
+    elem = ",".join(f"{o}:bigint" for _, o in vo)
+    steps = ", ".join(f"s.acc_{o} + x._pfs_t_{o}" for _, o in vo)
+    emits = ", ".join(f"'{o}', s.acc_{o}" for _, o in vo)
+    offsets = (
+        bnd.agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("_pfs_pid", *[f"_pfs_t_{o}" for _, o in vo])
+                )
+            ).alias("_a")
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    f"aggregate(_a,"
+                    f" struct({accs},"
+                    f"   cast(array() as array<struct<k:int,{elem}>>) as out),"
+                    f" (s, x) -> struct({steps},"
+                    f"   array_append(s.out, named_struct('k', x._pfs_pid, {emits}))),"
+                    f" s -> s.out)"
+                )
+            ).alias("_o")
+        )
+        .select(
+            F.col("_o.k").alias("_pfs_pid"),
+            *[F.col(f"_o.{o}").alias(f"_pfs_off_{o}") for _, o in vo],
+        )
+    )
+    out = local.join(F.broadcast(offsets), "_pfs_pid")
+    for _, o in vo:
+        out = out.withColumn(
+            o, (F.col(f"_pfs_loc_{o}") + F.col(f"_pfs_off_{o}")).cast("bigint")
+        )
+    drop = (
+        ["_pfs_pid"]
+        + [f"_pfs_loc_{o}" for _, o in vo]
+        + [f"_pfs_off_{o}" for _, o in vo]
+    )
+    return out.drop(*drop)
+
+
 def prefix_max_exclusive(
     df: DataFrame,
     order: Sequence,

@@ -521,44 +521,43 @@ def mad_anomalies(
 ) -> DataFrame:
     """Rows whose |value - group_median| exceeds ``factor`` * group
     MAD (groups with MAD = 0 flag nothing — a degenerate spread makes
-    every deviation 'infinite sigmas', the standard guard)."""
-    wp = W.partitionBy(group_col)
+    every deviation 'infinite sigmas', the standard guard).
+
+    Both rank-based medians use the grouped two-pass decomposition
+    (operators/ranking.py grouped_prefix_sum_rank) rather than
+    group-partitioned windows: ``group_col`` is low-cardinality, so a
+    plain window would funnel each group's full history through one
+    task — the same skew shape fixed in the CUSUM query."""
+    from lambda_lakehouse_spark.operators.ranking import (
+        grouped_prefix_sum_rank,
+    )
+
     base = events.select(id_col, group_col, value_col)
-    ranked = base.select(
-        "*",
-        F.row_number().over(
-            wp.orderBy(F.col(value_col), F.col(id_col))
-        ).alias("_rn"),
-        F.count(F.lit(1)).over(wp).alias("_cnt"),
-    )
-    med = ranked.groupBy(group_col).agg(
-        F.max(
-            F.when(
+    cnt = base.groupBy(group_col).agg(F.count(F.lit(1)).alias("_cnt"))
+
+    def _grouped_median(df, val_col, out_col):
+        ranked = grouped_prefix_sum_rank(
+            df.select(group_col, val_col, id_col),
+            keys=[group_col],
+            order=[val_col, id_col],
+            value=F.lit(0),
+            sum_col="_z",
+            pos_col="_rn",
+        )
+        return (
+            ranked.join(cnt, group_col)
+            .where(
                 F.col("_rn")
-                == F.expr("cast(floor((_cnt + 1) / 2.0) as bigint)"),
-                F.col(value_col),
+                == F.expr("cast(floor((_cnt + 1) / 2.0) as bigint)")
             )
-        ).alias("med")
-    )
+            .select(group_col, F.col(val_col).alias(out_col))
+        )
+
+    med = _grouped_median(base, value_col, "med")
     dev = base.join(med, group_col).withColumn(
         "dev", F.abs(F.col(value_col) - F.col("med"))
     )
-    ranked2 = dev.select(
-        "*",
-        F.row_number().over(
-            wp.orderBy(F.col("dev"), F.col(id_col))
-        ).alias("_rn2"),
-        F.count(F.lit(1)).over(wp).alias("_cnt2"),
-    )
-    mad = ranked2.groupBy(group_col).agg(
-        F.max(
-            F.when(
-                F.col("_rn2")
-                == F.expr("cast(floor((_cnt2 + 1) / 2.0) as bigint)"),
-                F.col("dev"),
-            )
-        ).alias("mad")
-    )
+    mad = _grouped_median(dev, "dev", "mad")
     return (
         dev.join(mad, group_col)
         .where(

@@ -263,6 +263,7 @@ def test_no_pathological_join_plans(spark):
         "q15_top_supplier",  # 1-row max-revenue broadcast
         "profile_histogram_equidepth",  # 1-row ntile total-count broadcast
         "sample_temperature_mixture",  # 1-row weight/doc totals broadcast
+        "stats_ks_drift_sources",  # 1-row (n_a, n_b) totals broadcast
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
@@ -453,6 +454,8 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
         "profile_histogram_equidepth": {"orders.parquet"},
         # 1-row sqrt-weight/doc-count totals aggregate
         "sample_temperature_mixture": {"documents.parquet"},
+        # prefix-sum offsets + 1-row totals aggregates
+        "stats_ks_drift_sources": {"documents.parquet"},
     }
     bounding_ops = (
         "Filter", "HashAggregate", "SortAggregate", "ObjectHashAggregate",
