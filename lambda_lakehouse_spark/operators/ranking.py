@@ -255,6 +255,18 @@ def grouped_prefix_sum_rank(
     )
 
 
+def grouped_rank(
+    df: DataFrame, keys: Sequence[str], order: Sequence, pos_col: str
+) -> DataFrame:
+    """Per-key 1-based position under ``order`` — ``ROW_NUMBER() OVER
+    (PARTITION BY keys ORDER BY order)`` — via the grouped two-pass
+    decomposition (no one-task-per-key sort; see
+    :func:`grouped_prefix_sum_rank`)."""
+    return grouped_prefix_sum_rank(
+        df, keys, order, F.lit(0), "_gr_zero", pos_col
+    ).drop("_gr_zero")
+
+
 def prefix_sums_inclusive(
     df: DataFrame,
     order: Sequence,

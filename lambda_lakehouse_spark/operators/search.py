@@ -235,3 +235,113 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "score",
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search (round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# Exact phrase matching over a positional inverted index — the IR
+# primitive BM25 (bag-of-words) cannot express: postings are
+# (word, doc_id, position), and a phrase "w1 w2" matches where w1's
+# and w2's postings align at consecutive positions, found with one
+# equi join on (doc_id, position + 1). Only the query words' posting
+# lists are ever touched (candidate generation by posting-list
+# intersection, never a corpus scan), and longer phrases chain one
+# join per additional word, rarest-word-first.
+#
+# The probe phrase is self-mined for determinism, like BM25's query
+# workload: the corpus's most frequent adjacent bigram under a
+# (count DESC, w1, w2) total order, resolved with the distributed
+# top-k (operators/ranking.py), then broadcast (1 row) into both
+# posting probes.
+
+def phrase_search(docs: DataFrame, w1=None, w2=None) -> DataFrame:
+    """(doc_id, n_matches, first_pos) for every document containing
+    the phrase; positions 1-based. ``w1``/``w2`` None self-mines the
+    top corpus bigram."""
+    ws = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    post = ws.select(
+        "doc_id", F.posexplode("ws").alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    if w1 is None:
+        pairs = (
+            ws.where(F.size("ws") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(ws) - 1),"
+                        " i -> struct(element_at(ws, i) AS w1,"
+                        "             element_at(ws, i + 1) AS w2))"
+                    )
+                ).alias("p")
+            )
+            .groupBy("p.w1", "p.w2")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        probe = global_topk(
+            pairs, [F.col("c").desc(), "w1", "w2"], 1, "_rk"
+        ).select("w1", "w2")
+    else:
+        probe = docs.sparkSession.createDataFrame(
+            [(w1, w2)], "w1 string, w2 string"
+        )
+    a = post.join(
+        F.broadcast(probe), post["word"] == probe["w1"]
+    ).select("doc_id", "pos")
+    b = post.join(
+        F.broadcast(probe), post["word"] == probe["w2"]
+    ).select(F.col("doc_id").alias("doc_id"), (F.col("pos") - 1).alias("pos"))
+    return (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("pos").cast("int").alias("first_pos"),
+        )
+    )
+
+
+_PHRASE_ORACLE = """
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+big AS (
+  SELECT p.w1, p.w2, COUNT(*) AS c
+  FROM (
+    SELECT unnest(list_transform(range(1, len(ws)),
+                  i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS p
+    FROM ws WHERE len(ws) >= 2
+  )
+  GROUP BY 1, 2
+),
+probe AS (
+  SELECT w1, w2 FROM big ORDER BY c DESC, w1, w2 LIMIT 1
+),
+m AS (
+  SELECT w.doc_id,
+         unnest([i FOR i IN range(1, len(ws))
+                 IF ws[i] = p.w1 AND ws[i + 1] = p.w2]) AS pos
+  FROM ws w CROSS JOIN probe p
+)
+SELECT doc_id, COUNT(*) AS n_matches,
+       CAST(MIN(pos) AS INTEGER) AS first_pos
+FROM m
+GROUP BY doc_id
+"""
+
+
+@register(
+    "search_phrase_positional",
+    _PHRASE_ORACLE,
+    doc="Exact phrase search over a positional inverted index: "
+    "(word, doc, pos) postings, consecutive-position equi join on the "
+    "phrase words' posting lists only (self-mined top corpus bigram "
+    "as the deterministic probe) — the candidate-generation IR shape "
+    "bag-of-words scoring can't express",
+    tags=("search", "text", "phrase", "join"),
+    staged=True,
+)
+def search_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return phrase_search(docs)

@@ -902,3 +902,117 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "ts", "value"
     )
     return cusum_changepoints(ev)
+
+
+# ---------------------------------------------------------------------------
+# Marketing-style conversion attribution (round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# First-touch / last-touch attribution: for every purchase, the
+# earliest and the most recent touchpoint (view/click/signup) at or
+# before it for the same user. The scalable formulation is the
+# tag-union + running last/first trick the as-of join family uses
+# (operators/temporal.py): union touches and conversions into one
+# relation, sort per user by (ts, touch-before-conversion, event_id),
+# and read the attribution off IGNORE NULLS last/first windows — one
+# shuffle on user_id, no per-conversion probe join, no range join.
+# Ties at the same timestamp resolve touch-first (a same-instant touch
+# counts), then by event_id — total order, hash-certified.
+
+_ATTR_TOUCHES = ("view", "click", "signup")
+_ATTR_CONV = "purchase"
+
+
+def conversion_attribution(events: DataFrame) -> DataFrame:
+    """(conv_event_id, user_id, value, first_touch_type,
+    last_touch_type, last_touch_delay_us) for every conversion;
+    unattributed conversions keep NULL touch columns."""
+    ev = events.select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+    )
+    touches = ev.where(F.col("event_type").isin(*_ATTR_TOUCHES)).select(
+        "user_id", "ts_us", "event_id",
+        F.lit(0).alias("is_conv"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts_us").alias("touch_ts_us"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    convs = ev.where(F.col("event_type") == _ATTR_CONV).select(
+        "user_id", "ts_us", "event_id",
+        F.lit(1).alias("is_conv"),
+        F.lit(None).cast("string").alias("touch_type"),
+        F.lit(None).cast("bigint").alias("touch_ts_us"),
+        "value",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "is_conv", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tagged = touches.unionByName(convs).select(
+        "*",
+        F.first("touch_type", ignorenulls=True).over(w).alias("_first_type"),
+        F.last("touch_type", ignorenulls=True).over(w).alias("_last_type"),
+        F.last("touch_ts_us", ignorenulls=True).over(w).alias("_last_ts_us"),
+    )
+    return tagged.where(F.col("is_conv") == 1).select(
+        F.col("event_id").alias("conv_event_id"),
+        "user_id",
+        "value",
+        F.col("_first_type").alias("first_touch_type"),
+        F.col("_last_type").alias("last_touch_type"),
+        (F.col("ts_us") - F.col("_last_ts_us")).alias("last_touch_delay_us"),
+    )
+
+
+_ATTR_ORACLE = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+  FROM events
+),
+tagged AS (
+  SELECT user_id, ts_us, event_id, 0 AS is_conv,
+         event_type AS touch_type, ts_us AS touch_ts_us,
+         CAST(NULL AS DOUBLE) AS value
+  FROM ev WHERE event_type IN ('view', 'click', 'signup')
+  UNION ALL
+  SELECT user_id, ts_us, event_id, 1 AS is_conv,
+         NULL, NULL, value
+  FROM ev WHERE event_type = '{_ATTR_CONV}'
+),
+attributed AS (
+  SELECT *,
+         FIRST_VALUE(touch_type IGNORE NULLS) OVER w AS first_type,
+         LAST_VALUE(touch_type IGNORE NULLS) OVER w AS last_type,
+         LAST_VALUE(touch_ts_us IGNORE NULLS) OVER w AS last_ts_us
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, is_conv, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id AS conv_event_id, user_id, value,
+       first_type AS first_touch_type,
+       last_type AS last_touch_type,
+       ts_us - last_ts_us AS last_touch_delay_us
+FROM attributed WHERE is_conv = 1
+"""
+
+
+@register(
+    "attribution_touchpoints",
+    _ATTR_ORACLE,
+    doc="First-/last-touch conversion attribution: tag-union of "
+    "touchpoints and purchases, one per-user sorted window with "
+    "IGNORE NULLS first/last — the as-of-join trick that attributes "
+    "every conversion in a single user-keyed shuffle (no probe join); "
+    "same-instant touches count, unattributed conversions keep NULLs",
+    tags=("events", "attribution", "window", "asof"),
+    staged=True,
+)
+def attribution_touchpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    return conversion_attribution(ev)

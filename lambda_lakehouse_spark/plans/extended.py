@@ -1275,17 +1275,13 @@ def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ceil(p * n) in sort order — a member of the data set, rank computed
 # in exact integer arithmetic (floor((k*n + (d-1)) / d) = ceil(k*n/d)
 # stays below 2^53 for any realistic n, so the double division is
-# exact on every engine). Same rank-based shape as corpus_stats'
-# median: ONE shuffle on the group key for the sort window, the same
-# partitioning reused by the final aggregate, and the per-group work
-# is an external sort with no driver involvement. CAVEAT: parallelism
-# equals the GROUP COUNT (l_returnflag has 3 values -> 3 sort tasks
-# regardless of data size). That is the right shape when groups are
-# plentiful (the common per-tenant/per-day case); for a handful of
-# huge groups the scale path is two-phase: a per-(group, value-bucket)
-# count histogram (fine-grained shuffle), cumulative bucket ranks to
-# locate each percentile's bucket, then a rank-within-bucket pass over
-# only the hit buckets — same exact result, parallelism restored.
+# exact on every engine). Ranks come from the grouped two-pass
+# decomposition (operators/ranking.py grouped_rank): l_returnflag has
+# 3 values, so a group-partitioned rank window would run 3 sort tasks
+# regardless of data size — instead each flag's rows span many range
+# partitions with per-group boundary offsets added back, and
+# parallelism follows data volume, not group count. Same exact
+# integer ranks; the conditional aggregate picks the hit rows.
 
 _PCTL_ORACLE = """
 WITH ranked AS (
@@ -1320,20 +1316,18 @@ GROUP BY l_returnflag
     tags=("agg", "window", "percentile"),
 )
 def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from lambda_lakehouse_spark.operators.ranking import grouped_rank
 
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
     )
-    wp = W.partitionBy("l_returnflag")
-    ranked = li.select(
-        "l_returnflag",
-        "l_extendedprice",
-        F.row_number()
-        .over(wp.orderBy("l_extendedprice", "l_orderkey", "l_linenumber"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(wp).alias("cnt"),
-    )
+    cnts = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = grouped_rank(
+        li,
+        keys=["l_returnflag"],
+        order=["l_extendedprice", "l_orderkey", "l_linenumber"],
+        pos_col="rn",
+    ).join(cnts, "l_returnflag")
 
     def at_rank(rank_expr):
         return F.max(

@@ -208,6 +208,7 @@ def load_all() -> dict[str, Query]:
     import lambda_lakehouse_spark.operators.graph  # noqa: F401
     import lambda_lakehouse_spark.operators.bloom  # noqa: F401
     import lambda_lakehouse_spark.operators.temporal  # noqa: F401
+    import lambda_lakehouse_spark.operators.evalstats  # noqa: F401
 
     ordered: dict[str, Query] = {}
     for name in DRIVER_PRIORITY:

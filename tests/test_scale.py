@@ -264,6 +264,7 @@ def test_no_pathological_join_plans(spark):
         "profile_histogram_equidepth",  # 1-row ntile total-count broadcast
         "sample_temperature_mixture",  # 1-row weight/doc totals broadcast
         "stats_ks_drift_sources",  # 1-row (n_a, n_b) totals broadcast
+        "eval_decile_lift",  # 1-row base-rate totals broadcast
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
@@ -456,6 +457,11 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
         "sample_temperature_mixture": {"documents.parquet"},
         # prefix-sum offsets + 1-row totals aggregates
         "stats_ks_drift_sources": {"documents.parquet"},
+        # 1-row self-mined probe bigram (aggregate + limit bounded)
+        "search_phrase_positional": {"documents.parquet"},
+        # prefix-sum offsets / ntile totals aggregates
+        "eval_auc_exact": {"documents.parquet"},
+        "eval_decile_lift": {"documents.parquet"},
     }
     bounding_ops = (
         "Filter", "HashAggregate", "SortAggregate", "ObjectHashAggregate",

@@ -502,3 +502,29 @@ def test_rendezvous_minimal_movement(spark):
     assert moved == {k for k, s in with16.items() if s == 15}
     # and shard 15 owned roughly 1/16 of the keys (binomial, wide margin)
     assert 2000 / 16 * 0.5 < len(moved) < 2000 / 16 * 2
+
+
+def test_auc_exact_crafted(spark):
+    """Known AUC values: perfect separation -> 1.0; all-ties -> 0.5;
+    a hand-checkable mixed case."""
+    from lambda_lakehouse_spark.operators.evalstats import auc_exact
+
+    perfect = spark.createDataFrame(
+        [(1.0, False), (2.0, False), (3.0, True), (4.0, True)],
+        "s double, y boolean",
+    )
+    r = auc_exact(perfect, "s", "y").collect()[0]
+    assert (r.n_pos, r.n_neg, r.auc) == (2, 2, 1.0)
+
+    ties = spark.createDataFrame(
+        [(5.0, True), (5.0, False)] * 10, "s double, y boolean"
+    )
+    assert auc_exact(ties, "s", "y").collect()[0].auc == 0.5
+
+    # scores 1..4, positives at 2 and 4: pairs (pos>neg): (2>1), (4>1),
+    # (4>3) = 3 of 4 -> AUC 0.75
+    mixed = spark.createDataFrame(
+        [(1.0, False), (2.0, True), (3.0, False), (4.0, True)],
+        "s double, y boolean",
+    )
+    assert mixed and auc_exact(mixed, "s", "y").collect()[0].auc == 0.75
