@@ -1190,8 +1190,9 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # its end, aggregates deltas per day, and takes a running sum over
 # the (bounded, one-row-per-active-day) delta relation — O(intervals)
 # shuffled once on the date key, never a spine×intervals join. The
-# running-sum window is a single global sort over at most
-# |distinct days| rows — spine-sized, not fact-sized.
+# running sum is the range-partitioned prefix-sum decomposition
+# (operators/ranking.py), so the |distinct days| relation is never
+# moved to a single partition either.
 #
 # An order's open interval: o_orderdate .. max(l_shipdate) of its
 # line items (orders with no line items never open).
@@ -1225,12 +1226,11 @@ FROM per_day
     doc="Sweep-line interval counting: open-order backlog per day via "
     "+1/-1 boundary deltas + one running sum over the per-day delta "
     "relation — O(intervals) with no date-spine×interval join; the "
-    "global window sorts spine-sized input only",
+    "running sum uses the distributed prefix-sum decomposition, so "
+    "even the spine-sized relation never single-partitions",
     tags=("interval", "sweep", "window", "agg"),
 )
 def interval_open_orders_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate"
     )
@@ -1251,10 +1251,16 @@ def interval_open_orders_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_day = deltas.groupBy("day").agg(F.sum("delta").alias("delta"))
-    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return per_day.select(
-        "day", F.sum("delta").over(w).cast("bigint").alias("open_orders")
+    # running sum via the distributed prefix-sum decomposition — the
+    # delta relation is spine-sized, but even that no longer funnels
+    # through one task (operators/ranking.py)
+    from lambda_lakehouse_spark.operators.ranking import (
+        prefix_sums_inclusive,
     )
+
+    return prefix_sums_inclusive(
+        per_day, ["day"], ["delta"], ["open_orders"]
+    ).select("day", F.col("open_orders").cast("bigint").alias("open_orders"))
 
 
 # ---------------------------------------------------------------------------

@@ -299,9 +299,6 @@ def test_no_unpartitioned_window_over_unbounded_input(spark):
     global_window_ok = {
         # per-nation revenue aggregate: |nations| rows at any sf
         "window_share_of_total": "input aggregated to one row per nation",
-        # sweep-line running sum over per-day deltas: date-spine-sized
-        # (|distinct days|), orders of magnitude below the interval fact
-        "interval_open_orders_sweep": "input aggregated to one row per day",
     }
     bounding = ("TakeOrderedAndProject", "CollectLimit", "GlobalLimit")
 
