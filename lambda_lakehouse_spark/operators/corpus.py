@@ -1429,3 +1429,130 @@ QUALIFY ROW_NUMBER() OVER (
 def stats_ks_drift_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("source", "n_chars")
     return ks_two_sample(docs, "source", _KS_SRC_A, _KS_SRC_B, "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-dedup scrub: remove duplicated windows, reconstruct text
+# (round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# The curation step the audit above only measures: every window keeps
+# its FIRST corpus occurrence (min (doc_id, offset) — Dolma's
+# paragraph dedup policy) and later occurrences are dropped; each
+# document's cleaned text is reconstructed from its surviving windows
+# in order. Within-doc repeats collapse to their first instance too.
+#
+# Scale: window fingerprints shuffle once on fp (map-side combined
+# min-aggregate picks the owner); the keep-filter is a fingerprint-
+# keyed join back; reconstruction is an ordered aggregation per doc —
+# array_sort over collected (offset, window) structs, the same
+# deterministic ordered-agg pattern sessionize_paths uses. A doc
+# whose every window is owned elsewhere survives with empty text —
+# the downstream quality filter drops it, auditable.
+
+
+def paragraph_scrub(docs: DataFrame, para_len: int = PARA_LEN) -> DataFrame:
+    """(doc_id, n_paras, n_kept, clean_text): first-occurrence-wins
+    paragraph dedup with reconstructed text."""
+    w = docs.where(F.col("text") != "").select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    )
+    st = w.select(
+        "doc_id",
+        "w",
+        F.explode(F.expr(f"sequence(0, size(w) - 1, {para_len})")).alias("st"),
+    )
+    paras = st.select(
+        "doc_id",
+        "st",
+        F.array_join(F.expr(f"slice(w, st + 1, {para_len})"), " ").alias(
+            "para"
+        ),
+        F.md5(
+            F.array_join(F.expr(f"slice(w, st + 1, {para_len})"), " ")
+        ).alias("fp"),
+    )
+    first = paras.groupBy("fp").agg(
+        F.min(
+            F.struct(F.col("doc_id").alias("d"), F.col("st").alias("s"))
+        ).alias("_o")
+    )
+    kept = paras.join(first, "fp").where(
+        (F.col("doc_id") == F.col("_o.d")) & (F.col("st") == F.col("_o.s"))
+    )
+    tot = paras.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_paras"))
+    ka = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_sort(F.collect_list(F.struct("st", "para"))).alias("_ps"),
+        )
+        .select(
+            "doc_id",
+            "n_kept",
+            F.array_join(
+                F.expr("transform(_ps, x -> x.para)"), " "
+            ).alias("clean_text"),
+        )
+    )
+    return tot.join(ka, "doc_id", "left").select(
+        "doc_id",
+        "n_paras",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+_PARA_SCRUB_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE text <> ''
+),
+st AS (
+  SELECT doc_id, w, UNNEST(range(0, len(w), {PARA_LEN})) AS st
+  FROM w
+),
+paras AS (
+  SELECT doc_id, st,
+         array_to_string(
+           list_slice(w, st + 1, least(st + {PARA_LEN}, len(w))), ' '
+         ) AS para,
+         md5(array_to_string(
+           list_slice(w, st + 1, least(st + {PARA_LEN}, len(w))), ' '
+         )) AS fp
+  FROM st
+),
+kept AS (
+  SELECT doc_id, st, para FROM paras
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, st) = 1
+),
+tot AS (
+  SELECT doc_id, COUNT(*) AS n_paras FROM paras GROUP BY 1
+),
+ka AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(para, ' ' ORDER BY st) AS clean_text
+  FROM kept GROUP BY 1
+)
+SELECT t.doc_id, t.n_paras,
+       COALESCE(ka.n_kept, 0) AS n_kept,
+       COALESCE(ka.clean_text, '') AS clean_text
+FROM tot t LEFT JOIN ka USING (doc_id)
+"""
+
+
+@register(
+    "dedup_paragraph_scrub",
+    _PARA_SCRUB_ORACLE,
+    doc="Paragraph-dedup SCRUB (the curation step, not just the "
+    "audit): every 16-token window keeps only its first corpus "
+    "occurrence (min (doc_id, offset), Dolma policy), cleaned text "
+    "reconstructed from surviving windows by deterministic ordered "
+    "aggregation — fingerprint-keyed shuffle + per-doc array_sort, "
+    "never a corpus-wide sort",
+    tags=("dedup", "paragraph", "corpus", "scrub"),
+    staged=True,
+)
+def dedup_paragraph_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return paragraph_scrub(docs)

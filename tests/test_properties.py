@@ -773,3 +773,52 @@ def test_asof_nearest_equals_bruteforce(spark, lrows, rrows, tol_s):
                 best = (key, rtu, v, d)
         want = (best[1], best[2], best[3]) if best else (None, None, None)
         assert got[i] == want, (i, got[i], want)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=50),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+def test_exact_rank_and_ntile_match_model(spark, vals, n_buckets):
+    """Randomized sweep of the two-pass global rank/ntile against a
+    pure-Python model: rank = position in the (value, index) total
+    order; ntile = the SQL bucket formula (first N%n buckets get one
+    extra row)."""
+    from lambda_lakehouse_spark.operators.ranking import (
+        exact_global_ntile,
+        exact_global_rank,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    order_model = sorted(rows, key=lambda r: (r[1], r[0]))
+    want_rank = {rid: i + 1 for i, (rid, _) in enumerate(order_model)}
+
+    got_rank = {
+        r.id: r.r for r in exact_global_rank(df, ["v", "id"], "r").collect()
+    }
+    assert got_rank == want_rank
+
+    n = len(rows)
+    q, rem = divmod(n, n_buckets)
+
+    def bucket(rank):
+        if rank <= rem * (q + 1):
+            return (rank - 1) // (q + 1) + 1
+        return rem + (rank - 1 - rem * (q + 1)) // q + 1
+
+    want_b = {rid: bucket(rk) for rid, rk in want_rank.items()}
+    got_b = {
+        r.id: r.b
+        for r in exact_global_ntile(df, ["v", "id"], n_buckets, "b").collect()
+    }
+    assert got_b == want_b

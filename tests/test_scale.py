@@ -459,6 +459,8 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
         # prefix-sum offsets / ntile totals aggregates
         "eval_auc_exact": {"documents.parquet"},
         "eval_decile_lift": {"documents.parquet"},
+        # per-day-delta prefix-sum offsets (aggregate-bounded)
+        "interval_open_orders_sweep": {"lineitem.parquet", "orders.parquet"},
     }
     bounding_ops = (
         "Filter", "HashAggregate", "SortAggregate", "ObjectHashAggregate",

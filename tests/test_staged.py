@@ -528,3 +528,23 @@ def test_auc_exact_crafted(spark):
         "s double, y boolean",
     )
     assert mixed and auc_exact(mixed, "s", "y").collect()[0].auc == 0.75
+
+
+def test_paragraph_scrub_crafted(spark):
+    """An exact late copy scrubs to empty; the original is untouched;
+    every distinct window survives exactly once corpus-wide."""
+    from lambda_lakehouse_spark.operators.corpus import (
+        PARA_LEN,
+        paragraph_scrub,
+    )
+
+    base = " ".join(f"w{i}" for i in range(PARA_LEN * 3))  # 3 windows
+    other = " ".join(f"x{i}" for i in range(PARA_LEN * 2))  # 2 windows
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, other)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in paragraph_scrub(docs).collect()}
+    assert got[1].n_kept == 3 and got[1].clean_text == base
+    assert got[2].n_kept == 0 and got[2].clean_text == ""
+    assert got[3].n_kept == 2 and got[3].clean_text == other
+    assert sum(r.n_kept for r in got.values()) == 5  # distinct windows
