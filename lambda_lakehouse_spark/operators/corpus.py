@@ -1556,3 +1556,204 @@ FROM tot t LEFT JOIN ka USING (doc_id)
 def dedup_paragraph_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     return paragraph_scrub(docs)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation pipeline (round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# The flagship composition: the four curation stages this module and
+# its neighbors implement individually, chained into ONE declarative
+# plan a training run would actually execute —
+#
+#   1. quality gate   (corpus_quality_filter's rules, pass rows only)
+#   2. paragraph scrub (first-occurrence-wins window dedup + text
+#      reconstruction, among the survivors)
+#   3. exact dedup     (md5 of the CLEANED text, keep min doc_id;
+#      fully-scrubbed empty docs drop here)
+#   4. temperature sampling (alpha=0.5 source mixture of the cleaned
+#      corpus, exact integer basis-point rates)
+#
+# Every stage is the already-certified formulation, so the composed
+# DuckDB oracle is an assembly of the per-stage CTEs — the point is
+# proving the stages COMPOSE as lazy DataFrames: one Catalyst plan,
+# shuffles shared where keys align (fingerprint, doc_id, source),
+# nothing materialized between stages. Division guards use
+# greatest(len, 1) because Spark double/0 is Inf while DuckDB's is
+# NULL — the guard makes the expression identical on both.
+
+def curation_pipeline(docs: DataFrame, para_len: int = PARA_LEN) -> DataFrame:
+    """(doc_id, source, n_clean_chars, rate_bp): the sampled, cleaned,
+    deduplicated corpus with per-source sampling provenance."""
+    t = F.col("text")
+    n_chars = F.length(t)
+    n_tokens = F.size(F.split(t, r"\s+"))
+    punct_ratio = F.regexp_count(t, F.lit(r"[^A-Za-z0-9\s]")).cast(
+        "double"
+    ) / F.greatest(n_chars, F.lit(1))
+    passed = docs.where(
+        (F.col("lang") == "en")
+        & (n_chars >= 100)
+        & (n_tokens >= 20)
+        & (punct_ratio < 0.1)
+    ).select("doc_id", "source", "text")
+
+    cleaned = paragraph_scrub(passed, para_len=para_len).join(
+        passed.select("doc_id", "source"), "doc_id"
+    )
+    ne = cleaned.where(F.col("clean_text") != "")
+    deduped = (
+        ne.groupBy(F.md5("clean_text").alias("_fp"))
+        .agg(
+            F.min(
+                F.struct("doc_id", "source", "clean_text")
+            ).alias("_keep")
+        )
+        .select("_keep.doc_id", "_keep.source", "_keep.clean_text")
+    )
+
+    s = deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("clean_text")).alias("size_chars"),
+    )
+    w = s.withColumn(
+        "w",
+        F.floor(F.sqrt(F.col("size_chars").cast("double")) * 1000000)
+        .cast("decimal(38,0)"),
+    )
+    tot = w.agg(F.sum("w").alias("wt"), F.sum("n_docs").alias("n"))
+    r = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "rate_bp",
+            F.least(
+                F.expr(
+                    f"cast((cast(10000 as decimal(38,0))"
+                    f" * cast(n div {_TEMP_BUDGET_DENOM} as decimal(38,0))"
+                    f" * w) div (wt * cast(n_docs as decimal(38,0)))"
+                    f" as bigint)"
+                ),
+                F.lit(10000).cast("bigint"),
+            ),
+        )
+        .select("source", "rate_bp")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{_TEMP_SEED}:"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1, 7,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 10000
+    )
+    return (
+        deduped.join(r, "source")
+        .where(bucket < F.col("rate_bp"))
+        .select(
+            "doc_id",
+            "source",
+            F.length("clean_text").cast("int").alias("n_clean_chars"),
+            "rate_bp",
+        )
+    )
+
+
+_PIPELINE_ORACLE = f"""
+WITH pass AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE lang = 'en'
+    AND LENGTH(text) >= 100
+    AND len(string_split_regex(text, '\\s+')) >= 20
+    AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+        / greatest(LENGTH(text), 1) < 0.1
+),
+w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w
+  FROM pass WHERE text <> ''
+),
+st AS (
+  SELECT doc_id, w, UNNEST(range(0, len(w), {PARA_LEN})) AS st FROM w
+),
+paras AS (
+  SELECT doc_id, st,
+         array_to_string(
+           list_slice(w, st + 1, least(st + {PARA_LEN}, len(w))), ' '
+         ) AS para,
+         md5(array_to_string(
+           list_slice(w, st + 1, least(st + {PARA_LEN}, len(w))), ' '
+         )) AS fp
+  FROM st
+),
+kept AS (
+  SELECT doc_id, st, para FROM paras
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, st) = 1
+),
+ka AS (
+  SELECT doc_id, string_agg(para, ' ' ORDER BY st) AS clean_text
+  FROM kept GROUP BY 1
+),
+cleaned AS (
+  SELECT w.doc_id, w.source, COALESCE(ka.clean_text, '') AS clean_text
+  FROM (SELECT DISTINCT doc_id, source FROM w) w
+  LEFT JOIN ka USING (doc_id)
+),
+deduped AS (
+  SELECT doc_id, source, clean_text
+  FROM cleaned WHERE clean_text <> ''
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(clean_text)
+                             ORDER BY doc_id) = 1
+),
+s AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(LENGTH(clean_text)) AS size_chars
+  FROM deduped GROUP BY 1
+),
+w2 AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(CAST(size_chars AS DOUBLE)) * 1000000) AS HUGEINT)
+           AS w
+  FROM s
+),
+tot AS (
+  SELECT SUM(w) AS wt, SUM(n_docs) AS n FROM w2
+),
+r AS (
+  SELECT w2.source, CAST(least(
+           (10000 * (t.n // {_TEMP_BUDGET_DENOM}) * w2.w)
+             // (t.wt * w2.n_docs),
+           10000) AS BIGINT) AS rate_bp
+  FROM w2 CROSS JOIN tot t
+)
+SELECT d.doc_id, d.source,
+       CAST(LENGTH(d.clean_text) AS INTEGER) AS n_clean_chars,
+       r.rate_bp
+FROM deduped d JOIN r USING (source)
+WHERE ('0x' || substr(md5('{_TEMP_SEED}:' || d.doc_id), 1, 7))::BIGINT
+      % 10000 < r.rate_bp
+"""
+
+
+@register(
+    "corpus_curation_pipeline",
+    _PIPELINE_ORACLE,
+    doc="End-to-end corpus curation as ONE declarative plan: quality "
+    "gate -> paragraph scrub (first-occurrence window dedup + text "
+    "reconstruction) -> exact dedup of the CLEANED text (min doc_id "
+    "keeper, fully-scrubbed docs drop) -> temperature-scaled source "
+    "sampling with exact integer rates — four certified stages "
+    "composed lazily so Catalyst plans the whole chain; composed "
+    "DuckDB oracle certifies the pipeline output end-to-end",
+    tags=("corpus", "pipeline", "dedup", "sampling", "composition"),
+    staged=True,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    return curation_pipeline(docs)

@@ -265,6 +265,7 @@ def test_no_pathological_join_plans(spark):
         "sample_temperature_mixture",  # 1-row weight/doc totals broadcast
         "stats_ks_drift_sources",  # 1-row (n_a, n_b) totals broadcast
         "eval_decile_lift",  # 1-row base-rate totals broadcast
+        "corpus_curation_pipeline",  # 1-row weight/doc totals broadcast
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
@@ -461,6 +462,8 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
         "eval_decile_lift": {"documents.parquet"},
         # per-day-delta prefix-sum offsets (aggregate-bounded)
         "interval_open_orders_sweep": {"lineitem.parquet", "orders.parquet"},
+        # |sources|-row temperature-rate table (aggregate-bounded)
+        "corpus_curation_pipeline": {"documents.parquet"},
     }
     bounding_ops = (
         "Filter", "HashAggregate", "SortAggregate", "ObjectHashAggregate",
