@@ -1482,3 +1482,67 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (n.cast("double") + F.lit(1.0)) / n
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Global percent_rank / cume_dist without a global sort (round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# The remaining ANSI ranking functions at GLOBAL scope: percent_rank =
+# (rank-1)/(N-1) and cume_dist = peers_through_row/N. An unpartitioned
+# PERCENT_RANK() OVER (ORDER BY ...) single-tasks the relation; here
+# both fall out of the two-pass exact rank (operators/ranking.py) plus
+# a 1-row count broadcast. Ties: the order carries a unique key, so
+# row_number == rank == dense position and cume_dist's peer group is
+# the single row — the oracle mirrors the same total order, making the
+# outputs well-defined doubles with identical division trees.
+
+_PCTRANK_ORACLE = """
+WITH y AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS spend
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT o_custkey, spend,
+         ROW_NUMBER() OVER (ORDER BY spend, o_custkey) AS rk,
+         COUNT(*) OVER () AS n
+  FROM y
+)
+SELECT o_custkey, spend,
+       CAST(rk - 1 AS DOUBLE) / (n - 1) AS pct_rank,
+       CAST(rk AS DOUBLE) / n AS cume_dist
+FROM ranked
+"""
+
+
+@register(
+    "window_global_pctrank",
+    _PCTRANK_ORACLE,
+    doc="Global percent_rank + cume_dist of per-customer spend under a "
+    "(spend, custkey) total order — exact two-pass distributed rank + "
+    "1-row count broadcast instead of an unpartitioned ranking window; "
+    "identical division trees on both engines",
+    tags=("window", "rank", "percentile"),
+    staged=True,
+)
+def window_global_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    y = (
+        read_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .groupBy("o_custkey")
+        .agg(dsum("o_totalprice").alias("spend"))
+    )
+    ranked = exact_global_rank(y, ["spend", "o_custkey"], rank_col="rk")
+    n = y.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "o_custkey",
+            "spend",
+            (
+                (F.col("rk") - 1).cast("double") / (F.col("n") - 1)
+            ).alias("pct_rank"),
+            (F.col("rk").cast("double") / F.col("n")).alias("cume_dist"),
+        )
+    )

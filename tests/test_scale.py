@@ -266,6 +266,7 @@ def test_no_pathological_join_plans(spark):
         "stats_ks_drift_sources",  # 1-row (n_a, n_b) totals broadcast
         "eval_decile_lift",  # 1-row base-rate totals broadcast
         "corpus_curation_pipeline",  # 1-row weight/doc totals broadcast
+        "window_global_pctrank",  # 1-row customer-count broadcast
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
@@ -464,6 +465,8 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
         "interval_open_orders_sweep": {"lineitem.parquet", "orders.parquet"},
         # |sources|-row temperature-rate table (aggregate-bounded)
         "corpus_curation_pipeline": {"documents.parquet"},
+        # prefix-sum offsets + 1-row count aggregates
+        "window_global_pctrank": {"orders.parquet"},
     }
     bounding_ops = (
         "Filter", "HashAggregate", "SortAggregate", "ObjectHashAggregate",
