@@ -1757,3 +1757,181 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "lang", "text"
     )
     return curation_pipeline(docs)
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering: quality-bucket interleave (round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# Training-data pipelines rarely feed documents in storage order: a
+# curriculum schedule buckets the corpus by a difficulty/quality proxy
+# and interleaves the buckets so every training window sees the full
+# mix, while each bucket's internal order is a deterministic shuffle
+# (seeded, reproducible — a re-run must produce byte-identical epoch
+# order for checkpoint resume). This operator emits that schedule for
+# a 4-bucket length curriculum:
+#
+#   bucket          exact NTILE(4) under (n_chars DESC, doc_id) —
+#                   two-pass distributed ntile, no global sort;
+#   pos_in_bucket   deterministic in-bucket shuffle by md5(doc_id) —
+#                   per-bucket rank via the grouped two-pass
+#                   decomposition (4 keys = the low-cardinality case a
+#                   plain PARTITION BY would serialize one task each);
+#   curriculum_pos  global feed position = rank under
+#                   (pos_in_bucket, bucket): round-robin across
+#                   buckets, advancing each bucket's shuffled stream —
+#                   again the two-pass exact rank.
+#
+# Everything is integer ranks and md5 hex — bit-deterministic on both
+# engines at any parallelism.
+
+_CURRICULUM_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(NTILE(4) OVER (ORDER BY n_chars DESC, doc_id) AS INTEGER)
+           AS bucket,
+         md5(CAST(doc_id AS VARCHAR)) AS sk
+  FROM documents
+),
+p AS (
+  SELECT doc_id, bucket,
+         CAST(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY sk, doc_id)
+              AS BIGINT) AS pos_in_bucket
+  FROM b
+)
+SELECT doc_id, bucket, pos_in_bucket,
+       CAST(ROW_NUMBER() OVER (ORDER BY pos_in_bucket, bucket) AS BIGINT)
+         AS curriculum_pos
+FROM p
+"""
+
+
+@register(
+    "curriculum_length_interleave",
+    _CURRICULUM_ORACLE,
+    doc="Deterministic 4-bucket length-curriculum schedule: exact "
+    "distributed NTILE buckets, md5-seeded reproducible in-bucket "
+    "shuffle ranked by the grouped two-pass decomposition, and a "
+    "round-robin global feed position from the exact global rank — "
+    "no step single-partitions an sf-proportional relation",
+    tags=("corpus", "curriculum", "sampling", "rank"),
+    staged=True,
+)
+def curriculum_length_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lambda_lakehouse_spark.operators.ranking import (
+        exact_global_ntile,
+        exact_global_rank,
+        grouped_rank,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    b = exact_global_ntile(
+        d, [F.col("n_chars").desc(), "doc_id"], 4, "bucket"
+    ).select(
+        "doc_id",
+        "bucket",
+        F.md5(F.col("doc_id").cast("string")).alias("sk"),
+    )
+    p = grouped_rank(b, ["bucket"], ["sk", "doc_id"], "pos_in_bucket").select(
+        "doc_id", "bucket", "pos_in_bucket"
+    )
+    return exact_global_rank(
+        p, ["pos_in_bucket", "bucket"], rank_col="curriculum_pos"
+    ).select("doc_id", "bucket", "pos_in_bucket", "curriculum_pos")
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM head: argmax next-word with conditional probability
+# (round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# The count-based companion to corpus_collocations_lift: an exact
+# bigram language-model head — for every context word, the maximum-
+# likelihood next word and its conditional probability P(w2|w1) =
+# c(w1,w2) / Σ_w c(w1,w). This is the corpus statistic behind greedy
+# n-gram generation, OOV-rate projection, and repetition diagnostics;
+# it is also the exact quantity a perplexity monitor needs (log-free
+# here: the certified output is the probability RATIO, an exact
+# integer division — engines disagree on log() rounding, not on
+# BIGINT/BIGINT).
+#
+# Scale: adjacent pairs are a per-document array transform (no
+# self-join); counts are map-side-combined aggregates keyed by the
+# bigram; the argmax-per-context window partitions by w1 — vocabulary-
+# keyed, each group bounded by that context's distinct successors, the
+# standard sharding for an n-gram LM table (hot contexts = stop words
+# would use the same per-partition partial top-1 refinement
+# window_topk_per_group documents).
+
+_BIGRAM_ORACLE = """
+WITH ws AS (
+  SELECT string_split(text, ' ') AS ws FROM documents
+),
+pairs AS (
+  SELECT p.w1, p.w2
+  FROM (
+    SELECT unnest(list_transform(range(1, len(ws)),
+                  i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS p
+    FROM ws WHERE len(ws) >= 2
+  )
+),
+big AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2
+),
+ctx AS (
+  SELECT w1, SUM(c12) AS c1 FROM big GROUP BY 1
+),
+top AS (
+  SELECT w1, w2, c12
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY w1
+                                 ORDER BY c12 DESC, w2) AS rk
+    FROM big
+  )
+  WHERE rk = 1
+)
+SELECT t.w1, t.w2,
+       CAST(t.c12 AS BIGINT) AS c12,
+       CAST(c.c1 AS BIGINT) AS c1,
+       CAST(t.c12 AS DOUBLE) / CAST(c.c1 AS DOUBLE) AS p
+FROM top t JOIN ctx c ON c.w1 = t.w1
+"""
+
+
+@register(
+    "text_bigram_next_word",
+    _BIGRAM_ORACLE,
+    doc="Exact bigram LM head: per-context argmax next word with "
+    "ML conditional probability c(w1,w2)/c(w1,*) — per-document array "
+    "transform (no self-join), map-side-combined bigram counts, "
+    "vocabulary-keyed argmax window, one exact BIGINT division",
+    tags=("text", "corpus", "lm", "ngram"),
+    staged=True,
+)
+def text_bigram_next_word(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("text")
+    base = docs.select(F.split("text", " ").alias("ws"))
+    pairs = base.where(F.size("ws") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> struct(element_at(ws, i) AS w1,"
+                "             element_at(ws, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    w = W.partitionBy("w1").orderBy(F.col("c12").desc(), "w2")
+    top = (
+        big.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("w1", "w2", "c12")
+    )
+    return top.join(ctx, "w1").select(
+        "w1",
+        "w2",
+        F.col("c12").cast("bigint").alias("c12"),
+        F.col("c1").cast("bigint").alias("c1"),
+        (F.col("c12").cast("double") / F.col("c1").cast("double")).alias("p"),
+    )

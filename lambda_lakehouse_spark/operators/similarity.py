@@ -1177,3 +1177,137 @@ FROM v2
 def embed_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return pca_top_component(emb)
+
+
+# ---------------------------------------------------------------------------
+# kNN label-consistency evaluation (round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# The standard intrinsic embedding-quality probe for a training-data
+# pipeline: hold the corpus's own labels out one vector at a time,
+# predict each probe's label by majority vote over its k exact-cosine
+# nearest neighbors (self excluded), and report per-label accuracy.
+# A quality regression in an embedding refresh shows up here before
+# any downstream model sees the vectors — the eval companion to
+# embed_drift_by_dim (which watches the distribution, not the
+# geometry).
+#
+# Plan shape: the scoring front end IS ann_cosine_topk_brute's
+# position-exploded exact-cosine pipeline (cosine_topk — decimal-exact
+# partial sums, broadcast query side, per-query bounded top-k window);
+# the eval tail adds one ≤k-row-per-query vote aggregate, a
+# per-query argmax over ≤|labels| rows, and a |labels|-row final
+# aggregate. At 100 TB the probe set is a sampled slice (here every
+# 5th vector — deterministic, oracle-replayable) and the front end
+# swaps to the IVF candidate generator with the identical rescoring
+# tail — the eval tail is unchanged.
+#
+# Cross-engine exactness: votes and corrects are integers; accuracy is
+# one double division of exact BIGINTs. Vote ties break by (count
+# DESC, label ASC) on both engines.
+
+EVAL_KNN_MOD = 5
+
+_KNN_EVAL_ORACLE = f"""
+WITH flat AS (
+  SELECT vec_id, label, pos, CAST(embedding[pos] AS DOUBLE) AS val
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS pos)
+),
+norms AS (
+  SELECT vec_id, {_ssum_sql("val * val")} AS n2
+  FROM flat GROUP BY vec_id
+),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_ssum_sql("q.val * c.val")} AS dot
+  FROM flat q
+  JOIN flat c ON q.pos = c.pos AND c.vec_id <> q.vec_id
+  WHERE q.vec_id % {EVAL_KNN_MOD} = 0
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id, dot / sqrt(nq.n2 * nc.n2) AS cos_sim
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = neighbor_id
+),
+knn AS (
+  SELECT query_id, neighbor_id
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rk
+    FROM scored
+  )
+  WHERE rk <= {TOP_K}
+),
+votes AS (
+  SELECT k.query_id, e.label AS n_label, COUNT(*) AS cnt
+  FROM knn k JOIN embeddings e ON e.vec_id = k.neighbor_id
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT query_id, n_label
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cnt DESC, n_label) AS rk
+    FROM votes
+  )
+  WHERE rk = 1
+),
+ev AS (
+  SELECT q.label AS label,
+         CASE WHEN p.n_label = q.label THEN 1 ELSE 0 END AS ok
+  FROM pred p JOIN embeddings q ON q.vec_id = p.query_id
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(ok) AS BIGINT) AS n_correct,
+       CAST(SUM(ok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS accuracy
+FROM ev GROUP BY 1
+"""
+
+
+@register(
+    "eval_knn_label_accuracy",
+    _KNN_EVAL_ORACLE,
+    doc="Per-label leave-one-out kNN classification accuracy over the "
+    "embedding corpus: exact-cosine top-k front end (the certified "
+    "brute pipeline), majority vote with (count DESC, label) "
+    "tie-break, integer-exact counts, one double division — the "
+    "intrinsic embedding-quality eval a vector refresh gates on",
+    tags=("similarity", "vector", "eval", "knn"),
+    staged=True,
+)
+def eval_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    topk = cosine_topk(emb, F.col("vec_id") % EVAL_KNN_MOD == 0, k=TOP_K)
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    qlab = emb.where(F.col("vec_id") % EVAL_KNN_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .groupBy("query_id", "n_label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cnt").desc(), "n_label")
+    pred = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("query_id", "n_label")
+    )
+    ev = pred.join(qlab, "query_id").select(
+        F.col("q_label").alias("label"),
+        F.when(F.col("n_label") == F.col("q_label"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("ok"),
+    )
+    return ev.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum("ok").cast("bigint").alias("n_correct"),
+        (F.sum("ok").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "accuracy"
+        ),
+    )

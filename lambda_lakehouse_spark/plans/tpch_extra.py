@@ -1546,3 +1546,107 @@ def window_global_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rk").cast("double") / F.col("n")).alias("cume_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact interpolated global percentiles without a global sort (round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# PERCENTILE_CONT(p) WITHIN GROUP (ORDER BY ...) at GLOBAL scope is the
+# canonical order statistic: position pos = (n-1)*p, linear
+# interpolation between the two bracketing values. A naive plan sorts
+# the whole relation (or windows it unpartitioned); here the two
+# bracketing ranks are picked out of the two-pass range-partitioned
+# exact rank (operators/ranking.py) via a broadcast 2*|p|-row rank
+# spec — the relation is range-sharded and locally ranked, never
+# single-partitioned. Determinism: all interpolation arithmetic is
+# IEEE double with an identical expression tree on both engines
+# (value = v_lo + frac * (v_hi - v_lo); frac = pos - floor(pos)); the
+# bracketing VALUES are selected, not aggregated, so no sum-ordering
+# concern exists.
+
+_PCTL_PS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+_PCTL_ORACLE = f"""
+WITH v AS (
+  SELECT o_totalprice AS price, o_orderkey AS k FROM orders
+),
+n AS (SELECT COUNT(*) AS n FROM v),
+spec AS (
+  SELECT CAST(pct AS DOUBLE) AS pct,
+         CAST(n - 1 AS DOUBLE) * CAST(pct AS DOUBLE) AS pos
+  FROM n, (SELECT UNNEST([{", ".join(str(p) for p in _PCTL_PS)}]) AS pct)
+),
+spec2 AS (
+  SELECT pct,
+         CAST(FLOOR(pos) AS BIGINT) + 1 AS lo_rk,
+         CAST(CEIL(pos)  AS BIGINT) + 1 AS hi_rk,
+         pos - CAST(FLOOR(pos) AS DOUBLE) AS frac
+  FROM spec
+),
+melt AS (
+  SELECT pct, frac, lo_rk AS rk, 'lo' AS which FROM spec2
+  UNION ALL
+  SELECT pct, frac, hi_rk AS rk, 'hi' AS which FROM spec2
+),
+ranked AS (
+  SELECT price, ROW_NUMBER() OVER (ORDER BY price, k) AS rk FROM v
+),
+picked AS (
+  SELECT m.pct, m.frac,
+         MAX(CASE WHEN m.which = 'lo' THEN r.price END) AS v_lo,
+         MAX(CASE WHEN m.which = 'hi' THEN r.price END) AS v_hi
+  FROM melt m JOIN ranked r ON r.rk = m.rk
+  GROUP BY m.pct, m.frac
+)
+SELECT pct, v_lo + frac * (v_hi - v_lo) AS value
+FROM picked
+"""
+
+
+@register(
+    "agg_percentile_cont_global",
+    _PCTL_ORACLE,
+    doc="Exact PERCENTILE_CONT at global scope (p25/p50/p75/p90/p99 of "
+    "order totalprice) — two-pass range-partitioned exact rank plus a "
+    "broadcast 2x|p|-row bracketing-rank spec instead of a global "
+    "sort; interpolation arithmetic has an identical IEEE expression "
+    "tree on both engines",
+    tags=("agg", "percentile", "order-statistics"),
+    staged=True,
+)
+def agg_percentile_cont_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = read_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("price"), F.col("o_orderkey").alias("k")
+    )
+    n_df = v.agg(F.count(F.lit(1)).alias("n"))
+    spec = (
+        n_df.select(
+            F.explode(
+                F.array(*[F.lit(float(p)) for p in _PCTL_PS])
+            ).alias("pct"),
+            "n",
+        )
+        .withColumn("pos", (F.col("n") - 1).cast("double") * F.col("pct"))
+        .withColumn("lo_rk", F.expr("cast(floor(pos) as bigint) + 1"))
+        .withColumn("hi_rk", F.expr("cast(ceil(pos) as bigint) + 1"))
+        .withColumn("frac", F.col("pos") - F.expr("cast(floor(pos) as double)"))
+    )
+    melt = spec.selectExpr(
+        "pct", "frac", "stack(2, 'lo', lo_rk, 'hi', hi_rk) as (which, rk)"
+    )
+    ranked = exact_global_rank(v, ["price", "k"], rank_col="rk")
+    picked = (
+        ranked.join(F.broadcast(melt), "rk")
+        .groupBy("pct", "frac")
+        .agg(
+            F.max(F.when(F.col("which") == "lo", F.col("price"))).alias("v_lo"),
+            F.max(F.when(F.col("which") == "hi", F.col("price"))).alias("v_hi"),
+        )
+    )
+    return picked.select(
+        "pct",
+        (F.col("v_lo") + F.col("frac") * (F.col("v_hi") - F.col("v_lo"))).alias(
+            "value"
+        ),
+    )

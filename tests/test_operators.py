@@ -702,3 +702,76 @@ def test_grouped_prefix_sum_rank_equals_window(spark):
         assert npart == 20000
     finally:
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+
+
+def test_triangle_stats_crafted_and_naive(spark):
+    """triangle_stats == hand-countable truths on crafted graphs, and
+    == a naive all-triple enumeration on a pseudo-random graph (the
+    degree-oriented join must count every triangle exactly once)."""
+    from itertools import combinations
+
+    from lambda_lakehouse_spark.operators.graph import triangle_stats
+
+    # K4 plus a pendant vertex: C(4,3)=4 triangles; wedges =
+    # 3*C(3,2) + C(4,2)... compute from degrees: degs 3,3,3,4,1
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    row = triangle_stats(
+        spark.createDataFrame(k4, "c1 int, c2 int")
+    ).collect()[0]
+    assert row.n_vertices == 5 and row.n_edges == 7
+    assert row.n_triangles == 4
+    degs = {1: 3, 2: 3, 3: 3, 4: 4, 5: 1}
+    assert row.n_wedges == sum(d * (d - 1) // 2 for d in degs.values())
+    assert row.clustering_coeff == 3 * 4 / row.n_wedges
+
+    # deterministic pseudo-random graph vs naive triple check
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for i in range(300)
+            for a, b in [((i * 7919) % 40, (i * i * 104729 + 13) % 40)]
+            if a != b
+        }
+    )
+    eset = set(edges)
+    naive = sum(
+        1
+        for u, v, w in combinations(range(40), 3)
+        if (u, v) in eset and (u, w) in eset and (v, w) in eset
+    )
+    row = triangle_stats(
+        spark.createDataFrame(edges, "c1 int, c2 int")
+    ).collect()[0]
+    assert row.n_triangles == naive
+    assert row.n_edges == len(edges)
+
+
+def test_curriculum_interleave_invariants(spark):
+    """The curriculum schedule is a permutation that round-robins the
+    buckets: sorted by curriculum_pos, positions advance bucket-by-
+    bucket — every doc at in-bucket position p feeds before every doc
+    at position p+1, and within one position level buckets feed in
+    bucket order."""
+    from lambda_lakehouse_spark.registry import load_staged
+
+    q = load_staged()["curriculum_length_interleave"]
+    rows = q.spark(spark, "/root/testdata/sf0.001").collect()
+    n = len(rows)
+    assert n == 500
+    assert sorted(r.curriculum_pos for r in rows) == list(range(1, n + 1))
+    # bucket sizes differ by at most 1 (exact ntile)
+    sizes = {}
+    for r in rows:
+        sizes[r.bucket] = sizes.get(r.bucket, 0) + 1
+    assert set(sizes) == {1, 2, 3, 4}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # per-bucket positions are 1..size
+    per = {}
+    for r in rows:
+        per.setdefault(r.bucket, []).append(r.pos_in_bucket)
+    for b, ps in per.items():
+        assert sorted(ps) == list(range(1, sizes[b] + 1))
+    # global feed order == lexicographic (pos_in_bucket, bucket)
+    feed = sorted(rows, key=lambda r: r.curriculum_pos)
+    keys = [(r.pos_in_bucket, r.bucket) for r in feed]
+    assert keys == sorted(keys)

@@ -267,6 +267,10 @@ def test_no_pathological_join_plans(spark):
         "eval_decile_lift",  # 1-row base-rate totals broadcast
         "corpus_curation_pipeline",  # 1-row weight/doc totals broadcast
         "window_global_pctrank",  # 1-row customer-count broadcast
+        "graph_triangle_count",  # 1-row edge-count + triangle-count broadcasts
+        "stats_benford_first_digit",  # 1-row digit-total broadcast
+        "stats_chi2_lang_source",  # 1-row grand-total broadcast
+        "curriculum_length_interleave",  # ntile's 1-row total broadcast
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
@@ -467,6 +471,19 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
         "corpus_curation_pipeline": {"documents.parquet"},
         # prefix-sum offsets + 1-row count aggregates
         "window_global_pctrank": {"orders.parquet"},
+        # exact-rank offsets + 1-row count / 2x|p|-row bracket spec
+        "agg_percentile_cont_global": {"orders.parquet"},
+        # ntile totals + exact-rank offsets (grouped-rank joins unhinted)
+        "curriculum_length_interleave": {"documents.parquet"},
+        # exact-rank offsets + 1-row edge/triangle count aggregates
+        "graph_triangle_count": {"lineitem.parquet", "orders.parquet"},
+        # filter-bounded probe side + 1-row query-norm aggregates
+        # (cosine_topk's broadcast query relation)
+        "eval_knn_label_accuracy": {"embeddings.parquet"},
+        # 1-row digit-total aggregate
+        "stats_benford_first_digit": {"orders.parquet"},
+        # 1-row grand-total aggregate
+        "stats_chi2_lang_source": {"documents.parquet"},
     }
     bounding_ops = (
         "Filter", "HashAggregate", "SortAggregate", "ObjectHashAggregate",
