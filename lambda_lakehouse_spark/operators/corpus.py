@@ -1935,3 +1935,92 @@ def text_bigram_next_word(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c1").cast("bigint").alias("c1"),
         (F.col("c12").cast("double") / F.col("c1").cast("double")).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split (round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# The split step every training-data pipeline runs LAST, and the one
+# most often done wrong: assigning splits per-document leaks near-
+# identical content across train and eval. The correct unit of
+# assignment is the DEDUP CLUSTER — here the exact-duplicate cluster
+# (content fingerprint; the same helper accepts the connected-
+# component cluster id from dedup_connected_components as the key at
+# the near-dup tier). The split is a pure function of the cluster
+# key, so (a) two duplicate documents can NEVER straddle splits, and
+# (b) the assignment is reproducible run-to-run and engine-to-engine
+# with no RNG: the md5 of the salted cluster key is uniform, and its
+# HEX PREFIX compared lexicographically against fixed thresholds
+# buckets it 80/10/10 ('0'..'9' < 'a'..'f' in ASCII, so hex-string
+# order IS numeric order — both engines agree byte-for-byte).
+#
+# Plan shape: fingerprint + split are a map-only projection (no
+# shuffle at any scale); the attached cluster_size is one groupBy on
+# the fingerprint — the same shuffle exact dedup already pays.
+# Output is per-document: the assignment table a trainer consumes.
+
+_SPLIT_TRAIN_LT = "cd"  # 0xcd = 205/256 ≈ 80.1 % train
+_SPLIT_VAL_LT = "e6"  # 0xe6 = 230/256 ≈  9.8 % val; rest test
+
+_SPLIT_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, md5(text) AS cluster_key,
+         SUBSTR(md5(md5(text) || ':split'), 1, 2) AS h
+  FROM documents
+),
+cs AS (
+  SELECT cluster_key, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM d GROUP BY 1
+)
+SELECT d.doc_id, d.cluster_key, cs.cluster_size,
+       CASE WHEN d.h < '{_SPLIT_TRAIN_LT}' THEN 'train'
+            WHEN d.h < '{_SPLIT_VAL_LT}' THEN 'val'
+            ELSE 'test' END AS split
+FROM d JOIN cs USING (cluster_key)
+"""
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    key,
+    train_lt: str = _SPLIT_TRAIN_LT,
+    val_lt: str = _SPLIT_VAL_LT,
+) -> DataFrame:
+    """Split assignment as a pure function of the cluster key ``key``
+    (a Column): every row sharing a key shares a split. Adds
+    cluster_key, cluster_size, split."""
+    d = docs.withColumn("cluster_key", key).withColumn(
+        "h", F.substring(F.md5(F.concat(F.col("cluster_key"), F.lit(":split"))), 1, 2)
+    )
+    cs = d.groupBy("cluster_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        d.join(cs, "cluster_key")
+        .withColumn(
+            "split",
+            F.when(F.col("h") < train_lt, F.lit("train"))
+            .when(F.col("h") < val_lt, F.lit("val"))
+            .otherwise(F.lit("test")),
+        )
+        .drop("h")
+    )
+
+
+@register(
+    "split_leakage_safe",
+    _SPLIT_ORACLE,
+    doc="Leakage-safe train/val/test assignment at the dedup-cluster "
+    "grain: split is a pure function of the content-fingerprint "
+    "cluster key (salted-md5 hex prefix vs fixed thresholds, 80/10/10) "
+    "so duplicates never straddle splits; map-only projection plus the "
+    "one dedup shuffle for cluster sizes, RNG-free and reproducible",
+    tags=("corpus", "sampling", "dedup", "split"),
+    staged=True,
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return leakage_safe_split(docs, F.md5(F.col("text"))).select(
+        "doc_id", "cluster_key", "cluster_size", "split"
+    )

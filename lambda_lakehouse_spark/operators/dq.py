@@ -217,3 +217,133 @@ FROM per p CROSS JOIN gmax g
 def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select("event_type", "ts")
     return freshness_lag(ev)
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit across the foreign-key graph (round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# The cross-TABLE complement of with_expectations (which checks rows
+# against rules inside one table): for every declared FK edge, count
+# orphan children (FK value with no parent — a broken ingest or a
+# too-early child load), NULL FKs (three-valued logic hides these
+# from a plain anti-join), and unreferenced parents (dimension rows
+# no fact ever touches — retention/archival candidates and a join-
+# explosion early warning). This is the audit a warehouse runs after
+# every load batch; the reference enforces the same edges implicitly
+# by joining stg tables and silently dropping mismatches
+# (vn_stg_processing.py's inner joins) — here the mismatch COUNTS are
+# the product.
+#
+# Plan shape per edge: the child side reduces to its distinct FK
+# domain FIRST (map-side-combined aggregate, so the anti-joins run
+# on |domain| not |fact| rows), then two anti-joins (child-not-in-
+# parent, parent-not-in-child) and three 1-row count aggregates
+# combine via broadcast cross joins. At 100 TB every anti-join
+# shuffles on the key domain — bounded by dimension cardinality, not
+# fact row count; nothing sf-proportional is ever hint-broadcast.
+# Output is |edges| rows.
+
+_FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def fk_edge_audit(
+    child: DataFrame, ck: str, parent: DataFrame, pk: str, edge: str
+) -> DataFrame:
+    """One audit row for FK edge ``child.ck -> parent.pk``:
+    (edge, n_child_rows, n_null_fk, n_fk_values, n_orphan_values,
+    n_parent_keys, n_unreferenced_parents)."""
+    c = child.select(F.col(ck).alias("k"))
+    p = parent.select(F.col(pk).alias("k")).distinct()
+    base = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_child_rows"),
+        F.sum(F.col("k").isNull().cast("int")).cast("bigint").alias(
+            "n_null_fk"
+        ),
+    )
+    dom = c.where(F.col("k").isNotNull()).distinct()
+    nfk = dom.agg(F.count(F.lit(1)).cast("bigint").alias("n_fk_values"))
+    orph = dom.join(p, "k", "left_anti").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orphan_values")
+    )
+    npar = p.agg(F.count(F.lit(1)).cast("bigint").alias("n_parent_keys"))
+    unref = p.join(dom, "k", "left_anti").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_unreferenced_parents")
+    )
+    return (
+        base.crossJoin(F.broadcast(nfk))
+        .crossJoin(F.broadcast(orph))
+        .crossJoin(F.broadcast(npar))
+        .crossJoin(F.broadcast(unref))
+        .select(
+            F.lit(edge).alias("edge"),
+            "n_child_rows",
+            "n_null_fk",
+            "n_fk_values",
+            "n_orphan_values",
+            "n_parent_keys",
+            "n_unreferenced_parents",
+        )
+    )
+
+
+def _fk_edge_oracle(ct: str, ck: str, pt: str, pk: str) -> str:
+    return f"""
+SELECT '{ct}.{ck}->{pt}.{pk}' AS edge,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {ct}) AS n_child_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {ct} WHERE {ck} IS NULL)
+         AS n_null_fk,
+       (SELECT CAST(COUNT(DISTINCT {ck}) AS BIGINT) FROM {ct})
+         AS n_fk_values,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM
+          (SELECT DISTINCT {ck} AS k FROM {ct} WHERE {ck} IS NOT NULL) d
+          WHERE NOT EXISTS (SELECT 1 FROM {pt} WHERE {pk} = d.k))
+         AS n_orphan_values,
+       (SELECT CAST(COUNT(DISTINCT {pk}) AS BIGINT) FROM {pt})
+         AS n_parent_keys,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM
+          (SELECT DISTINCT {pk} AS k FROM {pt}) p
+          WHERE NOT EXISTS (SELECT 1 FROM {ct} WHERE {ck} = p.k))
+         AS n_unreferenced_parents
+"""
+
+
+_FK_ORACLE = "\nUNION ALL\n".join(
+    _fk_edge_oracle(ct, ck, pt, pk) for ct, ck, pt, pk in _FK_EDGES
+)
+
+
+@register(
+    "dq_referential_integrity",
+    _FK_ORACLE,
+    doc="Post-load referential-integrity audit of the full FK graph: "
+    "per edge, orphan FK values (anti-join on the distinct key "
+    "domain, not the fact), NULL FKs, and unreferenced parents — "
+    "anti-joins shuffle on dimension-bounded key domains; output is "
+    "|edges| rows",
+    tags=("quality", "dq", "join", "anti"),
+    staged=True,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = {
+        t: read_table(spark, sf_dir, t)
+        for t in {e[0] for e in _FK_EDGES} | {e[2] for e in _FK_EDGES}
+    }
+    parts = [
+        fk_edge_audit(
+            tables[ct], ck, tables[pt], pk, f"{ct}.{ck}->{pt}.{pk}"
+        )
+        for ct, ck, pt, pk in _FK_EDGES
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

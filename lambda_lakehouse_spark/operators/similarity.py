@@ -1311,3 +1311,140 @@ def eval_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "accuracy"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space label separation (centroid margin) — round-7 staged
+# ---------------------------------------------------------------------------
+#
+# The geometry companion to eval_knn_label_accuracy: instead of
+# voting over neighbors, score every vector's cosine to its own
+# label's centroid vs the nearest OTHER label's centroid. The margin
+# (own - nearest-other) is the per-vector separation score a
+# clustering/classification eval reads off an embedding refresh;
+# negative-margin vectors are the confusable frontier worth routing
+# to human review or harder-negative mining.
+#
+# Plan shape: centroids are a (label, pos) aggregate — |labels|×dims
+# rows, broadcast by construction; per-vector scores join the
+# position-exploded corpus against that broadcast (shuffle key =
+# (vec_id, clabel), map-side combined); the nearest-other argmax is a
+# window over ≤|labels|-1 rows per vector — bounded, never global.
+# At 100 TB nothing grows but the corpus-keyed aggregates.
+#
+# Cross-engine exactness: the same floor-scaled integer sums as every
+# cosine path here (_scaled_sum); centroid values are one double
+# division of those exact sums; products/sqrt/subtraction are single
+# correctly-rounded IEEE ops, so both engines emit identical doubles.
+
+_SEP_ORACLE = f"""
+WITH flat AS (
+  SELECT vec_id, label, pos, CAST(embedding[pos] AS DOUBLE) AS val
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS pos)
+),
+cnt AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY 1),
+cent AS (
+  SELECT f.label AS clabel, f.pos,
+         ({_ssum_sql("f.val")}) / CAST(MAX(c.n) AS DOUBLE) AS cv
+  FROM flat f JOIN cnt c ON c.label = f.label
+  GROUP BY 1, 2
+),
+cn2 AS (SELECT clabel, {_ssum_sql("cv * cv")} AS cn2 FROM cent GROUP BY 1),
+vn2 AS (SELECT vec_id, {_ssum_sql("val * val")} AS vn2 FROM flat GROUP BY 1),
+dots AS (
+  SELECT f.vec_id, f.label, ct.clabel, {_ssum_sql("f.val * ct.cv")} AS dot
+  FROM flat f JOIN cent ct ON ct.pos = f.pos
+  GROUP BY 1, 2, 3
+),
+cos AS (
+  SELECT d.vec_id, d.label, d.clabel,
+         d.dot / sqrt(v.vn2 * c.cn2) AS cos_sim
+  FROM dots d JOIN vn2 v USING (vec_id) JOIN cn2 c USING (clabel)
+),
+own AS (
+  SELECT vec_id, label, cos_sim AS cos_own FROM cos WHERE clabel = label
+),
+oth AS (
+  SELECT vec_id, clabel AS other_label, cos_sim AS cos_other
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_sim DESC, clabel) AS rk
+    FROM cos WHERE clabel <> label
+  )
+  WHERE rk = 1
+)
+SELECT o.vec_id, o.label, o.cos_own, t.other_label, t.cos_other,
+       o.cos_own - t.cos_other AS margin
+FROM own o JOIN oth t USING (vec_id)
+"""
+
+
+@register(
+    "embed_label_separation",
+    _SEP_ORACLE,
+    doc="Per-vector centroid-margin separation score: cosine to the "
+    "own-label centroid vs the nearest other-label centroid, margin = "
+    "difference — centroids are a broadcast |labels|x|dims| aggregate, "
+    "scores are floor-scaled integer sums keyed by (vec, label), the "
+    "nearest-other argmax is a <=|labels|-row bounded window; the "
+    "confusable-frontier eval an embedding refresh gates on",
+    tags=("similarity", "vector", "eval", "agg"),
+    staged=True,
+)
+def embed_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    flat = _flat(emb)
+    cnt = emb.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cent = (
+        flat.groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(_scaled_sum(F.col("val")).alias("s"))
+        .join(F.broadcast(cnt.withColumnRenamed("label", "clabel")), "clabel")
+        .select(
+            "clabel", "pos", (F.col("s") / F.col("n").cast("double")).alias("cv")
+        )
+    )
+    cn2 = cent.groupBy("clabel").agg(
+        _scaled_sum(F.col("cv") * F.col("cv")).alias("cn2")
+    )
+    vn2 = flat.groupBy("vec_id").agg(
+        _scaled_sum(F.col("val") * F.col("val")).alias("vn2")
+    )
+    dots = (
+        flat.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(_scaled_sum(F.col("val") * F.col("cv")).alias("dot"))
+    )
+    cos = (
+        dots.join(vn2, "vec_id")
+        .join(F.broadcast(cn2), "clabel")
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            (F.col("dot") / F.sqrt(F.col("vn2") * F.col("cn2"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    own = cos.where(F.col("clabel") == F.col("label")).select(
+        "vec_id", "label", F.col("cos_sim").alias("cos_own")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), "clabel")
+    oth = (
+        cos.where(F.col("clabel") != F.col("label"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "vec_id",
+            F.col("clabel").alias("other_label"),
+            F.col("cos_sim").alias("cos_other"),
+        )
+    )
+    return own.join(oth, "vec_id").select(
+        "vec_id",
+        "label",
+        "cos_own",
+        "other_label",
+        "cos_other",
+        (F.col("cos_own") - F.col("cos_other")).alias("margin"),
+    )

@@ -775,3 +775,72 @@ def test_curriculum_interleave_invariants(spark):
     feed = sorted(rows, key=lambda r: r.curriculum_pos)
     keys = [(r.pos_in_bucket, r.bucket) for r in feed]
     assert keys == sorted(keys)
+
+
+def test_fk_edge_audit_crafted(spark):
+    """Orphans, NULL FKs, and unreferenced parents are counted exactly
+    on a crafted edge (values chosen so every metric is nonzero)."""
+    from lambda_lakehouse_spark.operators.dq import fk_edge_audit
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (98,), (None,), (None,)],
+        "fk int",
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,), (4,)], "pk int")
+    row = fk_edge_audit(child, "fk", parent, "pk", "c.fk->p.pk").collect()[0]
+    assert row.edge == "c.fk->p.pk"
+    assert row.n_child_rows == 7
+    assert row.n_null_fk == 2
+    assert row.n_fk_values == 4  # {1, 2, 99, 98}
+    assert row.n_orphan_values == 2  # {99, 98}
+    assert row.n_parent_keys == 4
+    assert row.n_unreferenced_parents == 2  # {3, 4}
+
+
+def test_leakage_safe_split_duplicates_never_straddle(spark):
+    """Every document sharing a cluster key lands in the same split,
+    and all three splits appear over many distinct clusters."""
+    from pyspark.sql import functions as F
+
+    from lambda_lakehouse_spark.operators.corpus import leakage_safe_split
+
+    rows = [(i, f"text-{i % 40}") for i in range(200)]  # 40 clusters x 5 dups
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = leakage_safe_split(docs, F.md5(F.col("text"))).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.cluster_key, set()).add(r.split)
+        assert r.cluster_size == 5
+    assert all(len(s) == 1 for s in by_key.values())
+    assert len(by_key) == 40
+    splits = {next(iter(s)) for s in by_key.values()}
+    assert splits == {"train", "val", "test"}
+
+
+def test_embed_label_separation_orthogonal_labels(spark):
+    """Two labels of identical one-hot vectors: cosine to the own
+    centroid is exactly 1.0, to the other exactly 0.0, margin 1.0
+    (floor-scaled integer sums keep these values exact)."""
+    from lambda_lakehouse_spark.registry import load_staged
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0], 0),
+            (2, [1.0, 0.0, 0.0, 0.0], 0),
+            (3, [0.0, 1.0, 0.0, 0.0], 1),
+            (4, [0.0, 1.0, 0.0, 0.0], 1),
+        ],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        emb.write.parquet(f"{d}/embeddings.parquet")
+        q = load_staged()["embed_label_separation"]
+        rows = q.spark(spark, d).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r.cos_own == 1.0
+        assert r.cos_other == 0.0
+        assert r.margin == 1.0
+        assert r.other_label != r.label

@@ -271,6 +271,7 @@ def test_no_pathological_join_plans(spark):
         "stats_benford_first_digit",  # 1-row digit-total broadcast
         "stats_chi2_lang_source",  # 1-row grand-total broadcast
         "curriculum_length_interleave",  # ntile's 1-row total broadcast
+        "dq_referential_integrity",  # per-edge 1-row count broadcasts
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
@@ -484,6 +485,16 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
         "stats_benford_first_digit": {"orders.parquet"},
         # 1-row grand-total aggregate
         "stats_chi2_lang_source": {"documents.parquet"},
+        # per-edge 1-row orphan/parent count aggregates
+        "dq_referential_integrity": {
+            "lineitem.parquet",
+            "orders.parquet",
+            "customer.parquet",
+            "supplier.parquet",
+            "part.parquet",
+        },
+        # |labels|x|dims|-row centroid aggregate + |labels|-row norms
+        "embed_label_separation": {"embeddings.parquet"},
     }
     bounding_ops = (
         "Filter", "HashAggregate", "SortAggregate", "ObjectHashAggregate",
