@@ -1825,16 +1825,19 @@ def curriculum_length_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # lazy checkpoints between the three chained rank passes — see the
+    # chained-call note in operators/ranking.py (each pass consumes
+    # its input in two branches; unchecked, the duplication compounds)
     b = exact_global_ntile(
         d, [F.col("n_chars").desc(), "doc_id"], 4, "bucket"
     ).select(
         "doc_id",
         "bucket",
         F.md5(F.col("doc_id").cast("string")).alias("sk"),
-    )
+    ).localCheckpoint(eager=False)
     p = grouped_rank(b, ["bucket"], ["sk", "doc_id"], "pos_in_bucket").select(
         "doc_id", "bucket", "pos_in_bucket"
-    )
+    ).localCheckpoint(eager=False)
     return exact_global_rank(
         p, ["pos_in_bucket", "bucket"], rank_col="curriculum_pos"
     ).select("doc_id", "bucket", "pos_in_bucket", "curriculum_pos")

@@ -109,6 +109,18 @@ def _ranked_and_counts(
         .withColumn("_egr_lrank", F.col("_egr_mid") % F.lit(1 << 33) + 1)
         .drop("_egr_mid")
     )
+    # NOTE ON CHAINED CALLS: the counts branch and the ranked branch
+    # both consume ``tagged``; exchange reuse usually collapses that
+    # within ONE pass, but when a caller CHAINS rank passes the
+    # 2-branch duplication COMPOUNDS (RFM's three ntiles re-evaluated
+    # the base aggregate ~8x — 27 parquet scans in the initial plan).
+    # Callers that chain passes must truncate lineage between them
+    # with ``df.localCheckpoint(eager=False)`` — lazy, so plan-only
+    # consumers (guardrail sweeps, registration) execute nothing, and
+    # honest under repeated benchmarking, unlike persist(), whose
+    # CacheManager substitution would silently serve later runs from
+    # cache. Deliberately NOT done here centrally: it would hide every
+    # caller's below-rank subtree from the plan guardrails.
     counts = tagged.groupBy("_egr_pid").agg(
         F.count(F.lit(1)).alias("_egr_c")
     )

@@ -1151,13 +1151,18 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact NTILE(5) per metric via the two-pass range-partitioned rank
     # (operators/ranking.py) — identical buckets to a global-sort
-    # NTILE, but the customer-sized relation is never single-sorted
+    # NTILE, but the customer-sized relation is never single-sorted.
+    # Lazy checkpoints between the three chained passes stop the
+    # two-branch lineage of each pass from compounding (without them
+    # the base aggregate re-evaluates ~8x — 27 parquet scans; with
+    # them, once per pass: 2.43s -> 1.42s at sf0.1, identical output).
+    rfm = rfm.localCheckpoint(eager=False)
     scored = exact_global_ntile(
         rfm, [F.col("last_order").desc(), "c_custkey"], 5, "r_score"
-    )
+    ).localCheckpoint(eager=False)
     scored = exact_global_ntile(
         scored, [F.col("frequency").desc(), "c_custkey"], 5, "f_score"
-    )
+    ).localCheckpoint(eager=False)
     scored = exact_global_ntile(
         scored, [F.col("monetary").desc(), "c_custkey"], 5, "m_score"
     )
