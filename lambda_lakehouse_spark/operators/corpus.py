@@ -654,11 +654,15 @@ def collocations_lift(
     Returns (rank, w1, w2, c_xy, lift) with deterministic
     (lift DESC, w1, w2) ordering.
     """
+    # the unigram and bigram count aggregates each feed multiple
+    # consumers (totals + the two lift joins) — lazy checkpoints run
+    # each aggregation once (chained-call note, operators/ranking.py)
     base = docs.select(F.split("text", " ").alias("ws"))
     uni = (
         base.select(F.explode("ws").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     pairs = base.where(F.size("ws") >= 2).select(
         F.explode(
@@ -669,7 +673,9 @@ def collocations_lift(
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
-    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    big = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c_xy")
+    ).localCheckpoint(eager=False)
     totals = uni.agg(F.sum("c").alias("nt")).crossJoin(
         big.agg(F.sum("c_xy").alias("nb"))
     )
@@ -1602,6 +1608,9 @@ def curation_pipeline(docs: DataFrame, para_len: int = PARA_LEN) -> DataFrame:
         passed.select("doc_id", "source"), "doc_id"
     )
     ne = cleaned.where(F.col("clean_text") != "")
+    # the scrub -> dedup chain feeds both the per-source stats and the
+    # final sampled output — lazy-checkpoint so the whole upstream
+    # pipeline runs once (chained-call note, operators/ranking.py)
     deduped = (
         ne.groupBy(F.md5("clean_text").alias("_fp"))
         .agg(
@@ -1610,6 +1619,7 @@ def curation_pipeline(docs: DataFrame, para_len: int = PARA_LEN) -> DataFrame:
             ).alias("_keep")
         )
         .select("_keep.doc_id", "_keep.source", "_keep.clean_text")
+        .localCheckpoint(eager=False)
     )
 
     s = deduped.groupBy("source").agg(

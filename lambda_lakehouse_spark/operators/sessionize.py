@@ -532,7 +532,14 @@ def mad_anomalies(
         grouped_prefix_sum_rank,
     )
 
-    base = events.select(id_col, group_col, value_col)
+    # base feeds the count, the first median, and the deviation join;
+    # dev feeds the second median and the final filter — two chained
+    # grouped-rank passes over multi-use inputs compound to ~13
+    # re-derivations without lineage truncation (chained-call note in
+    # operators/ranking.py). Lazy checkpoints run each once.
+    base = events.select(id_col, group_col, value_col).localCheckpoint(
+        eager=False
+    )
     cnt = base.groupBy(group_col).agg(F.count(F.lit(1)).alias("_cnt"))
 
     def _grouped_median(df, val_col, out_col):
@@ -554,8 +561,10 @@ def mad_anomalies(
         )
 
     med = _grouped_median(base, value_col, "med")
-    dev = base.join(med, group_col).withColumn(
-        "dev", F.abs(F.col(value_col) - F.col("med"))
+    dev = (
+        base.join(med, group_col)
+        .withColumn("dev", F.abs(F.col(value_col) - F.col("med")))
+        .localCheckpoint(eager=False)
     )
     mad = _grouped_median(dev, "dev", "mad")
     return (

@@ -1104,6 +1104,13 @@ def pca_top_component(emb: DataFrame, n_iter: int = 2) -> DataFrame:
         (F.col("pos0") + 1).alias("pos"),
         F.col("valf").cast("double").alias("val"),
     )
+    # flat is consumed twice per iteration (X·v and Xᵀ·s) and the
+    # iterations chain — unchecked, the duplication compounds to ~24
+    # re-derivations of the exploded corpus (see the chained-call note
+    # in operators/ranking.py). One lazy checkpoint settles it; the
+    # 64-row v is checkpointed per round so the NEXT round's two
+    # branches re-read 64 rows instead of the whole previous round.
+    flat = flat.localCheckpoint(eager=False)
     v = flat.select("pos").distinct().select(
         "pos", F.lit(_PCA_V0).alias("v")
     )
@@ -1112,7 +1119,7 @@ def pca_top_component(emb: DataFrame, n_iter: int = 2) -> DataFrame:
         w, norm = _pca_iterate(flat, v)
         v = w.crossJoin(F.broadcast(norm)).select(
             "pos", (F.col("w") / F.col("norm")).alias("v")
-        )
+        ).localCheckpoint(eager=False)
     return v.crossJoin(F.broadcast(norm)).select(
         F.col("pos").cast("int").alias("pos"),
         F.col("v").alias("loading"),
@@ -1393,7 +1400,9 @@ FROM own o JOIN oth t USING (vec_id)
 )
 def embed_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    flat = _flat(emb)
+    # flat feeds the centroid aggregate, the per-vector norms, and the
+    # dot join — lazy-checkpoint once instead of re-deriving per branch
+    flat = _flat(emb).localCheckpoint(eager=False)
     cnt = emb.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     cent = (
         flat.groupBy(F.col("label").alias("clabel"), "pos")

@@ -957,13 +957,20 @@ WHERE rank <= {_BASKET_TOP_K}
     bench=True,
 )
 def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the distinct basket relation feeds four consumers (basket count,
+    # item counts, both sides of the pair self-join) — lazy-checkpoint
+    # so the distinct computes once (chained-call note, ranking.py);
+    # item counts likewise feed both association directions
     b = (
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n = b.agg(F.count_distinct("l_orderkey").alias("n_baskets"))
-    ic = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    ic = b.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=False)
     b2 = b.select(
         F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
     )
