@@ -19,9 +19,20 @@ isolated re-measure in a fresh JVM came back at 1.47s, inside the r3
 noise envelope: session-accumulated state, not a code regression).
 New headline queries append after the legacy set.
 
-``SPARK_GRAFT_BENCH_ISOLATE=1`` runs every query in its own
-subprocess/JVM instead (one query per session — the fully isolated
-measurement; slower wall-clock, same output format).
+Isolation (DEFAULT since round 7): every query runs in its own
+subprocess/JVM — one query per session, best-of-3 after an in-process
+warmup. Shared-session mode kept growing forensic footnotes (round-4's
+4.2x ``dedup_minhash_lsh`` swing, round-6's ``search_bm25_topk`` and
+``dedup_incremental_batch`` drifts — all session-accumulated state,
+none code regressions), and with 22+ headline queries the
+interference surface only grows. Isolated numbers are
+session-state-free and comparable round-over-round by construction;
+the wall-clock cost (one JVM start per query) is not part of any
+reported timing. Set ``SPARK_GRAFT_BENCH_ISOLATE=0`` to opt back into
+the legacy shared-session sweep (kept for quick iteration loops).
+NOTE: BENCH_r07 is the first isolated-mode artifact — compare it to
+r06 per-query with that mode change in mind (isolated ≈ the isolated
+re-measures earlier READMEs recorded, not the shared-session column).
 """
 
 from __future__ import annotations
@@ -95,7 +106,7 @@ def main() -> None:
     names = headline_names()
     timings: dict[str, float] = {}
 
-    if os.environ.get("SPARK_GRAFT_BENCH_ISOLATE") == "1":
+    if os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0":
         for name in names:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--single", name],

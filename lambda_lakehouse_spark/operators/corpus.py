@@ -970,7 +970,8 @@ shared AS (
 )
 SELECT p.doc_id,
        COUNT(*) AS n_paras,
-       SUM(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) AS n_dup_paras,
+       CAST(SUM(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_paras,
        CAST(SUM(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
          / COUNT(*) AS dup_frac
 FROM paras p
@@ -1075,7 +1076,6 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
     "aggregate (explode + argmax, no shuffle of scored candidates, no "
     "window) — the minimal-movement shard assignment layer",
     tags=("sharding", "routing", "hash"),
-    staged=True,
 )
 def shard_rendezvous_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
@@ -1149,7 +1149,6 @@ WHERE ('0x' || substr(md5('{_TEMP_SEED}:' || d.doc_id), 1, 7))::BIGINT
     "upweighted, capped at keep-all; seeded-md5 selection so the "
     "sample is deterministic and engine-portable",
     tags=("sampling", "corpus", "mixture", "temperature"),
-    staged=True,
 )
 def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
@@ -1261,7 +1260,6 @@ JOIN sz sb ON sb.source = p.source_b
     "counts + Jaccard-normalized overlap per source pair — the "
     "source-level leakage/contamination observability report",
     tags=("corpus", "dedup", "contamination", "join"),
-    staged=True,
 )
 def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _XSRC_NGRAM
@@ -1430,7 +1428,6 @@ QUALIFY ROW_NUMBER() OVER (
     "two-level struct max — the statistic, its attaining value, and "
     "the exact integer numerator all hash-certify",
     tags=("stats", "drift", "distribution", "corpus"),
-    staged=True,
 )
 def stats_ks_drift_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("source", "n_chars")
@@ -1557,7 +1554,6 @@ FROM tot t LEFT JOIN ka USING (doc_id)
     "aggregation — fingerprint-keyed shuffle + per-doc array_sort, "
     "never a corpus-wide sort",
     tags=("dedup", "paragraph", "corpus", "scrub"),
-    staged=True,
 )
 def dedup_paragraph_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1760,7 +1756,6 @@ WHERE ('0x' || substr(md5('{_TEMP_SEED}:' || d.doc_id), 1, 7))::BIGINT
     "composed lazily so Catalyst plans the whole chain; composed "
     "DuckDB oracle certifies the pipeline output end-to-end",
     tags=("corpus", "pipeline", "dedup", "sampling", "composition"),
-    staged=True,
 )
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
@@ -1825,7 +1820,6 @@ FROM p
     "round-robin global feed position from the exact global rank — "
     "no step single-partitions an sf-proportional relation",
     tags=("corpus", "curriculum", "sampling", "rank"),
-    staged=True,
 )
 def curriculum_length_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lambda_lakehouse_spark.operators.ranking import (
@@ -1919,7 +1913,6 @@ FROM top t JOIN ctx c ON c.w1 = t.w1
     "transform (no self-join), map-side-combined bigram counts, "
     "vocabulary-keyed argmax window, one exact BIGINT division",
     tags=("text", "corpus", "lm", "ngram"),
-    staged=True,
 )
 def text_bigram_next_word(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("text")
@@ -2030,7 +2023,6 @@ def leakage_safe_split(
     "so duplicates never straddle splits; map-only projection plus the "
     "one dedup shuffle for cluster sizes, RNG-free and reproducible",
     tags=("corpus", "sampling", "dedup", "split"),
-    staged=True,
 )
 def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")

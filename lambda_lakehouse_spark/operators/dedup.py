@@ -1383,7 +1383,6 @@ def jaccard_prefix_filter_pairs(
     "brute-force SQL — then exact per-candidate verification. The "
     "lossless counterpart to the DF-cap heuristic.",
     tags=("dedup", "join", "scale", "prefix-filter"),
-    staged=True,
 )
 def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(

@@ -262,12 +262,19 @@ def fk_edge_audit(
     (edge, n_child_rows, n_null_fk, n_fk_values, n_orphan_values,
     n_parent_keys, n_unreferenced_parents)."""
     c = child.select(F.col(ck).alias("k"))
-    p = parent.select(F.col(pk).alias("k")).distinct()
+    # NULL parent keys are excluded (mirrors the oracle's
+    # COUNT(DISTINCT pk), which skips NULLs) — without the filter a
+    # NULL-keyed parent row would inflate n_parent_keys by one.
+    p = parent.select(F.col(pk).alias("k")).where(F.col(pk).isNotNull()).distinct()
     base = c.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_child_rows"),
-        F.sum(F.col("k").isNull().cast("int")).cast("bigint").alias(
-            "n_null_fk"
-        ),
+        # F.sum over zero rows is NULL; the oracle's COUNT(*) FILTER
+        # yields 0 for an empty child — coalesce keeps them aligned.
+        F.coalesce(
+            F.sum(F.col("k").isNull().cast("int")).cast("bigint"), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_null_fk"),
     )
     dom = c.where(F.col("k").isNotNull()).distinct()
     nfk = dom.agg(F.count(F.lit(1)).cast("bigint").alias("n_fk_values"))
@@ -330,7 +337,6 @@ _FK_ORACLE = "\nUNION ALL\n".join(
     "anti-joins shuffle on dimension-bounded key domains; output is "
     "|edges| rows",
     tags=("quality", "dq", "join", "anti"),
-    staged=True,
 )
 def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables = {

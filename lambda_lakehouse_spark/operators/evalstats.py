@@ -118,7 +118,6 @@ FROM s
     "decomposition, doubled midranks keep the numerator integer — "
     "the exact 2U numerator ships next to the double AUC",
     tags=("eval", "stats", "auc", "ranking"),
-    staged=True,
 )
 def eval_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
@@ -161,7 +160,6 @@ FROM b CROSS JOIN tot t
     "cross-multiplication — the model/score evaluation report, "
     "bounded output at any scale",
     tags=("eval", "stats", "lift", "ntile"),
-    staged=True,
 )
 def eval_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
@@ -273,7 +271,6 @@ FROM s
     "correctly-rounded doubles, one identical IEEE formula tree on "
     "both engines",
     tags=("stats", "timeseries", "autocorrelation", "join"),
-    staged=True,
 )
 def stats_autocorr_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
@@ -386,7 +383,6 @@ FROM c CROSS JOIN t
     "as identical double literals in both plans, per-digit chi-square "
     "contribution — 9-row forensic DQ screen at any scale",
     tags=("stats", "dq", "benford", "audit"),
-    staged=True,
 )
 def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "orders").select(
@@ -461,7 +457,6 @@ FROM o JOIN r ON r.lang = o.lang JOIN c ON c.source = o.source CROSS JOIN t
     "one double division, per-cell chi contribution — corpus "
     "composition drift test with domain-bounded output",
     tags=("stats", "corpus", "chi2", "dq"),
-    staged=True,
 )
 def stats_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = (

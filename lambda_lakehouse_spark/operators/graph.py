@@ -61,9 +61,15 @@ def pagerank_fixed(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
     the raw fact (scan + distinct per round — measured 3x the total
     query cost at sf0.1); with it iterations join against the settled
     relation — the same lineage-truncation pattern
-    ``operators/dedup.doc_clusters`` uses for its min-label rounds."""
+    ``operators/dedup.doc_clusters`` uses for its min-label rounds.
+    ``eager=False`` (like every other call site, e.g.
+    ``operators/ranking.py``'s chained passes) so merely *constructing*
+    the query runs no job: plan-only consumers — the guardrail sweeps
+    in tests/test_scale.py build every registered query — stay lazy,
+    and the checkpoint materializes on first action as usual."""
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = edges.join(deg, "src").localCheckpoint()  # settled (src,dst,outdeg)
+    # settled (src,dst,outdeg)
+    ed = edges.join(deg, "src").localCheckpoint(eager=False)
     nodes = ed.select(F.col("src").alias("node")).distinct()
     nstats = nodes.agg(F.count(F.lit(1)).alias("n"))
     ranks = nodes.crossJoin(F.broadcast(nstats)).select(
@@ -339,7 +345,6 @@ def triangle_stats(e0: DataFrame) -> DataFrame:
     "wedge-join fan-out is arboricity-bounded; all-integer counts plus "
     "one double division",
     tags=("graph", "triangle", "join"),
-    staged=True,
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")

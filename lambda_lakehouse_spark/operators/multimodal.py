@@ -407,7 +407,7 @@ bytes AS (
 SELECT doc_id,
        CAST(i // {_ENVELOPE_WINDOW} AS INT) AS window_idx,
        COUNT(*) AS n_bytes,
-       SUM(v) AS byte_sum,
+       CAST(SUM(v) AS BIGINT) AS byte_sum,
        MAX(v) AS peak
 FROM bytes
 GROUP BY 1, 2

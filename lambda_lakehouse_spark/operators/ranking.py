@@ -99,7 +99,20 @@ def _ranked_and_counts(
     range shuffle) and one local sort: no window, and none of the
     extra hash-by-partition-id shuffle a
     ``row_number() OVER (PARTITION BY pid)`` would add. (Bound: 2^33
-    rows per partition — ~8.5e9, far above any sane partition.)"""
+    rows per partition — ~8.5e9, far above any sane partition.)
+
+    AQE / ReuseExchange ASSUMPTION: the counts branch and the ranked
+    branch must observe IDENTICAL physical partition indices from the
+    shared range exchange — the offsets are keyed by pid. That holds
+    because (a) ReuseExchange serves both branches from the one
+    exchange, and (b) AQE's coalescing decision is a pure function of
+    that exchange's runtime statistics, so even when the two reads are
+    planned separately they coalesce identically. If either property
+    broke, ranks would silently misalign — which is why
+    tests/test_ranking.py pins window-parity BOTH with coalescing
+    disabled (forces a genuine multi-partition split) and with the
+    production-default AQE coalescing enabled
+    (test_exact_global_rank_with_aqe_coalescing)."""
     order = _cols(order)
     tagged = (
         df.repartitionByRange(*order)

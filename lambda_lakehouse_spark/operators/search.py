@@ -340,7 +340,6 @@ GROUP BY doc_id
     "as the deterministic probe) — the candidate-generation IR shape "
     "bag-of-words scoring can't express",
     tags=("search", "text", "phrase", "join"),
-    staged=True,
 )
 def search_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")

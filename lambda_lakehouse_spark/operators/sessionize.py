@@ -1018,7 +1018,6 @@ FROM attributed WHERE is_conv = 1
     "every conversion in a single user-keyed shuffle (no probe join); "
     "same-instant touches count, unattributed conversions keep NULLs",
     tags=("events", "attribution", "window", "asof"),
-    staged=True,
 )
 def attribution_touchpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select(

@@ -1283,7 +1283,6 @@ FROM ev GROUP BY 1
     "tie-break, integer-exact counts, one double division — the "
     "intrinsic embedding-quality eval a vector refresh gates on",
     tags=("similarity", "vector", "eval", "knn"),
-    staged=True,
 )
 def eval_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
@@ -1396,7 +1395,6 @@ FROM own o JOIN oth t USING (vec_id)
     "nearest-other argmax is a <=|labels|-row bounded window; the "
     "confusable-frontier eval an embedding refresh gates on",
     tags=("similarity", "vector", "eval", "agg"),
-    staged=True,
 )
 def embed_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")

@@ -1786,7 +1786,6 @@ GROUP BY bucket
     "per-bucket count/min/max; the bucket edges are exact quantiles, "
     "the skew-robust profile equi-width can't give",
     tags=("profile", "histogram", "ntile", "agg"),
-    staged=True,
 )
 def profile_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lambda_lakehouse_spark.operators.ranking import exact_global_ntile

@@ -1522,7 +1522,9 @@ ranked AS (
   FROM y
 )
 SELECT o_custkey, spend,
-       CAST(rk - 1 AS DOUBLE) / (n - 1) AS pct_rank,
+       CASE WHEN n > 1
+            THEN CAST(rk - 1 AS DOUBLE) / (n - 1)
+            ELSE 0.0 END AS pct_rank,
        CAST(rk AS DOUBLE) / n AS cume_dist
 FROM ranked
 """
@@ -1536,7 +1538,6 @@ FROM ranked
     "1-row count broadcast instead of an unpartitioned ranking window; "
     "identical division trees on both engines",
     tags=("window", "rank", "percentile"),
-    staged=True,
 )
 def window_global_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = (
@@ -1552,9 +1553,16 @@ def window_global_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             "spend",
-            (
-                (F.col("rk") - 1).cast("double") / (F.col("n") - 1)
-            ).alias("pct_rank"),
+            # n=1 guard: 0/0 is NaN in Spark but NULL-vs-Inf territory
+            # in DuckDB (engines disagree on double division by zero —
+            # see curation_pipeline's note); ANSI percent_rank of a
+            # single row is 0, mirrored by the oracle's CASE.
+            F.when(
+                F.col("n") > 1,
+                (F.col("rk") - 1).cast("double") / (F.col("n") - 1),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("pct_rank"),
             (F.col("rk").cast("double") / F.col("n")).alias("cume_dist"),
         )
     )
@@ -1625,7 +1633,6 @@ FROM picked
     "sort; interpolation arithmetic has an identical IEEE expression "
     "tree on both engines",
     tags=("agg", "percentile", "order-statistics"),
-    staged=True,
 )
 def agg_percentile_cont_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = read_table(spark, sf_dir, "orders").select(

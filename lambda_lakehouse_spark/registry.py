@@ -90,70 +90,42 @@ def register(
 # (every query beyond slot 50 holds a prior green row) is pinned by
 # tests/test_registry_contract.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # — round-6 graduation: the 33 formerly-STAGED queries (pytest
-    # oracle-green since round 5, no driver row yet — all must sit
-    # inside the 50-slot window). Seven of them had their global-window
-    # plans replaced with the distributed formulations in
-    # operators/ranking.py BEFORE this certification (round-5 verdict
-    # items 1–2), so the rows below certify the scale-shaped plans. —
-    "asof_join_nearest",
-    "scd2_type6_dim",
-    "profile_histogram_equiwidth",
-    "ab_arm_statistics",
-    "basket_association_rules",
-    "grid_join_similar_parts",
-    "rfm_customer_segments",
-    "interval_open_orders_sweep",
-    "seasonal_index_monthly",
-    "market_concentration_hhi",
-    "customer_spend_gini",
-    "text_novelty_score",
-    "dedup_ngram_containment",
-    "dedup_cluster_size_histogram",
-    "dedup_simhash_hamming_pairs",
+    # — round-7 window (50 slots) —
+    # Slots 1-2: the two round-6 reds, re-certified after the oracle
+    # HUGEINT casts (CAST(SUM(..) AS BIGINT)) — engine values were
+    # verified identical at sf0.01; only the oracle SQL changed.
     "multimodal_audio_envelope",
-    "embed_drift_by_dim",
-    "embed_pca_top_component",
-    "events_anomaly_mad",
-    "funnel_time_to_convert",
-    "sessionize_bounce_rate",
-    "events_cusum_changepoint",
-    "corpus_collocations_lift",
-    "sample_priority_weighted",
     "dedup_paragraph_fraction",
-    "dq_freshness_lag",
-    "snapshot_delete_rollback",
-    "snapshot_schema_evolution",
-    "snapshot_branch_merge",
-    "snapshot_wap_publish",
-    "snapshot_partition_evolution",
-    "graph_pagerank_supply",
-    "bloom_semijoin_prune",
-    # — certified queries whose plans changed this round (round-5
-    # verdict item 3: global-window → ranking.py rewrites; q15's
-    # window max → broadcast max): fresh rows certify the new plans —
-    "q15_top_supplier",
-    "text_vocab_coverage",
-    "search_bm25_topk",
-    "skyline_pareto_parts",
-    # — stale-row rotation (verdict item 8): the r2 cohort is now the
-    # oldest; 13 of them fill the remaining window slots this round —
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_having_conditional",
-    "agg_rollup",
-    "array_agg_suite",
-    "calendar_dim_date",
-    "correlated_above_avg",
-    "explode_positional",
-    "join_null_safe_eq",
-    "join_semi_anti",
-    "lambda_serving_merge",
-    "pivot_status_by_segment",
-    # — beyond slot 50: every query below holds a prior green row
-    # (pinned by tests/test_registry_contract.py); kept in staleness
-    # order so future rotations just reshuffle this tail —
+    # Slots 3-26: the round-7 graduation — the 24 formerly-STAGED
+    # queries (pytest oracle-green at sf0.001 and sf0.01 since round
+    # 6, no driver row yet, so all must sit inside the window).
+    "profile_histogram_equidepth",
+    "window_global_pctrank",
+    "agg_percentile_cont_global",
+    "dedup_jaccard_prefix_filter",
+    "eval_knn_label_accuracy",
+    "embed_label_separation",
+    "attribution_touchpoints",
+    "shard_rendezvous_routing",
+    "sample_temperature_mixture",
+    "corpus_cross_source_overlap",
+    "stats_ks_drift_sources",
+    "dedup_paragraph_scrub",
+    "corpus_curation_pipeline",
+    "curriculum_length_interleave",
+    "text_bigram_next_word",
+    "split_leakage_safe",
+    "dq_referential_integrity",
+    "search_phrase_positional",
+    "graph_triangle_count",
+    "eval_auc_exact",
+    "eval_decile_lift",
+    "stats_autocorr_daily_revenue",
+    "stats_benford_first_digit",
+    "stats_chi2_lang_source",
+    # Slots 27-50: stale-row rotation (round-6 verdict item 4) — the
+    # oldest greens are the r02 cohort + window_lag_lead_running (r03)
+    # and the r03/r04 plan staples; 24 of them re-certify this round.
     "q14_promo_revenue",
     "q18_large_volume",
     "q19_disjunctive_join",
@@ -178,6 +150,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pit_join_fact_dim",
     "scd2_user_dim",
     "asof_join_daily_score",
+    # — beyond slot 50: every query below (and every unlisted query,
+    # which follows in registration order) holds a prior green driver
+    # row — pinned by tests/test_registry_contract.py. Kept in
+    # staleness order so future rotations just reshuffle this tail;
+    # cdc_table_diff is the oldest green that did not fit this round
+    # and leads the round-8 rotation. —
     "cdc_table_diff",
 )
 

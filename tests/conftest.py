@@ -3,8 +3,19 @@ DuckDB-oracle comparator that mirrors the driver's correctness gate
 (row-count + column-name-sorted, order-insensitive value comparison).
 
 Native-typed rows (Spark ``collect()``, DuckDB ``fetchall()``) are
-compared instead of pandas frames so date/timestamp/decimal dtype
-coercions can't mask or fake a mismatch.
+compared for value exactness (date/timestamp/decimal coercions can't
+mask a mismatch), PLUS a pandas-path dtype-kind check that mirrors the
+driver's comparison: the driver fetches the oracle via
+``duckdb.execute(...).df()``, where DuckDB widens integer ``SUM``s to
+HUGEINT and pandas renders HUGEINT as float64 — so an uncast integer
+SUM hashes ``123.0`` against Spark's ``123`` and fails at the driver
+even though ``fetchall()`` round-trips it as an exact Python int.
+(Round-6 post-mortem: ``multimodal_audio_envelope`` and
+``dedup_paragraph_fraction`` sailed through the fetchall-only gate and
+died at the driver for exactly this reason.)  DECIMAL also lands as
+float64 in ``.df()`` but the driver normalizes decimals (every
+``dsum``-based query is driver-green), so the kind check only flags
+integral-vs-float drift, the one class the driver punishes.
 """
 
 from __future__ import annotations
@@ -66,11 +77,50 @@ def canonical_rows(columns, rows):
     return cols, out
 
 
+_INTEGRAL_SPARK_TYPES = ("byte", "short", "integer", "long")
+
+
+def assert_pandas_dtype_kinds_match(sdf, oracle_pdf, name: str):
+    """Driver-path dtype guard: Spark integral column vs oracle float64
+    (DuckDB HUGEINT/uncast-SUM widening) hash-mismatches at the driver
+    even when every value is numerically identical.  Schema-only on the
+    Spark side — no extra job."""
+    spark_kinds = {f.name: f.dataType.typeName() for f in sdf.schema.fields}
+    for col in oracle_pdf.columns:
+        o_kind = oracle_pdf[col].dtype.kind
+        s_type = spark_kinds.get(col)
+        if (
+            s_type in _INTEGRAL_SPARK_TYPES
+            and o_kind == "f"
+            # NULL-containing int columns legitimately land as float64
+            # (NaN masking) on BOTH engines' pandas paths, so the
+            # driver hash still matches; only a NaN-free float column
+            # against a Spark integral is the HUGEINT-widening bug.
+            and not oracle_pdf[col].isna().any()
+        ):
+            raise AssertionError(
+                f"{name}: column {col!r} is Spark {s_type} but the oracle's "
+                f"pandas dtype is float ({oracle_pdf[col].dtype}) — DuckDB "
+                "widened an integer aggregate (HUGEINT -> float64); wrap the "
+                "oracle expression in CAST(... AS BIGINT) or the driver's "
+                "pandas-path hash will diverge"
+            )
+        if s_type in ("float", "double") and o_kind == "i":
+            raise AssertionError(
+                f"{name}: column {col!r} is Spark {s_type} but the oracle's "
+                f"pandas dtype is integer ({oracle_pdf[col].dtype}) — cast "
+                "the oracle side to DOUBLE"
+            )
+
+
 def assert_query_matches_oracle(spark, ducks, query, sf_dir: str = SF_DIR):
     """Run the Spark query and its DuckDB oracle; assert identical
-    column sets and identical sorted canonical rows."""
+    column sets, identical sorted canonical rows, and driver-compatible
+    pandas dtype kinds (see module docstring)."""
     sdf = query.spark(spark, sf_dir)
     s_cols, s_rows = canonical_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
+
+    assert_pandas_dtype_kinds_match(sdf, ducks.execute(query.oracle).df(), query.name)
 
     cur = ducks.execute(query.oracle)
     o_columns = [d[0] for d in cur.description]

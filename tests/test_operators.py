@@ -697,9 +697,12 @@ def test_grouped_prefix_sum_rank_equals_window(spark):
         a = [(r.id, r.s, r.p) for r in naive.orderBy("id").collect()]
         b = [(r.id, r.s, r.p) for r in got.orderBy("id").collect()]
         assert a == b
-        # and the plan really splits the keys: >1 range partition used
-        npart = got.select("p").count()
-        assert npart == 20000
+        # full cardinality preserved by the decomposition
+        assert got.select("p").count() == 20000
+        # and the plan really range-splits (k, order) instead of
+        # hash-partitioning whole keys to single tasks
+        plan = got._jdf.queryExecution().executedPlan().toString().lower()
+        assert "rangepartitioning" in plan
     finally:
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
 
@@ -752,9 +755,9 @@ def test_curriculum_interleave_invariants(spark):
     bucket — every doc at in-bucket position p feeds before every doc
     at position p+1, and within one position level buckets feed in
     bucket order."""
-    from lambda_lakehouse_spark.registry import load_staged
+    from lambda_lakehouse_spark.registry import load_all
 
-    q = load_staged()["curriculum_length_interleave"]
+    q = load_all()["curriculum_length_interleave"]
     rows = q.spark(spark, "/root/testdata/sf0.001").collect()
     n = len(rows)
     assert n == 500
@@ -821,7 +824,7 @@ def test_embed_label_separation_orthogonal_labels(spark):
     """Two labels of identical one-hot vectors: cosine to the own
     centroid is exactly 1.0, to the other exactly 0.0, margin 1.0
     (floor-scaled integer sums keep these values exact)."""
-    from lambda_lakehouse_spark.registry import load_staged
+    from lambda_lakehouse_spark.registry import load_all
 
     emb = spark.createDataFrame(
         [
@@ -836,7 +839,7 @@ def test_embed_label_separation_orthogonal_labels(spark):
 
     with tempfile.TemporaryDirectory() as d:
         emb.write.parquet(f"{d}/embeddings.parquet")
-        q = load_staged()["embed_label_separation"]
+        q = load_all()["embed_label_separation"]
         rows = q.spark(spark, d).collect()
     assert len(rows) == 4
     for r in rows:

@@ -47,6 +47,29 @@ def test_exact_global_rank_equals_window(no_coalesce):
     ]
 
 
+def test_exact_global_rank_with_aqe_coalescing(spark):
+    """Same window-parity check under PRODUCTION defaults (AQE
+    partition coalescing enabled): the pid-keyed offsets require the
+    counts branch and the ranked branch to observe identical physical
+    partition indices from the shared range exchange — AQE's coalesce
+    decision is a pure function of that exchange's runtime stats, so
+    both reads must land on the same layout (documented assumption in
+    _ranked_and_counts). This pins the assumption instead of only
+    exercising the coalescing-disabled path."""
+    assert (
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+        == "true"
+    )
+    df = _df(spark)
+    naive = df.withColumn(
+        "r", F.row_number().over(W.orderBy("v", "id")).cast("bigint")
+    )
+    got = exact_global_rank(df, ["v", "id"], "r")
+    assert [(x.id, x.r) for x in naive.orderBy("id").collect()] == [
+        (x.id, x.r) for x in got.orderBy("id").collect()
+    ]
+
+
 def test_global_topk_equals_window_filter(no_coalesce):
     df = _df(no_coalesce)
     order = [F.col("v").desc(), F.col("id")]
