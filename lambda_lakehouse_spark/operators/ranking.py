@@ -172,11 +172,29 @@ def global_topk(
 ) -> DataFrame:
     """Top-``k`` rows of ``df`` under the total order ``order``, with a
     1-based LONG ``rank_col``. Plans as ``TakeOrderedAndProject``
-    (per-partition partial top-k, one k-row merge); ranks over the ≤k
-    survivors come from :func:`exact_global_rank`, so no step of the
-    plan windows over an unpartitioned relation."""
+    (per-partition partial top-k, one k-row merge); the ≤k survivors
+    are then ranked in ONE linear pass — explicit single partition
+    (bounded: k rows), in-partition sort, monotonic-id row counter.
+
+    Not :func:`exact_global_rank` for the tail (changed round 7): the
+    two-pass rank's counts branch and ranked branch each re-evaluate
+    their input lineage, and ``TakeOrderedAndProject`` is not an
+    Exchange, so ReuseExchange cannot serve the second branch — the
+    entire upstream plan ran TWICE (measured +0.3 s on
+    ``search_bm25_topk``'s corpus-wide df aggregation at sf0.1, and
+    the same double evaluation sat under every top-k in the registry).
+    No window either: the single-pass form stays inside the plan
+    guardrails (tests/test_scale.py) by construction."""
     order = _cols(order)
-    return exact_global_rank(df.orderBy(*order).limit(k), order, rank_col)
+    return (
+        df.orderBy(*order)
+        .limit(k)
+        .coalesce(1)
+        .sortWithinPartitions(*order)
+        .withColumn(
+            rank_col, (F.monotonically_increasing_id() + 1).cast("bigint")
+        )
+    )
 
 
 def exact_global_ntile(
