@@ -2029,3 +2029,90 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(docs, F.md5(F.col("text"))).select(
         "doc_id", "cluster_key", "cluster_size", "split"
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-rarity top terms per document (round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# Per-document salient terms — the relation behind corpus browsing,
+# topic labeling, and keyword-based slicing. Classic tf-idf multiplies
+# tf by log(N/df); log() bit-rounding is engine-specific (see the
+# BM25 note in operators/search.py), so the certified score is the
+# log-free rarity weight tf * N / df — for a FIXED tf the ordering
+# over terms equals tf-idf's (log is monotone in N/df), and every step
+# is integer cross-multiplication plus one IEEE double division with
+# an identical expression tree on both engines.
+#
+# Scale: one tokenize+tf aggregate (the same inverted-index shuffle
+# every corpus op here rides), a word-keyed df aggregate joined back
+# on the posting key, and a doc_id-partitioned top-3 window — the
+# window key is the document, so no relation is ever single-tasked.
+
+TFIDF_TOP_K = 3
+
+_TFIDF_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2
+),
+dft AS (
+  SELECT word, COUNT(*) AS df FROM tf GROUP BY 1
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.word, CAST(t.tf AS BIGINT) AS tf, CAST(d.df AS BIGINT) AS df,
+         CAST(t.tf * n.n_docs AS DOUBLE) / d.df AS rarity_score
+  FROM tf t JOIN dft d USING (word) CROSS JOIN n
+)
+SELECT doc_id, word, tf, df, rarity_score, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY rarity_score DESC, word) AS INTEGER) AS rk
+  FROM scored
+)
+WHERE rk <= {TFIDF_TOP_K}
+"""
+
+
+@register(
+    "corpus_tfidf_topterms",
+    _TFIDF_ORACLE,
+    doc=f"Per-document top-{TFIDF_TOP_K} salient terms by the log-free "
+    "rarity weight tf * N / df (tf-idf's ordering for fixed tf, "
+    "engine-exact without log()): one inverted-index tf aggregate, a "
+    "posting-keyed df join, and a doc-partitioned top-k window — "
+    "never a single-tasked relation",
+    tags=("corpus", "text", "tfidf", "topk"),
+    staged=True,
+)
+def corpus_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dft = tf.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dft, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "rarity_score"
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("rarity_score").desc(), "word")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "word", "tf", "df", "rarity_score", "rk")
+    )

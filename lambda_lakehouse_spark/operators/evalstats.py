@@ -481,3 +481,136 @@ def stats_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((obs_d - e) * (obs_d - e) / e).alias("chi_term"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U two-sample test (round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# The distribution-drift question KS answers ("are these two sources'
+# length distributions different?") asked as the rank-sum location
+# test: exact U statistic with midrank ties plus the tie-corrected
+# normal approximation's z — the standard two-sample check a curation
+# pipeline runs source-against-source. Same integer discipline as
+# eval_auc_exact (AUC is U/(n1*n2) in disguise): per-distinct-score
+# counts reduce N:1, the cumulative count rides the distributed
+# prefix-sum decomposition, doubled midranks keep the U numerator an
+# exact integer, and the only doubles are single correctly-rounded
+# casts, one division tree, and one sqrt (IEEE-exact on both engines).
+
+_MW_SRC_A = "src0"
+_MW_SRC_B = "src1"
+
+
+def mannwhitney_u(
+    df: DataFrame, score_col: str, in_a_col: str
+) -> DataFrame:
+    """One row (n_a, n_b, u_a2, u_a, tie_sum, z): exact two-sample
+    Mann–Whitney U of ``score_col`` between group A (``in_a_col``
+    true) and B, midrank ties, tie-corrected z without continuity
+    correction. ``u_a2`` = the exact integer 2·U_A."""
+    f = df.groupBy(score_col).agg(
+        F.sum(F.when(F.col(in_a_col), 1).otherwise(0)).alias("_ca"),
+        F.count(F.lit(1)).alias("_ct"),
+    )
+    p = prefix_sums_inclusive(f, [score_col], ["_ct"], ["_ci"])
+    s = p.agg(
+        # 2*R_A = sum over scores of ca * (2*midrank) with
+        # 2*midrank = 2*ci - ct + 1
+        F.sum(
+            F.col("_ca").cast(_DEC)
+            * (2 * F.col("_ci") - F.col("_ct") + 1).cast(_DEC)
+        ).alias("_r2a"),
+        F.sum("_ca").cast("bigint").alias("n_a"),
+        F.sum(F.col("_ct") - F.col("_ca")).cast("bigint").alias("n_b"),
+        F.sum(
+            (
+                F.col("_ct").cast(_DEC) * F.col("_ct") * F.col("_ct")
+                - F.col("_ct")
+            )
+        )
+        .cast("bigint")
+        .alias("tie_sum"),
+    )
+    u_a2 = F.col("_r2a") - (
+        F.col("n_a").cast(_DEC) * (F.col("n_a") + 1).cast(_DEC)
+    )
+    n = F.col("n_a") + F.col("n_b")
+    var = (
+        (F.col("n_a") * F.col("n_b")).cast("double")
+        * (
+            (n + 1).cast("double")
+            - F.col("tie_sum").cast("double")
+            / (n.cast("double") * (n - 1).cast("double"))
+        )
+        / F.lit(12.0)
+    )
+    # z = (U_A - n_a*n_b/2) / sqrt(var) = (2U_A - n_a*n_b) / (2*sqrt(var))
+    num = u_a2.cast("double") - (F.col("n_a") * F.col("n_b")).cast("double")
+    return s.select(
+        "n_a",
+        "n_b",
+        u_a2.cast("bigint").alias("u_a2"),
+        (u_a2.cast("double") / F.lit(2.0)).alias("u_a"),
+        "tie_sum",
+        (num / (F.lit(2.0) * F.sqrt(var))).alias("z"),
+    )
+
+
+_MW_ORACLE = f"""
+WITH d AS (
+  SELECT n_chars AS score, source = '{_MW_SRC_A}' AS in_a
+  FROM documents WHERE source IN ('{_MW_SRC_A}', '{_MW_SRC_B}')
+),
+f AS (
+  SELECT score,
+         SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS ca,
+         COUNT(*) AS ct
+  FROM d GROUP BY 1
+),
+p AS (
+  SELECT score, ca, ct,
+         SUM(ct) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS ci
+  FROM f
+),
+s AS (
+  SELECT SUM(CAST(ca AS HUGEINT) * (2 * ci - ct + 1)) AS r2a,
+         CAST(SUM(ca) AS BIGINT) AS n_a,
+         CAST(SUM(ct - ca) AS BIGINT) AS n_b,
+         CAST(SUM(CAST(ct AS HUGEINT) * ct * ct - ct) AS BIGINT) AS tie_sum
+  FROM p
+)
+SELECT n_a, n_b,
+       CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT) AS u_a2,
+       CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+       tie_sum,
+       (CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE)
+          - CAST(n_a * n_b AS DOUBLE))
+         / (2.0 * sqrt(CAST(n_a * n_b AS DOUBLE)
+             * (CAST(n_a + n_b + 1 AS DOUBLE)
+                - CAST(tie_sum AS DOUBLE)
+                  / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b - 1 AS DOUBLE)))
+             / 12.0)) AS z
+FROM s
+"""
+
+
+@register(
+    "stats_mannwhitney_doclen",
+    _MW_ORACLE,
+    doc=f"Exact two-sample Mann–Whitney U ({_MW_SRC_A} vs {_MW_SRC_B} "
+    "document lengths) with midrank ties and tie-corrected z: "
+    "per-score counts reduce N:1, cumulative counts via the "
+    "distributed prefix-sum decomposition, doubled midranks keep 2U "
+    "an exact integer; doubles appear only in one division tree and "
+    "one IEEE-exact sqrt",
+    tags=("stats", "eval", "rank", "drift"),
+    staged=True,
+)
+def stats_mannwhitney_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("source").isin(_MW_SRC_A, _MW_SRC_B))
+        .select("n_chars", (F.col("source") == _MW_SRC_A).alias("in_a"))
+    )
+    return mannwhitney_u(docs, "n_chars", "in_a")

@@ -1,0 +1,701 @@
+"""Semantic (embedding-space) curation: SemDeDup, product
+quantization, and Matryoshka-prefix evaluation (beyond-reference).
+
+The reference has no embedding operators at all (its surface is the
+stg/dims/fact stock pipeline — SURVEY §2); these are the
+embedding-side curation passes a training-data lakehouse runs after
+the token-side dedup family in ``operators/dedup.py``:
+
+- ``dedup_semdedup_cells`` — SemDeDup (Abbas et al., arXiv
+  2303.09540): k-means-cluster the corpus, compare pairs only WITHIN
+  a cluster, and among semantic duplicates keep the vector least
+  similar to its cluster centroid (the most marginal exemplar —
+  dropping prototypical copies preserves diversity). Composes the
+  existing seeded IVF quantizer (``similarity.train_ivf_cells``) with
+  within-cell pair generation, so the pair space is corpus²/n_cells
+  per cell instead of corpus² — the property that makes
+  embedding-dedup tractable at 100 TB (cells scale out with the
+  corpus; a hot cell is bounded the same way MinHash-LSH bounds a hot
+  band bucket).
+- ``embed_pq_codes`` — product quantization (Jégou et al., TPAMI
+  2011): split the 64-dim space into M=8 contiguous 8-dim subspaces,
+  k-means each subspace to K=4 codewords (seeded, decimal-exact, one
+  Lloyd round), and encode every vector as M one-byte codes — 64
+  floats → 8 codes, the 32× compression that lets a 100 TB vector
+  corpus keep its index in executor memory.
+- ``ann_cosine_topk_ivfpq`` — the IVF-PQ serve path: coarse IVF
+  cells bound the candidate set, then candidates are scored by
+  asymmetric distance computation (ADC): the query precomputes a
+  bounded M×K lookup table of subspace dot products against the
+  codebook, and each candidate's approximate cosine is the sum of M
+  table hits — the candidate side touches ONLY its 8 codes, never the
+  raw floats. Scores are approximate by construction (that is the
+  trade), so the oracle replays the identical approximation.
+- ``eval_matryoshka_prefix_recall`` — MRL-style evaluation (Kusupati
+  et al., NeurIPS 2022): how much of the exact top-k survives when
+  search uses only the first 16 of 64 dimensions. recall@k of the
+  prefix ranking against the full ranking, per query — the
+  measurement that justifies (or vetoes) serving truncated
+  embeddings.
+
+Cross-engine determinism: every inner product is the floor-scaled
+integer sum of ``operators/similarity.py`` (order-independent,
+bit-identical on both engines); PQ keeps assignment scores in the
+BIGINT domain end-to-end (``cn2s - 2·dots`` exactly — no double cast
+in the ORDER BY), and the oracles replay coarse k-means through the
+shared ``_kmeans_replay_ctes`` so training cannot fork from the IVF
+family's replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from lambda_lakehouse_spark.operators.similarity import (
+    EMB_DIM,
+    N_QUERIES,
+    SCALE,
+    _assign_cells,
+    _flat,
+    _kmeans_replay_ctes,
+    _scaled_sum,
+    _ssum_sql,
+    cosine_topk,
+    train_ivf_cells,
+)
+from lambda_lakehouse_spark.registry import register
+from lambda_lakehouse_spark.sources.readers import read_table
+
+# SemDeDup threshold, tuned to the synthetic testdata like
+# similarity.NEAR_DUP_COS (random-ish vectors: within-cell cosine
+# p99 ≈ 0.33, max ≈ 0.49 — real embedding corpora use ~0.95+).
+SEMDEDUP_TAU = 0.35
+
+# Product quantization geometry: EMB_DIM = M * DSUB.
+PQ_M = 8
+PQ_DSUB = 8
+PQ_K = 4
+PQ_ITERS = 1
+PQ_SEED = "pq-seed:3"
+PQ_TOP_K = 3
+PQ_N_PROBE = 2
+
+
+def _scaled_sum_raw(prod):
+    """Floor-scaled integer sum WITHOUT the final /SCALE divide —
+    stays BIGINT so downstream sums/compares remain in the exact
+    integer domain (PQ assignment scores, ADC accumulation)."""
+    return F.sum(F.floor(prod * F.lit(float(SCALE))).cast("bigint"))
+
+
+def _ssum_raw_sql(e: str) -> str:
+    """SQL form of :func:`_scaled_sum_raw`."""
+    return f"SUM(CAST(FLOOR(({e}) * 1e15) AS BIGINT))"
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: embedding-cluster dedup with keep-the-marginal policy
+# ---------------------------------------------------------------------------
+
+
+def semdedup_verdicts(
+    emb: DataFrame,
+    tau: float = SEMDEDUP_TAU,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Per-vector SemDeDup verdict: (vec_id, cell, cos_centroid,
+    is_kept).
+
+    A vector is DROPPED when some same-cell neighbor with cosine
+    >= ``tau`` is strictly more marginal — smaller
+    (cos_centroid, vec_id) lexicographically — i.e. of every
+    semantic-duplicate pair the member closest to the centroid is the
+    one removed (SemDeDup §2: prototypical copies go, outliers stay).
+    The tuple order makes the rule total and engine-portable: both
+    engines compute bit-identical cos values (floor-scaled sums,
+    identical division trees), so the float compare cannot diverge.
+
+    Scale: pairs are generated within cells only (the coarse
+    quantizer's job is to keep cells bounded); the verdict join is
+    edge-keyed, never corpus².
+    """
+    flat = _flat(emb).select("vec_id", "pos", "val")
+    if centroids is None:
+        centroids = train_ivf_cells(emb)
+    cells = (
+        _assign_cells(flat, centroids)
+        .where(F.col("rk") == 1)
+        .select("vec_id", "cell")
+    )
+    norms = flat.groupBy("vec_id").agg(
+        _scaled_sum(F.col("val") * F.col("val")).alias("n2")
+    )
+    cn = centroids.groupBy("cell").agg(
+        _scaled_sum(F.col("cval") * F.col("cval")).alias("cn2")
+    )
+    # cosine to the OWN cell centroid (centroids are bounded: cells×dim)
+    cdot = (
+        flat.join(cells, "vec_id")
+        .join(F.broadcast(centroids), ["cell", "pos"])
+        .groupBy("vec_id", "cell")
+        .agg(_scaled_sum(F.col("val") * F.col("cval")).alias("cdot"))
+    )
+    c2c = (
+        cdot.join(norms, "vec_id")
+        .join(F.broadcast(cn), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            (F.col("cdot") / F.sqrt(F.col("n2") * F.col("cn2"))).alias(
+                "cos_centroid"
+            ),
+        )
+    )
+    # within-cell pairs a<b above tau — the shuffle key is (cell, pos)
+    pf = flat.join(cells, "vec_id")
+    a = pf.select(
+        "cell", "pos",
+        F.col("vec_id").alias("vec_a"), F.col("val").alias("val_a"),
+    )
+    b = pf.select(
+        "cell", "pos",
+        F.col("vec_id").alias("vec_b"), F.col("val").alias("val_b"),
+    )
+    dots = (
+        a.join(b, ["cell", "pos"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(_scaled_sum(F.col("val_a") * F.col("val_b")).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("n2").alias("nb2"))
+    edges = (
+        dots.join(na, "vec_a")
+        .join(nb, "vec_b")
+        .where(
+            F.col("dot") / F.sqrt(F.col("na2") * F.col("nb2")) >= F.lit(tau)
+        )
+        .select("vec_a", "vec_b")
+    )
+    bidir = edges.select(
+        F.col("vec_a").alias("v"), F.col("vec_b").alias("u")
+    ).unionByName(
+        edges.select(F.col("vec_b").alias("v"), F.col("vec_a").alias("u"))
+    )
+    cv = c2c.select(F.col("vec_id").alias("v"), F.col("cos_centroid").alias("cc_v"))
+    cu = c2c.select(F.col("vec_id").alias("u"), F.col("cos_centroid").alias("cc_u"))
+    dropped = (
+        bidir.join(cv, "v")
+        .join(cu, "u")
+        .where(
+            (F.col("cc_u") < F.col("cc_v"))
+            | ((F.col("cc_u") == F.col("cc_v")) & (F.col("u") < F.col("v")))
+        )
+        .select(F.col("v").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        c2c.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "cos_centroid",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("is_kept"),
+        )
+    )
+
+
+def _semdedup_oracle(tau: float = SEMDEDUP_TAU) -> str:
+    ssum = _ssum_sql
+    ctes = _kmeans_replay_ctes()
+    from lambda_lakehouse_spark.operators.similarity import KMEANS_ITERS
+
+    i = KMEANS_ITERS
+    ctes += [
+        f"cells AS (SELECT vec_id, cell FROM asg{i} WHERE rk = 1)",
+        f"norms AS (SELECT vec_id, {ssum('val * val')} AS n2 FROM flat GROUP BY vec_id)",
+        f"cdot AS (SELECT f.vec_id, c.cell, {ssum('f.val * ct.cval')} AS cdot"
+        f" FROM flat f JOIN cells c USING (vec_id)"
+        f" JOIN cent{i} ct ON ct.cell = c.cell AND ct.pos = f.pos"
+        f" GROUP BY 1, 2)",
+        f"c2c AS (SELECT d.vec_id, d.cell, d.cdot / sqrt(n.n2 * cn.cn2) AS cos_centroid"
+        f" FROM cdot d JOIN norms n USING (vec_id) JOIN cn{i} cn USING (cell))",
+        "pf AS (SELECT c.cell, f.vec_id, f.pos, f.val"
+        " FROM flat f JOIN cells c USING (vec_id))",
+        f"pdots AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {ssum('a.val * b.val')} AS dot"
+        " FROM pf a JOIN pf b ON a.cell = b.cell AND a.pos = b.pos AND a.vec_id < b.vec_id"
+        " GROUP BY 1, 2)",
+        f"""edges AS (
+  SELECT vec_a, vec_b FROM pdots
+  JOIN norms na ON na.vec_id = vec_a
+  JOIN norms nb ON nb.vec_id = vec_b
+  WHERE dot / sqrt(na.n2 * nb.n2) >= {tau}
+)""",
+        "bidir AS (SELECT vec_a AS v, vec_b AS u FROM edges"
+        " UNION ALL SELECT vec_b, vec_a FROM edges)",
+        """dropped AS (
+  SELECT DISTINCT b.v FROM bidir b
+  JOIN c2c cv ON cv.vec_id = b.v
+  JOIN c2c cu ON cu.vec_id = b.u
+  WHERE cu.cos_centroid < cv.cos_centroid
+     OR (cu.cos_centroid = cv.cos_centroid AND b.u < b.v)
+)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT c.vec_id, c.cell, c.cos_centroid, d.v IS NULL AS is_kept
+FROM c2c c LEFT JOIN dropped d ON d.v = c.vec_id
+"""
+    )
+
+
+@register(
+    "dedup_semdedup_cells",
+    _semdedup_oracle(),
+    doc="SemDeDup embedding-cluster dedup (arXiv 2303.09540): seeded "
+    "k-means cells bound the pair space, within-cell pairs above tau "
+    "are semantic duplicates, and each duplicate pair keeps its more "
+    "MARGINAL member (lower cosine-to-centroid — prototypical copies "
+    "are dropped, outliers preserved). Composes the IVF quantizer "
+    "with edge-keyed verdicts; oracle replays training via the shared "
+    "k-means CTEs",
+    tags=("dedup", "semantic", "embedding", "kmeans"),
+    staged=True,
+)
+def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semdedup_verdicts(emb)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: codebook training + encoding
+# ---------------------------------------------------------------------------
+
+
+def _sub(flat: DataFrame) -> DataFrame:
+    """(vec_id, m, spos, val): the M-subspace view of the flat
+    representation — subspace m = (pos-1) div DSUB, 1-based local
+    position."""
+    return flat.select(
+        "vec_id",
+        F.expr(f"CAST((pos - 1) DIV {PQ_DSUB} AS INT)").alias("m"),
+        ((F.col("pos") - 1) % PQ_DSUB + 1).alias("spos"),
+        "val",
+    )
+
+
+def train_pq_codebook(
+    flat: DataFrame,
+    n_codes: int = PQ_K,
+    iters: int = PQ_ITERS,
+    seed: str = PQ_SEED,
+) -> DataFrame:
+    """(m, code, spos, cval) product-quantization codebook, bounded by
+    construction at M × K × DSUB rows. All M subspaces train in the
+    SAME DataFrame passes (the subspace id is a grouping key, not a
+    loop variable), so one Lloyd round costs one join + two aggregates
+    regardless of M. Assignment scores stay in the exact BIGINT domain
+    (cn2s - 2·dots of floor-scaled sums — no double rounding in the
+    argmin)."""
+    sub = _sub(flat)
+    pseeds = (
+        sub.select("vec_id")
+        .distinct()
+        .select(
+            "vec_id",
+            F.md5(F.concat(F.lit(seed), F.col("vec_id").cast("string"))).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(n_codes)
+    )
+    w = W.orderBy("h", "vec_id")  # bounded: n_codes rows
+    pseeds = pseeds.select("vec_id", (F.row_number().over(w) - 1).alias("code"))
+    cb = sub.join(F.broadcast(pseeds), "vec_id").select(
+        "m", "code", "spos", F.col("val").alias("cval")
+    )
+    for _ in range(iters):
+        asg = _assign_codes(sub, cb).where(F.col("rk") == 1).select(
+            "vec_id", "m", "code"
+        )
+        cb = (
+            sub.join(asg, ["vec_id", "m"])
+            .groupBy("m", "code", "spos")
+            .agg((_scaled_sum(F.col("val")) / F.count(F.lit(1))).alias("cval"))
+            .localCheckpoint(eager=False)
+        )
+    return cb
+
+
+def _assign_codes(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, m, code, rk): codes ranked nearest-first per (vector,
+    subspace) by the exact integer score cn2s - 2·dots."""
+    cbn = cb.groupBy("m", "code").agg(
+        _scaled_sum_raw(F.col("cval") * F.col("cval")).alias("cn2s")
+    )
+    dots = (
+        sub.join(F.broadcast(cb), ["m", "spos"])
+        .groupBy("vec_id", "m", "code")
+        .agg(_scaled_sum_raw(F.col("val") * F.col("cval")).alias("dots"))
+    )
+    w = W.partitionBy("vec_id", "m").orderBy(
+        (F.col("cn2s") - 2 * F.col("dots")), "code"
+    )
+    return dots.join(F.broadcast(cbn), ["m", "code"]).select(
+        "vec_id", "m", "code", F.row_number().over(w).alias("rk")
+    )
+
+
+def pq_encode(flat: DataFrame, cb: DataFrame | None = None) -> DataFrame:
+    """(vec_id, subspace, code): every vector as M one-byte codes."""
+    sub = _sub(flat)
+    if cb is None:
+        cb = train_pq_codebook(flat)
+    return (
+        _assign_codes(sub, cb)
+        .where(F.col("rk") == 1)
+        .select("vec_id", F.col("m").alias("subspace"), "code")
+    )
+
+
+def _pq_ctes(
+    n_codes: int = PQ_K, iters: int = PQ_ITERS, seed: str = PQ_SEED
+) -> list[str]:
+    """CTE replay of PQ training + encoding. Requires ``flat`` (from
+    :func:`_kmeans_replay_ctes` or standalone). Terminal relations:
+    ``cb{iters}`` (codebook) and ``pasg{iters}`` (per-(vector,
+    subspace) code ranks)."""
+    ssum = _ssum_sql
+    rsum = _ssum_raw_sql
+    ctes = [
+        f"sub AS (SELECT vec_id, CAST((pos - 1) // {PQ_DSUB} AS INTEGER) AS m,"
+        f" (pos - 1) % {PQ_DSUB} + 1 AS spos, val FROM flat)",
+        f"""pseeds AS (
+  SELECT vec_id, CAST(rn AS INTEGER) - 1 AS code FROM (
+    SELECT vec_id,
+           ROW_NUMBER() OVER (ORDER BY md5('{seed}' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM (SELECT DISTINCT vec_id FROM flat)
+  ) WHERE rn <= {n_codes}
+)""",
+        "cb0 AS (SELECT s.m, p.code, s.spos, s.val AS cval"
+        " FROM sub s JOIN pseeds p USING (vec_id))",
+    ]
+    for i in range(iters + 1):
+        ctes += [
+            f"cbn{i} AS (SELECT m, code, {rsum('cval * cval')} AS cn2s"
+            f" FROM cb{i} GROUP BY 1, 2)",
+            f"pdots{i} AS (SELECT s.vec_id, s.m, c.code, {rsum('s.val * c.cval')} AS dots"
+            f" FROM sub s JOIN cb{i} c ON c.m = s.m AND c.spos = s.spos"
+            f" GROUP BY 1, 2, 3)",
+            f"""pasg{i} AS (
+  SELECT vec_id, m, code,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY cn2s - 2 * dots, code) AS rk
+  FROM pdots{i} JOIN cbn{i} USING (m, code)
+)""",
+        ]
+        if i < iters:
+            ctes.append(
+                f"cb{i + 1} AS (SELECT a.m, a.code, s.spos,"
+                f" {ssum('s.val')} / COUNT(*) AS cval"
+                f" FROM sub s JOIN (SELECT vec_id, m, code FROM pasg{i} WHERE rk = 1) a"
+                f" ON a.vec_id = s.vec_id AND a.m = s.m GROUP BY 1, 2, 3)"
+            )
+    return ctes
+
+
+_PQ_CODES_ORACLE = (
+    "WITH "
+    + ",\n".join(
+        [
+            "flat AS (SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS val"
+            " FROM embeddings, (SELECT unnest(range(1, 65)) AS pos))",
+        ]
+        + _pq_ctes()
+    )
+    + f"""
+SELECT vec_id, m AS subspace, code
+FROM pasg{PQ_ITERS} WHERE rk = 1
+"""
+)
+
+
+@register(
+    "embed_pq_codes",
+    _PQ_CODES_ORACLE,
+    doc=f"Product quantization (Jégou TPAMI'11): {PQ_M}×{PQ_DSUB}-dim "
+    f"subspaces, {PQ_K} seeded codewords each, {PQ_ITERS} Lloyd round "
+    "— 64 floats → 8 codes (32× compression, the PQ memory budget "
+    "for a 100 TB vector corpus). All subspaces train in the same "
+    "DataFrame passes (subspace id is a grouping key); assignment "
+    "argmin runs in the exact BIGINT domain; oracle replays training",
+    tags=("embedding", "quantization", "pq", "kmeans"),
+    staged=True,
+)
+def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    flat = _flat(emb).select("vec_id", "pos", "val")
+    return pq_encode(flat)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ serve path: coarse cells + asymmetric distance computation
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_cosine_topk(
+    emb: DataFrame,
+    query_filter,
+    k: int = PQ_TOP_K,
+    n_probe: int = PQ_N_PROBE,
+) -> DataFrame:
+    """(query_id, neighbor_id, approx_cos, rk): ADC-scored top-k.
+
+    Candidate generation is the trained coarse IVF (probe ``n_probe``
+    cells); scoring touches only each candidate's M codes — the query
+    side precomputes a bounded M×K lookup table (LUT) of scaled
+    subspace dot products against the codebook, the candidate's
+    approximate dot is the BIGINT sum of its M LUT hits, and the
+    denominator uses the codebook-reconstruction norm (also a bounded
+    per-(m,code) table). The raw corpus floats appear in training and
+    in the LUT build, never in candidate scoring — at 100 TB the
+    serve-path state is codes (M bytes/vector) + two broadcast
+    tables."""
+    flat = _flat(emb).select("vec_id", "pos", "val")
+    sub = _sub(flat)
+
+    # coarse quantizer (shared seeded k-means) → candidate pairs
+    centroids = train_ivf_cells(emb)
+    assign = _assign_cells(flat, centroids)
+    cells = assign.where(F.col("rk") == 1).select("vec_id", "cell")
+    qcells = (
+        assign.where(query_filter)
+        .where(F.col("rk") <= n_probe)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    cand = (
+        qcells.join(cells, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+
+    # PQ codebook + codes
+    cb = train_pq_codebook(flat)
+    codes = pq_encode(flat, cb).withColumnRenamed("subspace", "m")
+
+    # query LUT: scaled dot of every (query subvector, codeword) —
+    # bounded: |queries| × M × K rows
+    qsub = sub.where(query_filter).select(
+        F.col("vec_id").alias("query_id"), "m", "spos", F.col("val").alias("qval")
+    )
+    lut = (
+        qsub.join(F.broadcast(cb), ["m", "spos"])
+        .groupBy("query_id", "m", "code")
+        .agg(_scaled_sum_raw(F.col("qval") * F.col("cval")).alias("luts"))
+    )
+    # reconstruction norm per candidate: sum of its codewords' norms
+    cbn = cb.groupBy("m", "code").agg(
+        _scaled_sum_raw(F.col("cval") * F.col("cval")).alias("cn2s")
+    )
+    rn = (
+        codes.join(F.broadcast(cbn), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("cn2s").alias("rn2s"))
+        .select(F.col("vec_id").alias("neighbor_id"), "rn2s")
+    )
+    qn = (
+        qsub.groupBy("query_id")
+        .agg(_scaled_sum_raw(F.col("qval") * F.col("qval")).alias("qn2s"))
+    )
+    # ADC: candidate × its M codes × LUT — BIGINT sum, exact
+    adot = (
+        cand.join(codes, cand["neighbor_id"] == codes["vec_id"])
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("luts").alias("adots"))
+    )
+    scored = (
+        adot.join(F.broadcast(qn), "query_id")
+        .join(rn, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                (F.col("adots").cast("double") / SCALE)
+                / F.sqrt(
+                    (F.col("qn2s").cast("double") / SCALE)
+                    * (F.col("rn2s").cast("double") / SCALE)
+                )
+            ).alias("approx_cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("approx_cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "approx_cos", "rk")
+    )
+
+
+def _ivfpq_oracle(k: int = PQ_TOP_K, n_probe: int = PQ_N_PROBE) -> str:
+    from lambda_lakehouse_spark.operators.similarity import KMEANS_ITERS
+
+    i = KMEANS_ITERS
+    j = PQ_ITERS
+    rsum = _ssum_raw_sql
+    ctes = _kmeans_replay_ctes() + _pq_ctes()
+    ctes += [
+        f"cells AS (SELECT vec_id, cell FROM asg{i} WHERE rk = 1)",
+        f"qcells AS (SELECT vec_id AS query_id, cell FROM asg{i}"
+        f" WHERE rk <= {n_probe} AND vec_id < {N_QUERIES})",
+        "cand AS (SELECT q.query_id, v.vec_id AS neighbor_id"
+        " FROM qcells q JOIN cells v USING (cell)"
+        " WHERE v.vec_id <> q.query_id)",
+        f"codes AS (SELECT vec_id, m, code FROM pasg{j} WHERE rk = 1)",
+        f"qsub AS (SELECT vec_id AS query_id, m, spos, val AS qval FROM sub"
+        f" WHERE vec_id < {N_QUERIES})",
+        f"lut AS (SELECT q.query_id, c.m, c.code, {rsum('q.qval * c.cval')} AS luts"
+        f" FROM qsub q JOIN cb{j} c ON c.m = q.m AND c.spos = q.spos"
+        " GROUP BY 1, 2, 3)",
+        f"rn AS (SELECT cd.vec_id AS neighbor_id, CAST(SUM(cn2s) AS BIGINT) AS rn2s"
+        f" FROM codes cd JOIN cbn{j} USING (m, code) GROUP BY 1)",
+        f"qn AS (SELECT query_id, {rsum('qval * qval')} AS qn2s FROM qsub GROUP BY 1)",
+        "adot AS (SELECT c.query_id, c.neighbor_id, CAST(SUM(l.luts) AS BIGINT) AS adots"
+        " FROM cand c JOIN codes cd ON cd.vec_id = c.neighbor_id"
+        " JOIN lut l ON l.query_id = c.query_id AND l.m = cd.m AND l.code = cd.code"
+        " GROUP BY 1, 2)",
+        """scored AS (
+  SELECT a.query_id, a.neighbor_id,
+         (CAST(adots AS DOUBLE) / 1e15)
+           / sqrt((CAST(qn2s AS DOUBLE) / 1e15) * (CAST(rn2s AS DOUBLE) / 1e15))
+           AS approx_cos
+  FROM adot a JOIN qn USING (query_id) JOIN rn USING (neighbor_id)
+)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, neighbor_id, approx_cos, rk
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY approx_cos DESC, neighbor_id) AS INTEGER) AS rk
+  FROM scored
+)
+WHERE rk <= {k}
+"""
+    )
+
+
+@register(
+    "ann_cosine_topk_ivfpq",
+    _ivfpq_oracle(),
+    doc="IVF-PQ ANN serve path: coarse IVF cells bound candidates, "
+    "asymmetric distance computation scores them — query builds a "
+    f"bounded {PQ_M}×{PQ_K} LUT of scaled codeword dot products, each "
+    "candidate is the BIGINT sum of its 8 LUT hits (codes only, never "
+    "raw floats). The 100 TB memory-budget path on top of "
+    "embed_pq_codes; oracle replays coarse + PQ training and the "
+    "identical approximation",
+    tags=("similarity", "vector", "ivf", "pq", "serving"),
+    staged=True,
+)
+def ann_cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivfpq_cosine_topk(emb, F.col("vec_id") < N_QUERIES)
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka prefix-recall evaluation
+# ---------------------------------------------------------------------------
+
+MRL_PREFIX = 16
+MRL_K = 5
+
+
+def _prefix_rank_sql(dim_hi: int, alias: str) -> str:
+    ssum = _ssum_sql
+    return f"""{alias}_flat AS (
+  SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS val
+  FROM embeddings, (SELECT unnest(range(1, {dim_hi + 1})) AS pos)
+),
+{alias}_norms AS (
+  SELECT vec_id, {ssum('val * val')} AS n2 FROM {alias}_flat GROUP BY vec_id
+),
+{alias}_dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {ssum('q.val * c.val')} AS dot
+  FROM {alias}_flat q
+  JOIN {alias}_flat c ON q.pos = c.pos AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+  GROUP BY 1, 2
+),
+{alias}_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY dot / sqrt(nq.n2 * nc.n2) DESC, neighbor_id) AS rk
+    FROM {alias}_dots
+    JOIN {alias}_norms nq ON nq.vec_id = query_id
+    JOIN {alias}_norms nc ON nc.vec_id = neighbor_id
+  ) WHERE rk <= {MRL_K}
+)"""
+
+
+_MRL_ORACLE = (
+    "WITH "
+    + _prefix_rank_sql(EMB_DIM, "full")
+    + ",\n"
+    + _prefix_rank_sql(MRL_PREFIX, "pre")
+    + f"""
+SELECT f.query_id,
+       CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_overlap,
+       CAST(COUNT(p.neighbor_id) AS DOUBLE) / {MRL_K} AS recall
+FROM full_top f
+LEFT JOIN pre_top p
+  ON p.query_id = f.query_id AND p.neighbor_id = f.neighbor_id
+GROUP BY f.query_id
+"""
+)
+
+
+@register(
+    "eval_matryoshka_prefix_recall",
+    _MRL_ORACLE,
+    doc=f"Matryoshka evaluation (MRL, NeurIPS'22): recall@{MRL_K} of "
+    f"searching with only the first {MRL_PREFIX} of {EMB_DIM} "
+    "dimensions against the exact full-dimension top-k, per query — "
+    "the measurement that justifies serving truncated embeddings "
+    "(4× less memory/bandwidth). Both rankings are the decimal-exact "
+    "brute path; overlap is a pair-keyed left join",
+    tags=("embedding", "eval", "matryoshka", "similarity"),
+    staged=True,
+)
+def eval_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    full = cosine_topk(emb, F.col("vec_id") < N_QUERIES, k=MRL_K)
+    pre = cosine_topk(
+        emb.withColumn("embedding", F.slice("embedding", 1, MRL_PREFIX)),
+        F.col("vec_id") < N_QUERIES,
+        k=MRL_K,
+    )
+    p = pre.select(
+        "query_id", F.col("neighbor_id").alias("p_neighbor")
+    )
+    return (
+        full.select("query_id", "neighbor_id")
+        .join(
+            p,
+            (full["query_id"] == p["query_id"])
+            & (full["neighbor_id"] == p["p_neighbor"]),
+            "left",
+        )
+        .drop(p["query_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count("p_neighbor").alias("n_overlap"),
+            (F.count("p_neighbor").cast("double") / MRL_K).alias("recall"),
+        )
+    )

@@ -431,15 +431,18 @@ def ivf_cosine_topk(
     return _rescore_candidates(flat, cand, query_filter, k)
 
 
-def _ivf_oracle(
+def _kmeans_replay_ctes(
     n_cells: int = N_CELLS,
     iters: int = KMEANS_ITERS,
-    n_probe: int = N_PROBE,
-    k: int = IVF_K,
     seed: str = KMEANS_SEED,
-) -> str:
-    """DuckDB replay of the trained-IVF query: k-means iterations
-    unrolled as CTEs, identical floor-scaled-integer arithmetic."""
+) -> list[str]:
+    """CTE list replaying :func:`train_ivf_cells` in DuckDB SQL —
+    ``flat``, seeded init, and one assignment block per Lloyd round
+    plus a final one after the last centroid update, all on the same
+    floor-scaled-integer arithmetic. Terminal relations: ``cent{iters}``
+    (the trained centroids) and ``asg{iters}`` (per-vector cell ranks).
+    Shared by the IVF oracle and the SemDeDup/IVF-PQ oracles
+    (operators/semantic.py) so the k-means replay cannot fork."""
     ssum = _ssum_sql
     ctes = [
         "flat AS (SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS val"
@@ -476,6 +479,20 @@ def _ivf_oracle(
                 f" FROM flat f JOIN (SELECT vec_id, cell FROM asg{i} WHERE rk = 1) a"
                 f" USING (vec_id) GROUP BY 1, 2)"
             )
+    return ctes
+
+
+def _ivf_oracle(
+    n_cells: int = N_CELLS,
+    iters: int = KMEANS_ITERS,
+    n_probe: int = N_PROBE,
+    k: int = IVF_K,
+    seed: str = KMEANS_SEED,
+) -> str:
+    """DuckDB replay of the trained-IVF query: k-means iterations
+    unrolled as CTEs, identical floor-scaled-integer arithmetic."""
+    ssum = _ssum_sql
+    ctes = _kmeans_replay_ctes(n_cells, iters, seed)
     i = iters
     ctes += [
         f"cells AS (SELECT vec_id, cell FROM asg{i} WHERE rk = 1)",

@@ -668,3 +668,135 @@ GROUP BY sh.doc_id
 def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     return novelty_scores(docs)
+
+
+# ---------------------------------------------------------------------------
+# BPE-style pair statistics (round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# The first step of byte-pair-encoding tokenizer training: frequency of
+# every ADJACENT character pair inside whitespace words, ranked — the
+# relation a BPE trainer consults to pick its next merge. One
+# char-level explode of the corpus (positions via sequence(), no UDF),
+# one map-side-combined count, one distributed top-k. At 100 TB the
+# shuffle key is the pair (bounded alphabet² domain — hot pairs like
+# 'th' are exactly what AQE's skew handling and partial aggregation
+# absorb), and iterating merges would re-run this relation per round —
+# each round is this same one-pass aggregate.
+
+BPE_PAIR_TOP_K = 50
+
+_BPE_PAIR_ORACLE = f"""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+pairs AS (
+  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+  FROM (SELECT w, unnest(range(1, length(w))) AS i FROM words WHERE length(w) >= 2)
+),
+counts AS (
+  SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY 1
+)
+SELECT rank, pair, n FROM (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank,
+         pair, n
+  FROM counts
+)
+WHERE rank <= {BPE_PAIR_TOP_K}
+"""
+
+
+@register(
+    "text_bpe_pair_merges",
+    _BPE_PAIR_ORACLE,
+    doc="BPE tokenizer-training step 1: adjacent character-pair "
+    f"frequencies inside whitespace words, top-{BPE_PAIR_TOP_K} by "
+    "(count DESC, pair) — char-level explode via sequence() (no UDF), "
+    "map-side-combined count keyed on the bounded pair domain, "
+    "distributed top-k; each further BPE merge round is this same "
+    "one-pass aggregate",
+    tags=("text", "tokenizer", "bpe", "topk"),
+    staged=True,
+)
+def text_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lambda_lakehouse_spark.operators.ranking import global_topk
+
+    docs = read_table(spark, sf_dir, "documents").select("text")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).where(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(F.expr("sequence(1, length(w) - 1)")).alias("i"), "w"
+    ).select(F.expr("substring(w, i, 2)").alias("pair"))
+    counts = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return global_topk(
+        counts, [F.col("n").desc(), "pair"], BPE_PAIR_TOP_K, "rank"
+    ).select("rank", "pair", "n")
+
+
+# ---------------------------------------------------------------------------
+# Code-vs-prose signals (round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# Corpus-curation triage: per-document structural signals that separate
+# source code from natural prose (brace/semicolon density, symbol and
+# digit fractions) plus the verdict a mixed web-scrape pipeline routes
+# on (code goes to the code pipeline, prose to the text one). Pure
+# counting via length-difference and portable [0-9] regex — every
+# expression codegen'd, one map-only pass, no shuffle at all.
+
+CODE_SYMBOLS = "{};=()"
+CODE_SYM_FRAC = 0.01
+
+
+def _count_char_sql(ch: str) -> str:
+    lit = ch.replace("'", "''")
+    return f"length(text) - length(replace(text, '{lit}', ''))"
+
+
+_CODE_PROSE_ORACLE = f"""
+SELECT doc_id,
+       CAST({_count_char_sql('{')} + {_count_char_sql('}')} AS BIGINT) AS n_braces,
+       CAST({_count_char_sql(';')} AS BIGINT) AS n_semicolons,
+       CAST({" + ".join(_count_char_sql(c) for c in CODE_SYMBOLS)} AS DOUBLE)
+         / length(text) AS sym_frac,
+       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+         / length(text) AS digit_frac,
+       CAST({" + ".join(_count_char_sql(c) for c in CODE_SYMBOLS)} AS DOUBLE)
+         / length(text) >= {CODE_SYM_FRAC} AS code_like
+FROM documents
+WHERE length(text) > 0
+"""
+
+
+@register(
+    "text_code_prose_signals",
+    _CODE_PROSE_ORACLE,
+    doc="Code-vs-prose routing signals per document: brace/semicolon "
+    "counts and symbol/digit fractions via length-difference counting "
+    "(codegen'd, map-only, zero shuffles) with the code_like verdict a "
+    "mixed-scrape curation pipeline routes on",
+    tags=("text", "quality", "curation"),
+    staged=True,
+)
+def text_code_prose_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+
+    def cnt(ch: str):
+        return F.length(t) - F.length(F.replace(t, F.lit(ch)))
+
+    syms = sum((cnt(c) for c in CODE_SYMBOLS[1:]), cnt(CODE_SYMBOLS[0]))
+    digits = F.length(t) - F.length(F.regexp_replace(t, "[0-9]", ""))
+    return docs.where(F.length(t) > 0).select(
+        "doc_id",
+        (cnt("{") + cnt("}")).cast("bigint").alias("n_braces"),
+        cnt(";").cast("bigint").alias("n_semicolons"),
+        (syms.cast("double") / F.length(t)).alias("sym_frac"),
+        (digits.cast("double") / F.length(t)).alias("digit_frac"),
+        (syms.cast("double") / F.length(t) >= F.lit(CODE_SYM_FRAC)).alias(
+            "code_like"
+        ),
+    )

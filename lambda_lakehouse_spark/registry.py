@@ -55,9 +55,10 @@ REGISTRY: dict[str, Query] = {}
 #   3. re-run: python tools/gen_coverage_appendix.py && pytest
 #      tests/test_registry_contract.py — the window-fit invariant will
 #      fail loudly if too many uncertified queries would queue at once.
-# The round-5 cohort of 33 staged queries graduated at the round-6
-# boundary following exactly this procedure (currently STAGED is empty;
-# new over-window work stages here again).
+# The round-5 cohort (33 queries) graduated at the round-6 boundary
+# and the round-6 cohort (24) at the round-7 boundary, each following
+# exactly this procedure. STAGED currently holds the round-7 cohort
+# queued for round 8 (embedding-space curation + text/stats ops).
 STAGED: dict[str, Query] = {}
 
 
@@ -187,6 +188,7 @@ def load_all() -> dict[str, Query]:
     import lambda_lakehouse_spark.operators.bloom  # noqa: F401
     import lambda_lakehouse_spark.operators.temporal  # noqa: F401
     import lambda_lakehouse_spark.operators.evalstats  # noqa: F401
+    import lambda_lakehouse_spark.operators.semantic  # noqa: F401
 
     ordered: dict[str, Query] = {}
     for name in DRIVER_PRIORITY:

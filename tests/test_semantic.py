@@ -1,0 +1,242 @@
+"""Property tests for the embedding-space curation operators
+(operators/semantic.py): SemDeDup keeper policy on crafted duplicate
+groups, PQ code validity + seed-identity, IVF-PQ output contract, and
+Matryoshka recall on prefix-determined embeddings."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from lambda_lakehouse_spark.operators.semantic import (
+    MRL_K,
+    PQ_DSUB,
+    PQ_K,
+    PQ_M,
+    eval_matryoshka_prefix_recall,
+    ivfpq_cosine_topk,
+    pq_encode,
+    semdedup_verdicts,
+    train_pq_codebook,
+)
+from lambda_lakehouse_spark.operators.similarity import _flat
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+
+
+def _vec(*nonzero, dim=64):
+    v = [0.0] * dim
+    for i, x in nonzero:
+        v[i] = float(x)
+    return v
+
+
+def test_semdedup_identical_group_keeps_exactly_one(spark):
+    """Four identical vectors share a cell and tie on
+    cos-to-centroid; the (cos_centroid, vec_id) tuple order must keep
+    exactly the smallest id and drop the other three. Distinct
+    orthogonal vectors are untouched."""
+    rows = [(i, _vec((0, 1.0)), 0) for i in range(4)]
+    rows += [(10 + d, _vec((d, 1.0)), 0) for d in range(1, 4)]
+    out = semdedup_verdicts(_emb_df(spark, rows), tau=0.99).collect()
+    kept = {r.vec_id for r in out if r.is_kept}
+    assert len(out) == 7
+    assert {0, 11, 12, 13} <= kept
+    assert kept & {1, 2, 3} == set()
+
+
+def test_semdedup_drops_the_prototypical_member(spark):
+    """Of a duplicate pair, the member CLOSER to its cell centroid is
+    dropped (SemDeDup keep-the-marginal rule). Cell geometry: many
+    copies of the prototype pull the centroid toward it, so the
+    slightly-rotated twin is the marginal one and must survive."""
+    proto = _vec((0, 1.0))
+    # near-duplicate of the prototype, tilted toward dim 1
+    twin = _vec((0, 1.0), (1, 0.2))
+    rows = [(i, proto, 0) for i in range(5)] + [(99, twin, 0)]
+    out = {r.vec_id: r for r in semdedup_verdicts(_emb_df(spark, rows), tau=0.9).collect()}
+    assert out[99].is_kept  # the marginal twin survives
+    # the prototype group keeps exactly its min id
+    assert out[0].is_kept
+    assert not any(out[i].is_kept for i in range(1, 5))
+
+
+def test_pq_codes_valid_and_seed_identity(spark):
+    """Codes are dense in [0, PQ_K) per subspace, every vector gets
+    exactly PQ_M codes, and a vector whose subvectors coincide with a
+    codeword reconstructs to distance 0 (its own code wins)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)], 0) for i in range(40)
+    ]
+    emb = _emb_df(spark, rows)
+    flat = _flat(emb).select("vec_id", "pos", "val")
+    codes = pq_encode(flat).collect()
+    by_vec = {}
+    for r in codes:
+        assert 0 <= r.code < PQ_K
+        assert 0 <= r.subspace < PQ_M
+        by_vec.setdefault(r.vec_id, set()).add(r.subspace)
+    assert all(len(s) == PQ_M for s in by_vec.values())
+    assert len(by_vec) == 40
+
+
+def test_pq_codebook_bounded_shape(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)], 0) for i in range(30)
+    ]
+    flat = _flat(_emb_df(spark, rows)).select("vec_id", "pos", "val")
+    cb = train_pq_codebook(flat).collect()
+    # bounded by construction: M × K × DSUB rows
+    assert len(cb) <= PQ_M * PQ_K * PQ_DSUB
+    keys = {(r.m, r.code) for r in cb}
+    assert all(0 <= m < PQ_M and 0 <= c < PQ_K for m, c in keys)
+
+
+def test_ivfpq_output_contract(spark):
+    """Per query: at most k rows, contiguous ranks from 1, no
+    self-matches, approx_cos within [-1-eps, 1+eps] (quantization can
+    push slightly past 1)."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)], 0) for i in range(60)
+    ]
+    out = ivfpq_cosine_topk(
+        _emb_df(spark, rows), F.col("vec_id") < 5, k=3
+    ).collect()
+    by_q = {}
+    for r in out:
+        assert r.neighbor_id != r.query_id
+        assert -1.5 <= r.approx_cos <= 1.5
+        by_q.setdefault(r.query_id, []).append(r.rk)
+    for rks in by_q.values():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= 3
+
+
+def test_matryoshka_recall_one_when_prefix_determines(spark):
+    """Embeddings that are zero beyond the prefix: prefix ranking ==
+    full ranking, so recall@k is exactly 1.0 for every query."""
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (
+            i,
+            [rng.uniform(-1, 1) for _ in range(16)] + [0.0] * 48,
+            0,
+        )
+        for i in range(30)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _emb_df(spark, rows).write.parquet(f"{d}/embeddings.parquet")
+        out = eval_matryoshka_prefix_recall(spark, d).collect()
+    assert len(out) == 10
+    assert all(r.recall == 1.0 and r.n_overlap == MRL_K for r in out)
+
+
+# --- round-7 staged text/stats ops (non-embedding) --------------------
+
+
+def test_mannwhitney_separated_samples(spark):
+    """A strictly below B: U_A = 0 exactly (no A>B pair), z < 0; and
+    the doubled-U integer matches the rank-sum identity."""
+    from lambda_lakehouse_spark.operators.evalstats import mannwhitney_u
+
+    rows = [(v, True) for v in (1, 2, 3)] + [(v, False) for v in (4, 5, 6)]
+    df = spark.createDataFrame(rows, "score int, in_a boolean")
+    r = mannwhitney_u(df, "score", "in_a").collect()[0]
+    assert (r.n_a, r.n_b) == (3, 3)
+    assert r.u_a2 == 0 and r.u_a == 0.0
+    assert r.z < 0
+
+
+def test_mannwhitney_midrank_ties(spark):
+    """Crafted ties: A={1,2,2}, B={2,3}. Midranks: 1→1, 2→3 (ranks
+    2,3,4), 3→5. R_A = 1+3+3 = 7, U_A = 7 - 6 = 1, tie_sum = 3³-3."""
+    from lambda_lakehouse_spark.operators.evalstats import mannwhitney_u
+
+    rows = [(1, True), (2, True), (2, True), (2, False), (3, False)]
+    df = spark.createDataFrame(rows, "score int, in_a boolean")
+    r = mannwhitney_u(df, "score", "in_a").collect()[0]
+    assert r.u_a2 == 2  # 2*U_A
+    assert r.u_a == 1.0
+    assert r.tie_sum == 24
+
+
+def test_bpe_pairs_counts_adjacent_only(spark):
+    """'abab' yields ab, ba, ab — overlapping adjacent pairs, counted
+    with multiplicity; single-char words contribute nothing."""
+    import tempfile
+
+    from lambda_lakehouse_spark.registry import load_staged
+
+    docs = spark.createDataFrame(
+        [(1, "abab x", "en", "s", 6), (2, "ab", "en", "s", 2)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        out = {
+            r.pair: (r.rank, r.n)
+            for r in load_staged()["text_bpe_pair_merges"].spark(spark, d).collect()
+        }
+    assert out["ab"] == (1, 3)
+    assert out["ba"] == (2, 1)
+    assert "x" not in out and " x" not in out
+
+
+def test_code_prose_signals_on_code_like_text(spark):
+    import tempfile
+
+    from lambda_lakehouse_spark.registry import load_staged
+
+    code = "int f(){return 0;};"
+    prose = "a gentle paragraph about nothing in particular at all"
+    docs = spark.createDataFrame(
+        [(1, code, "en", "s", len(code)), (2, prose, "en", "s", len(prose))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        out = {
+            r.doc_id: r
+            for r in load_staged()["text_code_prose_signals"].spark(spark, d).collect()
+        }
+    assert out[1].code_like and out[1].n_braces == 2 and out[1].n_semicolons == 2
+    assert not out[2].code_like and out[2].sym_frac == 0.0
+
+
+def test_tfidf_rarity_prefers_rare_terms(spark):
+    """A term appearing in 1 of 3 docs outranks an equally-frequent
+    term appearing in all docs (df dominates for fixed tf)."""
+    import tempfile
+
+    from lambda_lakehouse_spark.registry import load_staged
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare common", "en", "s", 17),
+            (2, "common filler words", "en", "s", 19),
+            (3, "common other stuff", "en", "s", 18),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        rows = load_staged()["corpus_tfidf_topterms"].spark(spark, d).collect()
+    top1 = {r.doc_id: r.word for r in rows if r.rk == 1}
+    assert top1[1] == "rare"  # tf=1,df=1 (score 3) beats tf=2,df=3 (score 2)
