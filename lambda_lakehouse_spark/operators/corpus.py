@@ -2116,3 +2116,65 @@ def corpus_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= TFIDF_TOP_K)
         .select("doc_id", "word", "tf", "df", "rarity_score", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Source diversity report (round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# The corpus-mix dashboard row: per source, its share of the corpus
+# and the language diversity of its documents as the Gini–Simpson
+# index 1 - sum(p_l^2) — the standard diversity measure that needs no
+# log() (entropy's engine-rounding problem), computed exactly as
+# (n^2 - sum(c_l^2)) / n^2 in integers with one final double
+# division. One (source, lang) count, one source rollup, one 1-row
+# total broadcast — bounded |sources| output at any scale.
+
+_DIVERSITY_ORACLE = """
+WITH sl AS (
+  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2
+),
+s AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_langs,
+         CAST(SUM(c * c) AS BIGINT) AS sum_c2
+  FROM sl GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM s)
+SELECT source, n_docs, n_langs,
+       CAST(n_docs * n_docs - sum_c2 AS DOUBLE) / (n_docs * n_docs)
+         AS lang_simpson,
+       CAST(n_docs AS DOUBLE) / n_total AS corpus_share
+FROM s CROSS JOIN tot
+"""
+
+
+@register(
+    "corpus_source_diversity",
+    _DIVERSITY_ORACLE,
+    doc="Per-source corpus-mix report: document share and exact "
+    "Gini-Simpson language diversity 1 - sum(p^2) computed as integer "
+    "cross-multiplication with one double division (no log-entropy "
+    "portability risk) — a (source,lang) count, a source rollup, and "
+    "a 1-row total broadcast; |sources|-row output at any sf",
+    tags=("corpus", "stats", "diversity", "mix"),
+    staged=True,
+)
+def corpus_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("source", "lang")
+    sl = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    s = sl.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_c2"),
+    )
+    tot = s.agg(F.sum("n_docs").cast("bigint").alias("n_total"))
+    n2 = F.col("n_docs") * F.col("n_docs")
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_langs",
+        ((n2 - F.col("sum_c2")).cast("double") / n2).alias("lang_simpson"),
+        (F.col("n_docs").cast("double") / F.col("n_total")).alias("corpus_share"),
+    )

@@ -614,3 +614,128 @@ def stats_mannwhitney_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_chars", (F.col("source") == _MW_SRC_A).alias("in_a"))
     )
     return mannwhitney_u(docs, "n_chars", "in_a")
+
+
+# ---------------------------------------------------------------------------
+# Exact NDCG@10 per source (round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# The ranking-quality metric: per source, rank documents by the demo
+# score (n_chars DESC, doc_id), relevance = lang='en', and report
+# DCG@10 / IDCG@10. log2 discounts are the one transcendental the
+# metric needs, and engine log() rounding is not portable — so the ten
+# discount weights 1/log2(i+1), i=1..10, are PRECOMPUTED 1e12-scaled
+# integer literals baked identically into both plans: DCG becomes an
+# exact BIGINT dot product, IDCG an element_at into the cumulative
+# literal array, and the only double is the final division. IDCG uses
+# the ideal ordering of the source's full candidate list (its first
+# min(10, n_relevant) slots are all relevant); sources with zero
+# relevant docs define NDCG = 0.
+#
+# Scale: one source-partitioned ranking window (the partition key IS
+# the workload unit), a 10-row-per-source filter, and a bounded
+# per-source aggregate — output is |sources| rows at any sf.
+
+NDCG_K = 10
+# round(1e12 / log2(i+1)) for i = 1..10
+_NDCG_W = (
+    1000000000000, 630929753571, 500000000000, 430676558073,
+    386852807235, 356207187108, 333333333333, 315464876786,
+    301029995664, 289064826318,
+)
+# cumulative sums of _NDCG_W (IDCG lookup by n_relevant)
+_NDCG_CUM = (
+    1000000000000, 1630929753571, 2130929753571, 2561606311644,
+    2948459118879, 3304666305987, 3637999639320, 3953464516106,
+    4254494511770, 4543559338088,
+)
+
+
+_NDCG_ORACLE = f"""
+WITH ranked AS (
+  SELECT source, lang = 'en' AS rel,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+),
+w AS (
+  SELECT unnest(range(1, {NDCG_K + 1})) AS rk,
+         unnest([{", ".join(str(x) for x in _NDCG_W)}]) AS wt
+),
+dcg AS (
+  SELECT r.source,
+         CAST(SUM(CASE WHEN r.rel THEN w.wt ELSE 0 END) AS BIGINT) AS dcg_s
+  FROM ranked r JOIN w ON w.rk = r.rk
+  WHERE r.rk <= {NDCG_K}
+  GROUP BY 1
+),
+nrel AS (
+  SELECT source, CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
+  FROM ranked GROUP BY 1
+)
+SELECT n.source, n.n_rel, COALESCE(d.dcg_s, 0) AS dcg_scaled,
+       CASE WHEN n.n_rel = 0 THEN CAST(0 AS BIGINT)
+            ELSE [{", ".join(str(x) for x in _NDCG_CUM)}][CAST(LEAST(n.n_rel, {NDCG_K}) AS INTEGER)]
+       END AS idcg_scaled,
+       CASE WHEN n.n_rel = 0 THEN 0.0
+            ELSE CAST(COALESCE(d.dcg_s, 0) AS DOUBLE)
+                 / [{", ".join(str(x) for x in _NDCG_CUM)}][CAST(LEAST(n.n_rel, {NDCG_K}) AS INTEGER)]
+       END AS ndcg
+FROM nrel n LEFT JOIN dcg d USING (source)
+"""
+
+
+@register(
+    "eval_ndcg_at10",
+    _NDCG_ORACLE,
+    doc="Exact NDCG@10 per source (doc-length ranking vs lang='en' "
+    "relevance): the log2 discounts are 1e12-scaled integer literals "
+    "baked into both plans, so DCG is an exact BIGINT dot product and "
+    "IDCG an indexed cumulative literal — no engine log(), one final "
+    "double division; source-partitioned window, |sources|-row output",
+    tags=("eval", "stats", "ranking", "ndcg"),
+    staged=True,
+)
+def eval_ndcg_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", (F.col("lang") == "en").alias("rel"), "n_chars"
+    )
+    w = W.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = docs.withColumn("rk", F.row_number().over(w))
+    wts = F.array(*[F.lit(x) for x in _NDCG_W])
+    dcg = (
+        ranked.where(F.col("rk") <= NDCG_K)
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.when(F.col("rel"), F.element_at(wts, F.col("rk"))).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("dcg_s")
+        )
+    )
+    nrel = ranked.groupBy("source").agg(
+        F.sum(F.when(F.col("rel"), 1).otherwise(0)).cast("bigint").alias("n_rel")
+    )
+    cum = F.array(*[F.lit(x) for x in _NDCG_CUM])
+    idcg = F.when(F.col("n_rel") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.element_at(cum, F.least(F.col("n_rel"), F.lit(NDCG_K)).cast("int"))
+    )
+    return (
+        nrel.join(dcg, "source", "left")
+        .select(
+            "source",
+            "n_rel",
+            F.coalesce(F.col("dcg_s"), F.lit(0)).cast("bigint").alias("dcg_scaled"),
+            idcg.alias("idcg_scaled"),
+            F.when(F.col("n_rel") == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce(F.col("dcg_s"), F.lit(0)).cast("double") / idcg
+            )
+            .alias("ndcg"),
+        )
+    )

@@ -371,3 +371,108 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c1", "c2")
     )
     return triangle_stats(e0)
+
+
+# ---------------------------------------------------------------------------
+# Supplier-overlap link prediction (round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# Common-neighbors / Jaccard link prediction on the bipartite
+# part-supplier graph: supplier pairs ranked by the Jaccard overlap of
+# their part sets — "who could substitute for whom". Candidate pairs
+# come from a PART-keyed self-join of the distinct edge list, the
+# direction with the small fan-out (suppliers-per-part is bounded —
+# ~41 at sf0.01 — while parts-per-supplier grows into the hundreds;
+# joining on the low-degree side is the difference between deg^2 per
+# part and deg^2 per supplier). A degree cap on the join key bounds
+# the worst case the same way the DF cap bounds stop-shingles in
+# ngram-jaccard: parts above the cap are excluded from the shared
+# graph, and degrees are computed over that SAME capped edge set so
+# the Jaccard stays well-defined on the filtered graph (documented
+# trade, mirrored exactly by the oracle).
+
+PAIR_DEG_CAP = 64
+OVERLAP_TOP_K = 100
+
+
+_OVERLAP_ORACLE = f"""
+WITH e AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+),
+pd AS (
+  SELECT p, COUNT(*) AS dp FROM e GROUP BY 1
+),
+capped AS (
+  SELECT e.p, e.s FROM e JOIN pd USING (p) WHERE pd.dp <= {PAIR_DEG_CAP}
+),
+deg AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM capped GROUP BY 1
+),
+pairs AS (
+  SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS common
+  FROM capped a JOIN capped b ON a.p = b.p AND a.s < b.s
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT s1, s2, common,
+         CAST(common AS DOUBLE) / (d1.d + d2.d - common) AS jaccard
+  FROM pairs
+  JOIN deg d1 ON d1.s = s1
+  JOIN deg d2 ON d2.s = s2
+)
+SELECT rank, s1, s2, common, jaccard FROM (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY jaccard DESC, s1, s2) AS BIGINT) AS rank,
+         s1, s2, common, jaccard
+  FROM scored
+)
+WHERE rank <= {OVERLAP_TOP_K}
+"""
+
+
+@register(
+    "graph_supplier_overlap",
+    _OVERLAP_ORACLE,
+    doc="Jaccard link prediction over the bipartite part-supplier "
+    f"graph: top-{OVERLAP_TOP_K} supplier pairs by part-set overlap. "
+    "Pairs generate on the LOW-degree side (part-keyed self-join) "
+    f"with a degree cap ({PAIR_DEG_CAP}) bounding hub fan-out — the "
+    "DF-cap pattern from ngram-jaccard — and degrees computed over "
+    "the same capped edge set keep the score well-defined",
+    tags=("graph", "join", "similarity", "link-prediction"),
+    staged=True,
+)
+def graph_supplier_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    pd_ = e.groupBy("p").agg(F.count(F.lit(1)).alias("dp"))
+    capped = e.join(pd_, "p").where(F.col("dp") <= PAIR_DEG_CAP).select("p", "s")
+    deg = capped.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    a = capped.select("p", F.col("s").alias("s1"))
+    b = capped.select("p", F.col("s").alias("s2"))
+    pairs = (
+        a.join(b, "p")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
+    scored = (
+        pairs.join(d1, "s1")
+        .join(d2, "s2")
+        .select(
+            "s1",
+            "s2",
+            "common",
+            (
+                F.col("common").cast("double")
+                / (F.col("d1") + F.col("d2") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )
+    return global_topk(
+        scored, [F.col("jaccard").desc(), "s1", "s2"], OVERLAP_TOP_K, "rank"
+    ).select("rank", "s1", "s2", "common", "jaccard")

@@ -428,3 +428,114 @@ def multimodal_audio_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return audio_envelope(docs)
+
+
+# ---------------------------------------------------------------------------
+# Cross-video frame overlap (round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# Near-dup detection for VIDEO: two payloads sharing sampled-frame
+# fingerprints are re-encodes / clips of the same footage — the
+# multimodal twin of paragraph-grain text dedup. Rides the existing
+# frame sampler (1→N Arrow-batched mapInPandas, codec stubbed, same
+# hex-space fingerprints the oracle replays), then the shuffle key is
+# the frame fingerprint — an inverted index over frames, never a
+# payload×payload join. A per-fingerprint document cap bounds
+# boilerplate frames (intros, black frames) exactly like
+# MinHash-LSH's hot-bucket cap; capped fingerprints drop out of the
+# candidate join, mirrored by the oracle.
+
+FRAME_OVERLAP_DOC_CAP = 16
+
+
+_FRAME_OVERLAP_ORACLE = f"""
+WITH payload AS (
+  SELECT doc_id, lower(hex(encode(text))) AS h,
+         greatest(octet_length(encode(text)), 1) AS n
+  FROM documents
+),
+nums AS (
+  SELECT unnest(range(0, (SELECT CAST(ceil(max(n) / 256.0) AS BIGINT)
+                          FROM payload))) AS chunk_no
+),
+frames AS (
+  SELECT DISTINCT doc_id,
+         md5(substring(h, chunk_no * 512 + 1, 512)) AS frame_md5
+  FROM payload CROSS JOIN nums
+  WHERE chunk_no * 256 < n AND chunk_no % 2 = 0
+),
+nf AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames FROM frames GROUP BY 1
+),
+fdf AS (
+  SELECT frame_md5, COUNT(*) AS n_docs FROM frames GROUP BY 1
+),
+keep AS (
+  SELECT f.doc_id, f.frame_md5
+  FROM frames f JOIN fdf USING (frame_md5)
+  WHERE fdf.n_docs BETWEEN 2 AND {FRAME_OVERLAP_DOC_CAP}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM keep a JOIN keep b ON a.frame_md5 = b.frame_md5 AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.n_shared,
+       CAST(p.n_shared AS DOUBLE) / least(na.n_frames, nb.n_frames)
+         AS containment
+FROM pairs p
+JOIN nf na ON na.doc_id = p.doc_a
+JOIN nf nb ON nb.doc_id = p.doc_b
+"""
+
+
+@register(
+    "multimodal_frame_overlap",
+    _FRAME_OVERLAP_ORACLE,
+    doc="Cross-video near-dup detection: payload pairs sharing "
+    "sampled-frame fingerprints (re-encodes/clips of the same "
+    "footage), with containment = shared / min frame count. "
+    "Fingerprint-keyed inverted index — never payload×payload — with "
+    f"a {FRAME_OVERLAP_DOC_CAP}-doc hot-fingerprint cap (the "
+    "MinHash hot-bucket pattern); frames come from the stubbed "
+    "Arrow-batched sampler the oracle replays in hex space",
+    tags=("multimodal", "dedup", "pandas-udf", "join"),
+    staged=True,
+)
+def multimodal_frame_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    frames = sample_frames(docs).select("doc_id", "frame_md5").distinct()
+    nf = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames")
+    )
+    fdf = frames.groupBy("frame_md5").agg(F.count(F.lit(1)).alias("n_docs"))
+    keep = (
+        frames.join(fdf, "frame_md5")
+        .where(F.col("n_docs").between(2, FRAME_OVERLAP_DOC_CAP))
+        .select("doc_id", "frame_md5")
+    )
+    a = keep.select("frame_md5", F.col("doc_id").alias("doc_a"))
+    b = keep.select("frame_md5", F.col("doc_id").alias("doc_b"))
+    pairs = (
+        a.join(b, "frame_md5")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    na = nf.select(F.col("doc_id").alias("doc_a"), F.col("n_frames").alias("nfa"))
+    nb = nf.select(F.col("doc_id").alias("doc_b"), F.col("n_frames").alias("nfb"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / F.least(F.col("nfa"), F.col("nfb"))
+            ).alias("containment"),
+        )
+    )

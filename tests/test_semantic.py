@@ -240,3 +240,97 @@ def test_tfidf_rarity_prefers_rare_terms(spark):
         rows = load_staged()["corpus_tfidf_topterms"].spark(spark, d).collect()
     top1 = {r.doc_id: r.word for r in rows if r.rk == 1}
     assert top1[1] == "rare"  # tf=1,df=1 (score 3) beats tf=2,df=3 (score 2)
+
+
+def test_ndcg_perfect_and_worst_ranking(spark):
+    """All relevant docs ranked first → ndcg == 1.0 exactly (integer
+    DCG equals the cumulative IDCG literal); zero relevant → 0.0."""
+    import tempfile
+
+    from lambda_lakehouse_spark.registry import load_staged
+
+    rows = [(i, "t", "en" if i < 3 else "de", "sA", 100 - i) for i in range(8)]
+    rows += [(20 + i, "t", "fr", "sB", 50 - i) for i in range(5)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        out = {
+            r.source: r
+            for r in load_staged()["eval_ndcg_at10"].spark(spark, d).collect()
+        }
+    # sA: relevant docs are exactly the 3 longest → perfect ranking
+    assert out["sA"].n_rel == 3 and out["sA"].ndcg == 1.0
+    assert out["sB"].n_rel == 0 and out["sB"].ndcg == 0.0 and out["sB"].idcg_scaled == 0
+
+
+def test_source_diversity_monoculture_vs_uniform(spark):
+    """Single-language source → simpson 0; two equal languages →
+    exactly 0.5; shares sum to 1."""
+    import tempfile
+
+    from lambda_lakehouse_spark.registry import load_staged
+
+    rows = [(i, "t", "en", "mono", 5) for i in range(4)]
+    rows += [(10 + i, "t", ["en", "de"][i % 2], "duo", 5) for i in range(4)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        out = {
+            r.source: r
+            for r in load_staged()["corpus_source_diversity"].spark(spark, d).collect()
+        }
+    assert out["mono"].lang_simpson == 0.0 and out["mono"].n_langs == 1
+    assert out["duo"].lang_simpson == 0.5 and out["duo"].n_langs == 2
+    assert out["mono"].corpus_share + out["duo"].corpus_share == 1.0
+
+
+def test_supplier_overlap_jaccard_identity(spark):
+    """Two suppliers with identical capped part sets score jaccard
+    1.0 and rank first; disjoint suppliers never pair."""
+    import tempfile
+
+    rows = []
+    # s1, s2 share parts 1-3 exactly; s3 sells only part 9
+    for p in (1, 2, 3):
+        rows += [(p, 101), (p, 102)]
+    rows += [(9, 103)]
+    li = spark.createDataFrame(
+        [(p, s, 1.0) for p, s in rows],
+        "l_partkey long, l_suppkey long, l_quantity double",
+    )
+    from lambda_lakehouse_spark.registry import load_staged
+
+    with tempfile.TemporaryDirectory() as d:
+        li.write.parquet(f"{d}/lineitem.parquet")
+        out = load_staged()["graph_supplier_overlap"].spark(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.s1, r.s2, r.common, r.jaccard, r.rank) == (101, 102, 3, 1.0, 1)
+
+
+def test_frame_overlap_shared_chunk_detected(spark):
+    """Docs built from the same 256-byte block share every sampled
+    frame → containment 1.0; an unrelated doc pairs with nobody."""
+    import tempfile
+
+    from lambda_lakehouse_spark.registry import load_staged
+
+    block = "A" * 256
+    rows = [
+        (1, block * 4, "en", "s", 1024),
+        (2, block * 2, "en", "s", 512),
+        (3, "B" * 1024, "en", "s", 1024),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        out = load_staged()["multimodal_frame_overlap"].spark(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_a, r.doc_b, r.containment) == (1, 2, 1.0)
