@@ -85,12 +85,14 @@ def time_query(spark, q, sf_dir: str, repeats: int = 3) -> float:
 
 
 def run_single(name: str, sf_dir: str) -> None:
-    """Subprocess entry (isolate mode): time ONE query in a fresh JVM."""
+    """Subprocess entry (isolate mode): time ONE query in a fresh JVM.
+    One tiny JVM warmup only — the query itself runs exactly the
+    best-of-3 of shared mode (the first, codegen-cold pass is
+    discarded by the min), keeping per-query subprocess cost at three
+    executions."""
     spark = get_spark(app_name=f"lakehouse-bench-{name}")
     q = load_all()[name]
-    # warmup: JVM + codegen + parquet footer caches
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
     print(json.dumps({"query": name, "sec": time_query(spark, q, sf_dir)}))
 
 

@@ -353,3 +353,112 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Column profiling (round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# The dataset-card relation: per configured column, row/null/distinct
+# counts and the modal value with its frequency — what a data catalog
+# shows next to every table and what a curation run diffs before/after
+# a transform. ONE scan: the configured columns unpivot to
+# (column, value) rows via a generated stack() projection, counts
+# aggregate on the (column, value) key, and the per-column rollup +
+# mode (rank 1 by count DESC, value) ride a column-partitioned window
+# over the already-aggregated counts — |columns| output rows at any
+# scale. Values travel as strings; only string and integer columns
+# are profiled here (double→string formatting is engine-specific).
+
+_PROFILE_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey", "o_orderkey")
+
+
+def column_profile(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """(column, n_rows, n_null, n_distinct, mode_value, mode_freq) per
+    profiled column, in one scan of ``df``."""
+    pairs = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    kv = df.select(
+        F.expr(f"stack({len(cols)}, {pairs}) AS (col, val)")
+    )
+    counts = kv.groupBy("col", "val").agg(F.count(F.lit(1)).alias("c"))
+    per_col = counts.groupBy("col").agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("val").isNull(), F.col("c"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_null"),
+        F.count(F.when(F.col("val").isNotNull(), 1))
+        .cast("bigint")
+        .alias("n_distinct"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("col").orderBy(F.col("c").desc(), "val")
+    mode = (
+        counts.where(F.col("val").isNotNull())
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "col",
+            F.col("val").alias("mode_value"),
+            F.col("c").cast("bigint").alias("mode_freq"),
+        )
+    )
+    return per_col.join(mode, "col", "left").select(
+        F.col("col").alias("column"),
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        "mode_value",
+        "mode_freq",
+    )
+
+
+def _profile_oracle(cols: tuple[str, ...]) -> str:
+    branches = "\n  UNION ALL\n  ".join(
+        f"SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS val FROM orders"
+        for c in cols
+    )
+    return f"""
+WITH kv AS (
+  {branches}
+),
+counts AS (
+  SELECT col, val, COUNT(*) AS c FROM kv GROUP BY 1, 2
+),
+per_col AS (
+  SELECT col,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(COALESCE(SUM(CASE WHEN val IS NULL THEN c END), 0) AS BIGINT) AS n_null,
+         CAST(COUNT(CASE WHEN val IS NOT NULL THEN 1 END) AS BIGINT) AS n_distinct
+  FROM counts GROUP BY 1
+),
+mode AS (
+  SELECT col, val AS mode_value, CAST(c AS BIGINT) AS mode_freq FROM (
+    SELECT col, val, c,
+           ROW_NUMBER() OVER (PARTITION BY col ORDER BY c DESC, val) AS rk
+    FROM counts WHERE val IS NOT NULL
+  ) WHERE rk = 1
+)
+SELECT p.col AS "column", p.n_rows, p.n_null, p.n_distinct,
+       m.mode_value, m.mode_freq
+FROM per_col p LEFT JOIN mode m USING (col)
+"""
+
+
+@register(
+    "dq_column_profile",
+    _profile_oracle(_PROFILE_COLS),
+    doc="Dataset-card column profiling of orders in ONE scan: the "
+    "configured columns unpivot via stack(), counts key on "
+    "(column, value), and null/distinct/mode roll up from the "
+    "aggregated counts (mode = rank 1 by freq DESC, value) — "
+    "|columns| output rows at any scale; string/integer columns only "
+    "(double→string formatting is engine-specific)",
+    tags=("quality", "profile", "agg"),
+    staged=True,
+)
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return column_profile(orders, _PROFILE_COLS)

@@ -1867,3 +1867,99 @@ def ab_arm_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         (s / n).alias("mean_metric"),
         ((q - s * s / n) / (n - F.lit(1))).alias("var_metric"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing (round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# Exponentially-weighted moving average of daily revenue per event
+# type — the classic monitoring smoother (s_t = a*x_t + (1-a)*s_t-1)
+# that no window frame can express (each output depends on ALL prior
+# inputs through the recurrence). Spark-first shape: the daily series
+# per key collects into ONE array (bounded by the calendar span, not
+# by sf — more data widens the daily sums, not the array), array_sort
+# fixes the fold order, and a single aggregate() lambda runs the
+# recurrence left-to-right, exploding back to rows. Determinism
+# across engines: the fold applies the identical sequence of IEEE
+# double ops (a*x + (1-a)*s, literals cast to double on both sides),
+# and sequential evaluation means no reduction-order ambiguity — the
+# oracle's recursive CTE replays the exact same chain.
+
+EWMA_ALPHA = 0.3
+
+_EWMA_ORACLE = f"""
+WITH RECURSIVE d AS (
+  SELECT event_type,
+         CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, day, x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+              AS INTEGER) AS i
+  FROM d
+),
+ew AS (
+  SELECT event_type, day, x, i, x AS ewma FROM r WHERE i = 1
+  UNION ALL
+  SELECT r.event_type, r.day, r.x, r.i,
+         CAST({EWMA_ALPHA} AS DOUBLE) * r.x
+           + CAST({1 - EWMA_ALPHA} AS DOUBLE) * ew.ewma
+  FROM r JOIN ew ON r.event_type = ew.event_type AND r.i = ew.i + 1
+)
+SELECT event_type, day, x, ewma FROM ew
+"""
+
+
+@register(
+    "timeseries_ewma_smoothing",
+    _EWMA_ORACLE,
+    doc=f"EWMA (alpha={EWMA_ALPHA}) of daily revenue per event type — "
+    "the recurrence no window frame expresses: per-key daily series "
+    "collected into one calendar-bounded array, array_sort fixes the "
+    "fold order, a single aggregate() lambda runs s=a*x+(1-a)*s "
+    "left-to-right and explodes back; the oracle's recursive CTE "
+    "replays the identical IEEE chain",
+    tags=("timeseries", "events", "smoothing", "hof"),
+    staged=True,
+)
+def timeseries_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts").cast("timestamp"))
+            .cast("date")
+            .alias("day"),
+        )
+        .agg(dsum("value").cast("double").alias("x"))
+    )
+    arr = d.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("_a")
+    )
+    a, b = float(EWMA_ALPHA), float(1 - EWMA_ALPHA)
+    folded = arr.select(
+        "event_type",
+        F.explode(
+            F.expr(
+                f"aggregate(_a,"
+                f" struct(cast(null as double) as prev,"
+                f"   cast(array() as array<struct<day:date,x:double,ewma:double>>) as out),"
+                f" (s, e) -> struct("
+                f"   CASE WHEN s.prev IS NULL THEN e.x"
+                f"        ELSE cast({a} as double) * e.x + cast({b} as double) * s.prev END,"
+                f"   array_append(s.out, named_struct('day', e.day, 'x', e.x,"
+                f"     'ewma', CASE WHEN s.prev IS NULL THEN e.x"
+                f"       ELSE cast({a} as double) * e.x + cast({b} as double) * s.prev END))),"
+                f" s -> s.out)"
+            )
+        ).alias("_o"),
+    )
+    return folded.select(
+        "event_type",
+        F.col("_o.day").alias("day"),
+        F.col("_o.x").alias("x"),
+        F.col("_o.ewma").alias("ewma"),
+    )

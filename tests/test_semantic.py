@@ -334,3 +334,55 @@ def test_frame_overlap_shared_chunk_detected(spark):
     assert len(out) == 1
     r = out[0]
     assert (r.doc_a, r.doc_b, r.containment) == (1, 2, 1.0)
+
+
+def test_column_profile_nulls_distinct_mode(spark):
+    """Crafted nulls + a clear mode: n_null counts NULL values,
+    n_distinct excludes them, mode is (freq DESC, value) rank 1."""
+    from lambda_lakehouse_spark.operators.dq import column_profile
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), (None,), (None,), ("c",)], "k string"
+    )
+    r = column_profile(df, ("k",)).collect()[0]
+    assert (r.column, r.n_rows, r.n_null, r.n_distinct) == ("k", 6, 2, 3)
+    assert (r.mode_value, r.mode_freq) == ("a", 2)
+
+
+def test_column_profile_mode_tie_breaks_on_value(spark):
+    from lambda_lakehouse_spark.operators.dq import column_profile
+
+    df = spark.createDataFrame([("b",), ("a",)], "k string")
+    r = column_profile(df, ("k",)).collect()[0]
+    assert (r.mode_value, r.mode_freq) == ("a", 1)
+
+
+def test_ewma_recurrence_exact(spark):
+    """Hand-computed chain: x = [10, 20, 40] daily sums for one key →
+    s = [10, 13, 21.1] with alpha 0.3 (exact doubles)."""
+    import datetime as dt
+    import tempfile
+
+    from lambda_lakehouse_spark.registry import load_staged
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 5), 1, "click", 10.0, "{}"),
+        (2, dt.datetime(2024, 1, 2, 6), 1, "click", 20.0, "{}"),
+        (3, dt.datetime(2024, 1, 3, 7), 1, "click", 15.0, "{}"),
+        (4, dt.datetime(2024, 1, 3, 8), 1, "click", 25.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(f"{d}/events.parquet")
+        out = sorted(
+            load_staged()["timeseries_ewma_smoothing"].spark(spark, d).collect(),
+            key=lambda r: r.day,
+        )
+    assert [r.x for r in out] == [10.0, 20.0, 40.0]
+    assert out[0].ewma == 10.0
+    assert out[1].ewma == 0.3 * 20.0 + 0.7 * 10.0
+    assert out[2].ewma == 0.3 * 40.0 + 0.7 * out[1].ewma
