@@ -2178,3 +2178,447 @@ def corpus_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((n2 - F.col("sum_c2")).cast("double") / n2).alias("lang_simpson"),
         (F.col("n_docs").cast("double") / F.col("n_total")).alias("corpus_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Target-mix importance weights (round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# Data-mixing planning: given a target source distribution (uniform
+# here — any literal spec works the same way), the per-source
+# importance weight that reweights the current corpus to the target,
+# plus the effective sample size ESS = (sum n*w)^2 / sum n*w^2 — the
+# number that says how much usable data the reweighted corpus really
+# contains (DoReMi-style mixing without the optimizer loop). One
+# source-count aggregate, one 1-row total broadcast, exact integer
+# ratios with single double divisions.
+
+_MIX_ORACLE = """
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM s
+),
+w AS (
+  SELECT source, n_docs, n_total, n_sources,
+         CAST(n_docs AS DOUBLE) / n_total AS current_share,
+         1.0 / n_sources AS target_share,
+         (1.0 / n_sources) / (CAST(n_docs AS DOUBLE) / n_total) AS weight
+  FROM s CROSS JOIN tot
+),
+ess AS (
+  -- floor-scaled integer sums (1e9 resolution): summation-order-free,
+  -- so Spark's partial-agg order and DuckDB agree bit-for-bit even
+  -- when n*w terms are not exactly representable
+  SELECT (CAST(SUM(CAST(FLOOR(n_docs * weight * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
+           * (CAST(SUM(CAST(FLOOR(n_docs * weight * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
+           / (CAST(SUM(CAST(FLOOR(n_docs * weight * weight * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
+           AS ess
+  FROM w
+)
+SELECT source, n_docs, current_share, target_share, weight, ess.ess
+FROM w CROSS JOIN ess
+"""
+
+
+@register(
+    "sample_target_mix_weights",
+    _MIX_ORACLE,
+    doc="Data-mixing plan: per-source importance weight reweighting "
+    "the corpus to a target distribution (uniform spec) plus the "
+    "effective sample size (sum n*w)^2 / sum n*w^2 of the reweighted "
+    "corpus — one source-count aggregate, a 1-row total broadcast, "
+    "and a 1-row ESS broadcast; |sources| output rows at any sf",
+    tags=("corpus", "sampling", "mixing"),
+    staged=True,
+)
+def sample_target_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("source")
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    tot = s.agg(
+        F.sum("n_docs").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+    )
+    w = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("n_total")).alias("current_share"),
+        (F.lit(1.0) / F.col("n_sources")).alias("target_share"),
+        (
+            (F.lit(1.0) / F.col("n_sources"))
+            / (F.col("n_docs").cast("double") / F.col("n_total"))
+        ).alias("weight"),
+    )
+    # floor-scaled integer sums (1e9): order-independent, exact-match
+    # with the oracle even when n*w terms round (see similarity.SCALE)
+    def _s9(col):
+        return F.sum(F.floor(col * F.lit(1e9)).cast("bigint")).cast(
+            "double"
+        ) / F.lit(1e9)
+
+    nw = F.col("n_docs") * F.col("weight")
+    ess = w.agg(
+        (_s9(nw) * _s9(nw) / _s9(nw * F.col("weight"))).alias("ess")
+    )
+    return w.crossJoin(F.broadcast(ess))
+
+
+# ---------------------------------------------------------------------------
+# Token frequency spectrum (Good-Turing counts-of-counts) — round-7 staged
+# ---------------------------------------------------------------------------
+#
+# The frequency-of-frequencies relation tokenizer and LM work starts
+# from: for each occurrence count r, how many distinct token types
+# occur exactly r times, what fraction of the token mass they carry,
+# and the Good-Turing adjusted count r* = (r+1) * n_{r+1} / n_r (the
+# singleton row's frac_tokens IS the GT unseen-mass estimate p0).
+# Two bounded hash aggregates (token counts -> spectrum); the r+1
+# lookup is an equi self-join of the bounded spectrum, never a window.
+
+_SPECTRUM_ORACLE = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE text <> ''
+),
+counts AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks WHERE tok <> '' GROUP BY tok
+),
+spec AS (
+  SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_types FROM counts GROUP BY c
+),
+tot AS (SELECT CAST(SUM(r * n_types) AS BIGINT) AS n_total FROM spec)
+SELECT s.r, s.n_types,
+       CAST(s.r * s.n_types AS BIGINT) AS n_tokens_at_r,
+       CAST(s.r * s.n_types AS DOUBLE) / t.n_total AS frac_tokens,
+       CAST((s.r + 1) * nx.n_types AS DOUBLE) / s.n_types AS gt_rstar
+FROM spec s
+CROSS JOIN tot t
+LEFT JOIN spec nx ON nx.r = s.r + 1
+"""
+
+
+@register(
+    "corpus_token_spectrum",
+    _SPECTRUM_ORACLE,
+    doc="Good-Turing frequency spectrum: per occurrence count r, the "
+    "number of token types with that count, their share of the token "
+    "mass (the r=1 row's share is the GT unseen-mass p0), and the "
+    "adjusted count r* = (r+1)*n_{r+1}/n_r via a bounded equi "
+    "self-join — every ratio ONE double division of exact integers",
+    tags=("corpus", "stats", "text"),
+    staged=True,
+)
+def corpus_token_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    spec = (
+        counts.groupBy("c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+        .withColumnRenamed("c", "r")
+    )
+    tot = spec.agg((F.sum(F.col("r") * F.col("n_types"))).cast("bigint").alias("n_total"))
+    nxt = spec.select((F.col("r") - 1).alias("r"), F.col("n_types").alias("n_next"))
+    return (
+        spec.crossJoin(F.broadcast(tot))
+        .join(nxt, "r", "left")
+        .select(
+            "r",
+            "n_types",
+            (F.col("r") * F.col("n_types")).cast("bigint").alias("n_tokens_at_r"),
+            (
+                (F.col("r") * F.col("n_types")).cast("double") / F.col("n_total")
+            ).alias("frac_tokens"),
+            (
+                ((F.col("r") + 1) * F.col("n_next")).cast("double") / F.col("n_types")
+            ).alias("gt_rstar"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth curve — round-7 staged
+# ---------------------------------------------------------------------------
+#
+# Vocabulary size as a function of corpus size, evaluated at ten
+# doc-id-prefix checkpoints: the curve that says whether more data
+# still buys new vocabulary (Heaps' law V ~ N^beta) — the input to
+# tokenizer-budget and dedup-saturation decisions. The big relations
+# (docs, token stream, per-token first occurrence) are each reduced by
+# ONE hash aggregate to a <=10-row per-decile profile; the cumulative
+# prefix totals come from a 10x10 inequality join of those bounded
+# profiles, so nothing corpus-sized is fanned out or windowed. Each
+# doc's decile is closed-form: ceil(10*doc_id/max_id) (floor-threshold
+# equivalent, all integer DIV arithmetic).
+
+_HEAPS_ORACLE = """
+WITH mx AS (
+  SELECT GREATEST(CAST(MAX(doc_id) AS BIGINT), 1) AS max_id FROM documents
+),
+dec AS (
+  SELECT i AS decile, (mx.max_id * i) // 10 AS threshold_doc_id
+  FROM (SELECT unnest(range(1, 11)) AS i), mx
+),
+docs_b AS (
+  SELECT GREATEST(1, CAST((10 * d.doc_id + mx.max_id - 1) // mx.max_id AS BIGINT)) AS b,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents d, mx GROUP BY 1
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE text <> ''
+),
+toks_b AS (
+  SELECT GREATEST(1, CAST((10 * t.doc_id + mx.max_id - 1) // mx.max_id AS BIGINT)) AS b,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM toks t, mx WHERE t.tok <> '' GROUP BY 1
+),
+first_occ AS (
+  SELECT tok, MIN(doc_id) AS first_doc FROM toks WHERE tok <> '' GROUP BY tok
+),
+vocab_b AS (
+  SELECT GREATEST(1, CAST((10 * f.first_doc + mx.max_id - 1) // mx.max_id AS BIGINT)) AS b,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM first_occ f, mx GROUP BY 1
+)
+SELECT d.decile, d.threshold_doc_id,
+       CAST(COALESCE((SELECT SUM(n) FROM docs_b  WHERE b <= d.decile), 0) AS BIGINT) AS n_docs_prefix,
+       CAST(COALESCE((SELECT SUM(n) FROM toks_b  WHERE b <= d.decile), 0) AS BIGINT) AS n_tokens_prefix,
+       CAST(COALESCE((SELECT SUM(n) FROM vocab_b WHERE b <= d.decile), 0) AS BIGINT) AS n_vocab,
+       CAST(COALESCE((SELECT SUM(n) FROM vocab_b WHERE b <= d.decile), 0) AS DOUBLE)
+         / (SELECT SUM(n) FROM toks_b WHERE b <= d.decile) AS type_token_ratio
+FROM dec d
+"""
+
+
+def _decile_of(idcol: str) -> F.Column:
+    """ceil(10*id/max_id) as the 1..10 prefix-decile bucket (integer
+    DIV arithmetic; equivalent to id <= (max_id*i)//10 membership)."""
+    return F.greatest(
+        F.lit(1),
+        F.expr(f"CAST((10 * {idcol} + max_id - 1) DIV max_id AS BIGINT)"),
+    )
+
+
+@register(
+    "corpus_heaps_vocab_growth",
+    _HEAPS_ORACLE,
+    doc="Heaps-law curve: distinct-vocabulary size at ten doc-id-prefix "
+    "checkpoints, via per-token MIN(first doc) + closed-form decile "
+    "assignment — the corpus-sized relations each collapse in one "
+    "aggregate and only <=10-row profiles join; type/token ratio per "
+    "checkpoint is one double division of exact integers",
+    tags=("corpus", "stats", "text"),
+    staged=True,
+)
+def corpus_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    mx = docs.agg(
+        F.greatest(F.max("doc_id").cast("bigint"), F.lit(1)).alias("max_id")
+    )
+    dec = mx.select(
+        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile"), "max_id"
+    ).select(
+        F.col("decile").cast("bigint").alias("decile"),
+        F.expr("CAST((max_id * decile) DIV 10 AS BIGINT)").alias("threshold_doc_id"),
+    )
+
+    def _profile(df: DataFrame, idcol: str) -> DataFrame:
+        """<=10-row (b, n) bucket profile of a corpus-sized relation."""
+        return (
+            df.crossJoin(F.broadcast(mx))
+            .select(_decile_of(idcol).alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+
+    toks = (
+        docs.where(F.col("text") != "")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    first_occ = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+
+    docs_b = _profile(docs.select("doc_id"), "doc_id")
+    toks_b = _profile(toks.select("doc_id"), "doc_id")
+    vocab_b = _profile(first_occ.select("first_doc"), "first_doc")
+
+    def _cum(profile: DataFrame, out: str) -> DataFrame:
+        """Cumulative prefix totals via the 10x10 bounded range join."""
+        return (
+            dec.join(
+                F.broadcast(profile), F.col("b") <= F.col("decile"), "left"
+            )
+            .groupBy("decile")
+            .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias(out))
+        )
+
+    return (
+        dec.join(_cum(docs_b, "n_docs_prefix"), "decile")
+        .join(_cum(toks_b, "n_tokens_prefix"), "decile")
+        .join(_cum(vocab_b, "n_vocab"), "decile")
+        .select(
+            "decile",
+            "threshold_doc_id",
+            "n_docs_prefix",
+            "n_tokens_prefix",
+            "n_vocab",
+            (
+                F.col("n_vocab").cast("double") / F.col("n_tokens_prefix")
+            ).alias("type_token_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency curve — round-7 staged
+# ---------------------------------------------------------------------------
+#
+# The rank x frequency relation over the head vocabulary: Zipf's law
+# says rank*freq is roughly constant, and the curve's deviations are
+# the standard corpus-health fingerprint (boilerplate inflates the
+# head; templated spam flattens it). Token totals are one hash
+# aggregate; the head is TakeOrderedAndProject top-k; the <=k
+# survivors rank in the single-pass bounded tail (operators/ranking).
+
+ZIPF_TOP_K = 50
+
+_ZIPF_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE text <> ''
+),
+counts AS (
+  SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM toks WHERE tok <> '' GROUP BY tok
+),
+top AS (
+  SELECT token, freq FROM counts
+  ORDER BY freq DESC, token LIMIT {ZIPF_TOP_K}
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank,
+       token, freq,
+       CAST(CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT) * freq
+            AS BIGINT) AS rank_x_freq
+FROM top
+"""
+
+
+@register(
+    "corpus_zipf_rank_curve",
+    _ZIPF_ORACLE,
+    doc=f"Zipf rank-frequency head: top-{ZIPF_TOP_K} tokens by corpus "
+    "frequency with deterministic (freq desc, token) ranks and the "
+    "rank*freq product — TakeOrderedAndProject head, single-pass "
+    "bounded rank tail, integer-exact throughout",
+    tags=("corpus", "stats", "heavy_hitters"),
+    staged=True,
+)
+def corpus_zipf_rank_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token")).where(
+        F.col("token") != ""
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    top = global_topk(
+        counts, [F.desc("freq"), F.asc("token")], ZIPF_TOP_K, rank_col="rank"
+    )
+    return top.select(
+        "rank",
+        "token",
+        "freq",
+        (F.col("rank") * F.col("freq")).cast("bigint").alias("rank_x_freq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source dedup survival + post-dedup mixture shift — round-7 staged
+# ---------------------------------------------------------------------------
+#
+# The question a mixing plan must re-ask after dedup: which sources
+# were mostly duplicates, and how did removing them shift the corpus
+# mixture? A doc survives exact dedup iff it is the min-id keeper of
+# its normalized-text fingerprint (global across sources, so
+# cross-source copies count against the later source). One
+# fingerprint-keyed aggregate + keeper flag join, one per-source
+# rollup, one 1-row totals broadcast; every rate is a single double
+# division of exact integers.
+
+_SURVIVAL_ORACLE = """
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_fp
+  FROM documents
+),
+keep AS (SELECT text_fp, MIN(doc_id) AS keeper FROM fp GROUP BY text_fp),
+flagged AS (
+  SELECT f.source, CASE WHEN f.doc_id = k.keeper THEN 1 ELSE 0 END AS kept
+  FROM fp f JOIN keep k USING (text_fp)
+),
+per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(kept) AS BIGINT) AS n_kept
+  FROM flagged GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+         CAST(SUM(n_kept) AS BIGINT) AS total_kept
+  FROM per_src
+)
+SELECT s.source, s.n_docs, s.n_kept,
+       CAST(s.n_kept AS DOUBLE) / s.n_docs AS survival_rate,
+       CAST(s.n_docs AS DOUBLE) / t.total_docs AS raw_share,
+       CAST(s.n_kept AS DOUBLE) / t.total_kept AS dedup_share
+FROM per_src s CROSS JOIN tot t
+"""
+
+
+@register(
+    "dedup_source_survival",
+    _SURVIVAL_ORACLE,
+    doc="Per-source exact-dedup survival audit: min-id keeper rule over "
+    "global normalized-text fingerprints, per-source survival rate, "
+    "and the raw-vs-post-dedup mixture shares a mixing plan must be "
+    "rebalanced against — fingerprint-keyed shuffle, bounded rollup, "
+    "1-row totals broadcast",
+    tags=("dedup", "corpus", "sampling"),
+    staged=True,
+)
+def dedup_source_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lambda_lakehouse_spark.operators.text import normalized_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "source", F.md5(normalized_text(F.col("text"))).alias("text_fp")
+    )
+    keep = fp.groupBy("text_fp").agg(F.min("doc_id").alias("keeper"))
+    flagged = fp.join(keep, "text_fp").select(
+        "source",
+        F.when(F.col("doc_id") == F.col("keeper"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("kept"),
+    )
+    per_src = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+    )
+    tot = per_src.agg(
+        F.sum("n_docs").cast("bigint").alias("total_docs"),
+        F.sum("n_kept").cast("bigint").alias("total_kept"),
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_kept",
+        (F.col("n_kept").cast("double") / F.col("n_docs")).alias("survival_rate"),
+        (F.col("n_docs").cast("double") / F.col("total_docs")).alias("raw_share"),
+        (F.col("n_kept").cast("double") / F.col("total_kept")).alias("dedup_share"),
+    )

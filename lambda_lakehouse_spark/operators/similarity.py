@@ -1472,3 +1472,108 @@ def embed_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_other",
         (F.col("cos_own") - F.col("cos_other")).alias("margin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN cosine calibration bins — round-7 staged
+# ---------------------------------------------------------------------------
+#
+# Is cosine similarity a calibrated signal for label agreement? Bin
+# every leave-one-out kNN edge by floor(10*cos) and measure the
+# label-match rate per bin — the reliability curve that says where to
+# put a semantic-dedup or retrieval-accept threshold. Rides the
+# certified exact-cosine top-k front end; cos_sim is bit-identical
+# across engines (scaled-integer dots/norms, IEEE sqrt+divide), so
+# floor-binning cannot straddle engines; counts are exact integers.
+
+_CALIBRATION_ORACLE = f"""
+WITH flat AS (
+  SELECT vec_id, label, pos, CAST(embedding[pos] AS DOUBLE) AS val
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS pos)
+),
+norms AS (
+  SELECT vec_id, {_ssum_sql("val * val")} AS n2
+  FROM flat GROUP BY vec_id
+),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_ssum_sql("q.val * c.val")} AS dot
+  FROM flat q
+  JOIN flat c ON q.pos = c.pos AND c.vec_id <> q.vec_id
+  WHERE q.vec_id % {EVAL_KNN_MOD} = 0
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id, dot / sqrt(nq.n2 * nc.n2) AS cos_sim
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = neighbor_id
+),
+knn AS (
+  SELECT query_id, neighbor_id, cos_sim
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rk
+    FROM scored
+  )
+  WHERE rk <= {TOP_K}
+),
+edges AS (
+  SELECT CAST(FLOOR(k.cos_sim * 10) AS BIGINT) AS bin,
+         CASE WHEN eq.label = en.label THEN 1 ELSE 0 END AS match
+  FROM knn k
+  JOIN embeddings eq ON eq.vec_id = k.query_id
+  JOIN embeddings en ON en.vec_id = k.neighbor_id
+)
+SELECT bin,
+       CAST(bin AS DOUBLE) / 10 AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(match) AS BIGINT) AS n_match,
+       CAST(SUM(match) AS DOUBLE) / COUNT(*) AS match_rate
+FROM edges GROUP BY bin
+"""
+
+
+@register(
+    "eval_cosine_calibration",
+    _CALIBRATION_ORACLE,
+    doc="Reliability curve for cosine-as-label-agreement: leave-one-out "
+    "kNN edges binned by floor(10*cos_sim) with per-bin label-match "
+    "rate — the threshold-picking relation for semantic dedup and "
+    "retrieval accept gates; exact-cosine front end, integer counts, "
+    "one double division per bin",
+    tags=("similarity", "vector", "eval"),
+    staged=True,
+)
+def eval_cosine_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    topk = cosine_topk(emb, F.col("vec_id") % EVAL_KNN_MOD == 0, k=TOP_K)
+    qlab = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("q_label"))
+    nlab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    edges = (
+        topk.join(nlab, "neighbor_id")
+        .join(F.broadcast(qlab.where(F.col("query_id") % EVAL_KNN_MOD == 0)), "query_id")
+        .select(
+            F.floor(F.col("cos_sim") * 10).cast("bigint").alias("bin"),
+            F.when(F.col("q_label") == F.col("n_label"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("match"),
+        )
+    )
+    return (
+        edges.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("match").cast("bigint").alias("n_match"),
+            (F.sum("match").cast("double") / F.count(F.lit(1))).alias("match_rate"),
+        )
+        .select(
+            "bin",
+            (F.col("bin").cast("double") / 10).alias("bin_lo"),
+            "n_pairs",
+            "n_match",
+            "match_rate",
+        )
+    )

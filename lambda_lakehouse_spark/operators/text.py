@@ -800,3 +800,97 @@ def text_code_prose_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "code_like"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lang-ID confusion matrix + per-class metrics (round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# The evaluation relation for the lang-id heuristic (and the template
+# for any classifier audit): per (actual, predicted) cell counts plus
+# per-class precision/recall/F1. Counts aggregate on the bounded
+# (lang, predicted_lang) key; per-class totals are two more bounded
+# aggregates joined back; all ratios are single double divisions of
+# exact integers with CASE zero-guards mirrored by the oracle.
+
+_CONFUSION_ORACLE = f"""
+WITH pred AS (
+  SELECT lang, predicted_lang FROM ({_lang_oracle()}) t
+),
+cells AS (
+  SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+),
+act AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_actual FROM cells GROUP BY 1),
+prd AS (SELECT predicted_lang, CAST(SUM(n) AS BIGINT) AS n_predicted
+        FROM cells GROUP BY 1),
+tp AS (SELECT lang, n AS n_tp FROM cells WHERE lang = predicted_lang)
+SELECT a.lang,
+       a.n_actual,
+       COALESCE(p.n_predicted, 0) AS n_predicted,
+       CAST(COALESCE(t.n_tp, 0) AS BIGINT) AS n_tp,
+       CASE WHEN COALESCE(p.n_predicted, 0) = 0 THEN 0.0
+            ELSE CAST(COALESCE(t.n_tp, 0) AS DOUBLE) / p.n_predicted
+       END AS precision,
+       CAST(COALESCE(t.n_tp, 0) AS DOUBLE) / a.n_actual AS recall,
+       CASE WHEN COALESCE(t.n_tp, 0) = 0 THEN 0.0
+            ELSE 2.0 * CAST(COALESCE(t.n_tp, 0) AS DOUBLE)
+                 / (a.n_actual + p.n_predicted)
+       END AS f1
+FROM act a
+LEFT JOIN prd p ON p.predicted_lang = a.lang
+LEFT JOIN tp t USING (lang)
+"""
+
+
+@register(
+    "eval_langid_confusion",
+    _CONFUSION_ORACLE,
+    doc="Classifier audit of the lang-id heuristic: per-class "
+    "precision/recall/F1 from the bounded (actual, predicted) "
+    "confusion counts — F1 as 2*tp/(n_actual+n_predicted) so every "
+    "ratio is ONE double division of exact integers, zero-guarded "
+    "identically on both engines",
+    tags=("eval", "text", "classification"),
+    staged=True,
+)
+def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = text_lang_id(spark, sf_dir).select("lang", "predicted_lang")
+    cells = pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    act = cells.groupBy("lang").agg(F.sum("n").cast("bigint").alias("n_actual"))
+    prd = cells.groupBy("predicted_lang").agg(
+        F.sum("n").cast("bigint").alias("n_predicted")
+    )
+    tp = cells.where(F.col("lang") == F.col("predicted_lang")).select(
+        "lang", F.col("n").alias("n_tp")
+    )
+    j = (
+        act.join(prd, act["lang"] == prd["predicted_lang"], "left")
+        .drop("predicted_lang")
+        .join(tp, "lang", "left")
+        .select(
+            "lang",
+            "n_actual",
+            F.coalesce("n_predicted", F.lit(0)).cast("bigint").alias("n_predicted"),
+            F.coalesce("n_tp", F.lit(0)).cast("bigint").alias("n_tp"),
+        )
+    )
+    return j.select(
+        "lang",
+        "n_actual",
+        "n_predicted",
+        "n_tp",
+        F.when(F.col("n_predicted") == 0, F.lit(0.0))
+        .otherwise(F.col("n_tp").cast("double") / F.col("n_predicted"))
+        .alias("precision"),
+        (F.col("n_tp").cast("double") / F.col("n_actual")).alias("recall"),
+        F.when(F.col("n_tp") == 0, F.lit(0.0))
+        .otherwise(
+            F.lit(2.0)
+            * F.col("n_tp").cast("double")
+            / (F.col("n_actual") + F.col("n_predicted"))
+        )
+        .alias("f1"),
+    )

@@ -272,6 +272,12 @@ def test_no_pathological_join_plans(spark):
         "stats_chi2_lang_source",  # 1-row grand-total broadcast
         "curriculum_length_interleave",  # ntile's 1-row total broadcast
         "dq_referential_integrity",  # per-edge 1-row count broadcasts
+        "corpus_source_diversity",  # 1-row corpus-total broadcast
+        "corpus_tfidf_topterms",  # 1-row doc-count broadcast
+        "sample_target_mix_weights",  # 1-row totals + 1-row ESS broadcasts
+        "corpus_token_spectrum",  # 1-row token-mass total broadcast
+        "corpus_heaps_vocab_growth",  # 1-row max-id + 10-row decile joins
+        "dedup_source_survival",  # 1-row per-source totals broadcast
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
@@ -495,6 +501,26 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
         },
         # |labels|x|dims|-row centroid aggregate + |labels|-row norms
         "embed_label_separation": {"embeddings.parquet"},
+        # filter-bounded query-side LUT/norm aggregates (≤N_QUERIES)
+        "ann_cosine_topk_ivfpq": {"embeddings.parquet"},
+        # both rankings broadcast the filter-bounded query side
+        "eval_matryoshka_prefix_recall": {"embeddings.parquet"},
+        # 1-row corpus-total broadcast
+        "corpus_source_diversity": {"documents.parquet"},
+        # 1-row doc-count broadcast
+        "corpus_tfidf_topterms": {"documents.parquet"},
+        # 1-row source-totals + 1-row ESS aggregates
+        "sample_target_mix_weights": {"documents.parquet"},
+        # 1-row (n_a, n_b) group-count totals broadcast
+        "stats_mannwhitney_doclen": {"documents.parquet"},
+        # 1-row token-mass total broadcast over the bounded spectrum
+        "corpus_token_spectrum": {"documents.parquet"},
+        # 1-row max-id + <=10-row decile/bucket profile broadcasts
+        "corpus_heaps_vocab_growth": {"documents.parquet"},
+        # 1-row per-source totals broadcast
+        "dedup_source_survival": {"documents.parquet"},
+        # filter-bounded query side (cosine_topk broadcast + label join)
+        "eval_cosine_calibration": {"embeddings.parquet"},
     }
     bounding_ops = (
         "Filter", "HashAggregate", "SortAggregate", "ObjectHashAggregate",

@@ -386,3 +386,180 @@ def test_ewma_recurrence_exact(spark):
     assert out[0].ewma == 10.0
     assert out[1].ewma == 0.3 * 20.0 + 0.7 * 10.0
     assert out[2].ewma == 0.3 * 40.0 + 0.7 * out[1].ewma
+
+
+def test_langid_confusion_identities(spark):
+    """Per class: tp <= min(n_actual, n_predicted); sum of n_actual ==
+    sum of n_predicted == corpus size; micro-accuracy from the matrix
+    equals text_lang_id's is_match rate."""
+    from lambda_lakehouse_spark.registry import load_staged
+    from lambda_lakehouse_spark.operators.text import text_lang_id
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_staged()["eval_langid_confusion"].spark(spark, sf).collect()
+    n = sum(r.n_actual for r in rows)
+    assert n == 500
+    assert sum(r.n_predicted for r in rows) == n
+    for r in rows:
+        assert r.n_tp <= min(r.n_actual, r.n_predicted)
+    matches = text_lang_id(spark, sf).where("is_match").count()
+    assert sum(r.n_tp for r in rows) == matches
+
+
+def test_target_mix_weights_uniform_corpus_is_identity(spark):
+    """Already-uniform corpus: every weight is exactly 1.0 and ESS
+    equals the corpus size (no effective-data loss)."""
+    import tempfile
+
+    from lambda_lakehouse_spark.registry import load_staged
+
+    rows = [(i, "t", "en", f"s{i % 4}", 1) for i in range(40)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        out = load_staged()["sample_target_mix_weights"].spark(spark, d).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.weight == 1.0 and r.current_share == 0.25
+        assert r.ess == 40.0
+
+
+def test_target_mix_weights_skew_shrinks_ess(spark):
+    """A skewed corpus reweighted to uniform must lose effective
+    sample size: ESS < N, and the dominant source gets weight < 1."""
+    import tempfile
+
+    from lambda_lakehouse_spark.registry import load_staged
+
+    rows = [(i, "t", "en", "big", 1) for i in range(90)]
+    rows += [(100 + i, "t", "en", "small", 1) for i in range(10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        out = {
+            r.source: r
+            for r in load_staged()["sample_target_mix_weights"].spark(spark, d).collect()
+        }
+    assert out["big"].weight < 1.0 < out["small"].weight
+    assert out["big"].ess < 100.0
+
+
+def _write_docs(spark, rows, d):
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.parquet(f"{d}/documents.parquet")
+
+
+def test_token_spectrum_crafted_gt_identities(spark):
+    """Corpus 'a a a b b c': spectrum rows (1,1),(2,1),(3,1); total
+    mass 6; GT r* chain (r+1)*n_{r+1}/n_r; r=1 share is p0."""
+    import tempfile
+
+    from lambda_lakehouse_spark.registry import load_staged
+
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, [(0, "a a a b b c", "en", "s", 11)], d)
+        rows = {
+            r.r: r
+            for r in load_staged()["corpus_token_spectrum"].spark(spark, d).collect()
+        }
+    assert set(rows) == {1, 2, 3}
+    assert all(rows[r].n_types == 1 for r in rows)
+    assert rows[1].frac_tokens == 1.0 / 6  # p0: singleton mass
+    assert rows[1].gt_rstar == 2.0  # (1+1)*n_2/n_1 = 2
+    assert rows[2].gt_rstar == 3.0  # (2+1)*n_3/n_2 = 3
+    assert rows[3].gt_rstar is None  # no n_4
+    assert sum(r.n_tokens_at_r for r in rows.values()) == 6
+
+
+def test_heaps_growth_monotone_and_exact_totals(spark):
+    """Vocab/doc/token prefix counts are non-decreasing in the decile;
+    the final row covers the whole corpus; vocab never exceeds
+    tokens."""
+    from lambda_lakehouse_spark.registry import load_staged
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        load_staged()["corpus_heaps_vocab_growth"].spark(spark, sf).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_docs_prefix <= b.n_docs_prefix
+        assert a.n_tokens_prefix <= b.n_tokens_prefix
+        assert a.n_vocab <= b.n_vocab
+    last = rows[-1]
+    assert last.n_docs_prefix == 500
+    assert last.n_vocab <= last.n_tokens_prefix
+
+
+def test_zipf_rank_curve_crafted(spark):
+    """Deterministic ranks under (freq desc, token) with exact
+    rank*freq products."""
+    import tempfile
+
+    from lambda_lakehouse_spark.registry import load_staged
+
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, [(0, "x x x y y z", "en", "s", 11)], d)
+        rows = sorted(
+            load_staged()["corpus_zipf_rank_curve"].spark(spark, d).collect(),
+            key=lambda r: r.rank,
+        )
+    assert [(r.rank, r.token, r.freq, r.rank_x_freq) for r in rows] == [
+        (1, "x", 3, 3),
+        (2, "y", 2, 4),
+        (3, "z", 1, 3),
+    ]
+
+
+def test_dedup_survival_cross_source_keeper(spark):
+    """Duplicate text across two sources: the lower-doc_id source keeps
+    the copy, the other loses it; shares rebalance accordingly."""
+    import tempfile
+
+    from lambda_lakehouse_spark.registry import load_staged
+
+    rows = [
+        (0, "same text", "en", "first", 9),
+        (1, "Same   TEXT", "en", "second", 11),  # normalized duplicate
+        (2, "unique a", "en", "second", 8),
+        (3, "unique b", "en", "second", 8),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, rows, d)
+        out = {
+            r.source: r
+            for r in load_staged()["dedup_source_survival"].spark(spark, d).collect()
+        }
+    assert out["first"].n_kept == 1 and out["first"].survival_rate == 1.0
+    assert out["second"].n_docs == 3 and out["second"].n_kept == 2
+    assert out["first"].raw_share == 0.25
+    assert out["first"].dedup_share == 1.0 / 3
+    assert out["second"].dedup_share == 2.0 / 3
+
+
+def test_cosine_calibration_totals_and_bounds(spark):
+    """Bin counts sum to n_queries*k edges; rates are valid
+    probabilities; n_match consistent with match_rate."""
+    from lambda_lakehouse_spark.operators.similarity import EVAL_KNN_MOD, TOP_K
+    from lambda_lakehouse_spark.registry import load_staged
+    from lambda_lakehouse_spark.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_staged()["eval_cosine_calibration"].spark(spark, sf).collect()
+    n_q = (
+        read_table(spark, sf, "embeddings")
+        .where(F.col("vec_id") % EVAL_KNN_MOD == 0)
+        .count()
+    )
+    assert sum(r.n_pairs for r in rows) == n_q * TOP_K
+    for r in rows:
+        assert 0 <= r.n_match <= r.n_pairs
+        assert abs(r.match_rate - r.n_match / r.n_pairs) < 1e-12
+        assert r.bin_lo == r.bin / 10.0
