@@ -1389,3 +1389,159 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "text"
     )
     return jaccard_prefix_filter_pairs(docs)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing substring-duplicate pairs (round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# The substring-grain dedup modality the set-based paths cannot see:
+# MinHash/Jaccard compare documents as shingle SETS, so a long copied
+# PASSAGE inside two otherwise-different documents dilutes below any
+# set-similarity threshold. Winnowing (Schleimer/Wilkerson/Aiken,
+# SIGMOD'03 — the MOSS algorithm) selects, from every sliding window
+# of WIN_W consecutive K-char shingle hashes, the window's minimum
+# hash; the selected-fingerprint sets of two documents provably share
+# a member whenever the documents share any substring of length
+# >= K + WIN_W - 1 (the guarantee threshold), at ~2/(WIN_W+1) of the
+# full shingle density.
+#
+# Cross-engine exactness: fingerprints are the first 8 hex chars of
+# md5(shingle) compared as STRINGS (both engines order lowercase hex
+# identically), so the window MIN and every downstream count is
+# engine-exact; containment is ONE double division of exact integers.
+#
+# Scale shape: the per-position relation is the unavoidable cost of
+# substring-grain matching; winnowing immediately crushes it ~4x into
+# the DISTINCT (doc, fingerprint) relation whose key — the
+# fingerprint — is the shuffle key for both the DF cap and the
+# pair join (inverted-index shape, never all-pairs). The window runs
+# per document (partitioned, never global), and the DF cap bounds the
+# worst fingerprint's fan-out exactly like the n-gram path's
+# stop-shingle cap.
+
+WIN_K = 16  # shingle length (chars)
+WIN_W = 8  # winnowing window (shingles)
+WIN_DF_CAP = 64  # drop fingerprints shared by more docs (quadratic-proof)
+WIN_MIN_SHARED = 3  # report pairs sharing at least this many fingerprints
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = WIN_K, w: int = WIN_W) -> DataFrame:
+    """DISTINCT (doc_id, fp) winnowed fingerprint relation."""
+    from pyspark.sql import Window as W
+
+    d = docs.where(F.length("text") >= k)
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - F.lit(k) + 1)
+        ).alias("p"),
+    )
+    h = pos.select(
+        "doc_id",
+        "p",
+        F.substring(F.md5(F.expr(f"substring(text, p, {k})")), 1, 8).alias("h"),
+    )
+    win = W.partitionBy("doc_id").orderBy("p").rowsBetween(-(w - 1), 0)
+    return (
+        h.select("doc_id", F.min("h").over(win).alias("fp"))
+        .distinct()
+    )
+
+
+_WINNOW_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= {WIN_K}
+),
+pos AS (
+  SELECT doc_id, text,
+         unnest(range(1, length(text) - {WIN_K} + 2)) AS p
+  FROM d
+),
+h AS (
+  SELECT doc_id, p,
+         substr(md5(substr(text, CAST(p AS INTEGER), {WIN_K})), 1, 8) AS h
+  FROM pos
+),
+fp AS (
+  SELECT DISTINCT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN {WIN_W - 1} PRECEDING AND CURRENT ROW) AS fp
+  FROM h
+),
+df AS (SELECT fp, COUNT(*) AS c FROM fp GROUP BY fp),
+kept AS (
+  SELECT f.doc_id, f.fp FROM fp f JOIN df ON df.fp = f.fp
+  WHERE df.c <= {WIN_DF_CAP}
+),
+nfp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM kept GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.n_shared,
+       na.n_fp AS n_fp_a, nb.n_fp AS n_fp_b,
+       CAST(p.n_shared AS DOUBLE) / LEAST(na.n_fp, nb.n_fp) AS containment
+FROM pairs p
+JOIN nfp na ON na.doc_id = p.doc_a
+JOIN nfp nb ON nb.doc_id = p.doc_b
+WHERE p.n_shared >= {WIN_MIN_SHARED}
+"""
+
+
+@register(
+    "dedup_winnowing_pairs",
+    _WINNOW_ORACLE,
+    doc="Substring-grain duplicate pairs via winnowing (MOSS, "
+    "SIGMOD'03): per-doc sliding-window minimum of 8-hex md5 shingle "
+    "hashes — guaranteed to share a fingerprint whenever two docs "
+    f"share any substring of >= {WIN_K + WIN_W - 1} chars — then a "
+    "DF-capped fingerprint equi self-join with shared-count and "
+    "containment; the passage-copy detector set-similarity dedup "
+    "structurally misses",
+    tags=("dedup", "text", "scale", "winnowing"),
+    staged=True,
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = winnow_fingerprints(docs)
+    df = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
+    kept = fp.join(df.where(F.col("c") <= WIN_DF_CAP), "fp").select(
+        "doc_id", "fp"
+    )
+    nfp = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fp")
+    )
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= WIN_MIN_SHARED)
+    )
+    return (
+        pairs.join(
+            nfp.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a")),
+            "doc_a",
+        )
+        .join(
+            nfp.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_fp_a",
+            "n_fp_b",
+            (
+                F.col("n_shared").cast("double")
+                / F.least("n_fp_a", "n_fp_b")
+            ).alias("containment"),
+        )
+    )

@@ -739,3 +739,143 @@ def eval_ndcg_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ndcg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Half-sample confidence interval, RNG-free (round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# Error bars for a corpus statistic WITHOUT random number generation:
+# the 64 bits of md5(doc_id) define 64 deterministic half-sample
+# replicates (replicate b contains a doc iff bit b of its hash is
+# set), and the spread of the replicate means estimates the standard
+# error of the full-corpus mean (McCarthy's balanced half-samples,
+# hash-balanced instead of design-balanced). Deterministic,
+# reproducible across engines and runs — the property a 100 TB
+# pipeline needs from any resampling scheme.
+#
+# Scale shape: ALL 64 replicate memberships are evaluated in ONE pass
+# as 128 conditional aggregates over the scan (no 64x row fan-out, no
+# shuffle — the aggregate is map-side combinable to a single row),
+# then the 1-row wide result unpivots to the bounded 64-row replicate
+# relation where the variance-of-means is a floor-scaled exact sum.
+#
+# Cross-engine exactness: replicate sums/counts are exact integers
+# (md5 hex agrees byte-for-byte; bit tests are hex-digit set
+# membership on Spark, strpos arithmetic on DuckDB — same bits);
+# each replicate mean is ONE double division; squared deviations are
+# floor-scaled-summed (order-free); sqrt is IEEE-exact on both.
+
+_HS_B = 64  # one replicate per md5 bit
+
+
+def _hs_bit_chars(b: int) -> list[str]:
+    """Hex characters of md5 digit b//4 whose bit b%4 is set."""
+    return [c for c in "0123456789abcdef" if (int(c, 16) >> (b % 4)) & 1]
+
+
+_HS_ORACLE = f"""
+WITH d AS (
+  SELECT n_chars, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+),
+mem AS (
+  SELECT b.replicate, d.n_chars,
+         ((strpos('0123456789abcdef',
+                  substr(d.h, CAST(b.replicate // 4 AS INTEGER) + 1, 1)) - 1)
+          >> CAST(b.replicate % 4 AS INTEGER)) & 1 AS bit
+  FROM d CROSS JOIN (SELECT unnest(range(0, {_HS_B})) AS replicate) b
+),
+rep AS (
+  SELECT CAST(replicate AS BIGINT) AS replicate,
+         CAST(SUM(bit) AS BIGINT) AS n_rep,
+         CAST(SUM(bit * n_chars) AS BIGINT) AS s_rep
+  FROM mem GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS s_all
+  FROM documents
+),
+means AS (
+  SELECT r.replicate, r.n_rep,
+         CASE WHEN r.n_rep = 0 THEN 0.0
+              ELSE CAST(r.s_rep AS DOUBLE) / r.n_rep END AS mean_rep,
+         CAST(t.s_all AS DOUBLE) / t.n_docs AS mean_all,
+         t.n_docs
+  FROM rep r CROSS JOIN tot t
+),
+var_hs AS (
+  SELECT CAST(SUM(CAST(FLOOR(
+           (mean_rep - mean_all) * (mean_rep - mean_all) * 1e9
+         ) AS BIGINT)) AS DOUBLE) / 1e9 / {_HS_B} AS v
+  FROM means
+)
+SELECT m.replicate, m.n_rep, m.mean_rep, m.n_docs, m.mean_all,
+       sqrt(v.v) AS se_halfsample
+FROM means m CROSS JOIN var_hs v
+"""
+
+
+@register(
+    "stats_halfsample_ci",
+    _HS_ORACLE,
+    doc="RNG-free standard error of the mean document length: 64 "
+    "deterministic half-sample replicates from the bits of "
+    "md5(doc_id), all evaluated in ONE map-side-combinable pass of "
+    "128 conditional aggregates (no row fan-out), variance of the "
+    "replicate means via floor-scaled exact sums — reproducible "
+    "error bars at any scale",
+    tags=("stats", "sampling", "eval"),
+    staged=True,
+)
+def stats_halfsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    h = docs.select(
+        "n_chars", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("s_all"),
+    ]
+    for b in range(_HS_B):
+        bit = F.substring("h", b // 4 + 1, 1).isin(_hs_bit_chars(b))
+        aggs.append(
+            F.sum(F.when(bit, 1).otherwise(0)).cast("bigint").alias(f"n_{b}")
+        )
+        aggs.append(
+            F.sum(F.when(bit, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias(f"s_{b}")
+        )
+    wide = h.agg(*aggs)  # ONE pass, 1-row result
+    stack = ", ".join(f"{b}L, n_{b}, s_{b}" for b in range(_HS_B))
+    rep = wide.selectExpr(
+        "n_docs",
+        "s_all",
+        f"stack({_HS_B}, {stack}) AS (replicate, n_rep, s_rep)",
+    )
+    means = rep.select(
+        F.col("replicate").cast("bigint").alias("replicate"),
+        "n_rep",
+        F.when(F.col("n_rep") == 0, F.lit(0.0))
+        .otherwise(F.col("s_rep").cast("double") / F.col("n_rep"))
+        .alias("mean_rep"),
+        (F.col("s_all").cast("double") / F.col("n_docs")).alias("mean_all"),
+        "n_docs",
+    )
+    dev = F.col("mean_rep") - F.col("mean_all")
+    var_hs = means.agg(
+        (
+            F.sum(F.floor(dev * dev * F.lit(1e9)).cast("bigint")).cast("double")
+            / F.lit(1e9)
+            / F.lit(_HS_B)
+        ).alias("v")
+    )
+    return means.crossJoin(F.broadcast(var_hs)).select(
+        "replicate",
+        "n_rep",
+        "mean_rep",
+        "n_docs",
+        "mean_all",
+        F.sqrt(F.col("v")).alias("se_halfsample"),
+    )

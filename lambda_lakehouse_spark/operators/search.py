@@ -344,3 +344,196 @@ GROUP BY doc_id
 def search_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     return phrase_search(docs)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 + dense cosine, reciprocal-rank fusion (r7 staged)
+# ---------------------------------------------------------------------------
+#
+# The RAG-serving primitive: fuse a sparse keyword ranking and a dense
+# embedding ranking of the SAME id space into one list, with
+# reciprocal-rank fusion (Cormack et al., SIGIR'09) — rank-based, so
+# no score normalization across incomparable scales is needed, and
+# every fused score is a sum of at most two 1/(K+rank) terms (IEEE
+# double addition of two terms is commutative-exact, so partial-agg
+# order cannot perturb it).
+#
+# Scale shape: both branch rankings are ALREADY bounded top-k
+# relations (BM25's candidate-generation plan and the exact-cosine
+# top-k), so the fusion itself is a full-outer equi join of two
+# <= N_QUERIES*k-row relations followed by a per-query row_number over
+# <= 2k candidates — nothing corpus-sized flows past the branch heads,
+# and the two branches share no lineage so they schedule in parallel.
+# Absent ranks surface as the 0 sentinel (not NULL) so the fused
+# relation stays integer-typed end-to-end on both engines.
+
+RRF_K = 60  # Cormack's constant
+FUSE_TOP = 10
+
+
+def rrf_fuse(rankings: list[DataFrame], k_const: int = RRF_K) -> DataFrame:
+    """Fuse (query_id, doc_id, rank) rankings by reciprocal-rank sum.
+
+    Caller guarantees each input is a bounded per-query top-k. Returns
+    (query_id, doc_id, rrf_score) without the final cut so callers can
+    pick their own k.
+    """
+    tagged = [
+        r.select(
+            "query_id",
+            "doc_id",
+            (F.lit(1.0) / (F.lit(k_const) + F.col("rank"))).alias("c"),
+        )
+        for r in rankings
+    ]
+    allc = tagged[0]
+    for t in tagged[1:]:
+        allc = allc.unionByName(t)
+    return allc.groupBy("query_id", "doc_id").agg(
+        F.sum("c").alias("rrf_score")
+    )
+
+
+_HYBRID_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY 1),
+dft AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         CAST((SELECT SUM(dl) FROM dl) AS DOUBLE)
+           / (SELECT COUNT(*) FROM documents) AS avgdl
+),
+qterms AS (
+  SELECT CAST((rk - {QRANK_LO}) % {N_QUERIES} AS INTEGER) AS query_id, word
+  FROM (SELECT word, ROW_NUMBER() OVER (ORDER BY df DESC, word) AS rk FROM dft)
+  WHERE rk BETWEEN {QRANK_LO} AND {QRANK_HI}
+),
+per_term AS (
+  SELECT q.query_id, t.doc_id,
+         CAST(((CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+              * ((t.tf * ({K1} + 1.0))
+                 / (t.tf + {K1} * ((1.0 - {B}) + ({B} * l.dl) / s.avgdl)))
+              AS DECIMAL(28,6)) AS s
+  FROM tf t
+  JOIN qterms q ON q.word = t.word
+  JOIN dft d ON d.word = t.word
+  JOIN dl l ON l.doc_id = t.doc_id
+  CROSS JOIN stats s
+),
+bm25 AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY CAST(SUM(s) AS DOUBLE) DESC, doc_id) AS INTEGER) AS rank
+    FROM per_term GROUP BY query_id, doc_id
+  ) WHERE rank <= {TOP_K}
+),
+flat AS (
+  SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS val
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS pos)
+),
+norms AS (
+  SELECT vec_id,
+         CAST(SUM(CAST(FLOOR(val * val * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS n2
+  FROM flat GROUP BY vec_id
+),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(CAST(FLOOR(q.val * c.val * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS dot
+  FROM flat q
+  JOIN flat c ON q.pos = c.pos AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {{n_fuse}}
+  GROUP BY 1, 2
+),
+vec AS (
+  SELECT CAST(query_id AS INTEGER) AS query_id, neighbor_id AS doc_id, rank
+  FROM (
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY dot / sqrt(nq.n2 * nc.n2) DESC, neighbor_id)
+                AS INTEGER) AS rank
+    FROM dots
+    JOIN norms nq ON nq.vec_id = query_id
+    JOIN norms nc ON nc.vec_id = neighbor_id
+  ) WHERE rank <= {{fuse_top}}
+),
+contrib AS (
+  SELECT query_id, doc_id, 1.0 / ({RRF_K} + rank) AS c FROM bm25
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / ({RRF_K} + rank) AS c FROM vec
+),
+fused AS (
+  SELECT query_id, doc_id, SUM(c) AS rrf_score
+  FROM contrib GROUP BY 1, 2
+),
+ranks AS (
+  SELECT f.query_id, f.doc_id, f.rrf_score,
+         CAST(COALESCE(b.rank, 0) AS INTEGER) AS bm25_rank,
+         CAST(COALESCE(v.rank, 0) AS INTEGER) AS cos_rank
+  FROM fused f
+  LEFT JOIN bm25 b ON b.query_id = f.query_id AND b.doc_id = f.doc_id
+  LEFT JOIN vec v ON v.query_id = f.query_id AND v.doc_id = f.doc_id
+)
+SELECT query_id, rank, doc_id, rrf_score, bm25_rank, cos_rank
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rank
+  FROM ranks
+) WHERE rank <= {{fuse_top}}
+""".format(n_fuse=N_QUERIES, fuse_top=FUSE_TOP)
+
+
+@register(
+    "search_hybrid_rrf",
+    _HYBRID_ORACLE,
+    doc="Hybrid RAG retrieval: BM25 keyword top-k and exact-cosine "
+    "dense top-k over the shared doc/vec id space, fused per query by "
+    "reciprocal-rank 1/(60+rank) sums (rank-based, so no cross-scale "
+    "score normalization; <=2-term double sums are order-exact) — "
+    "both branches are bounded top-k relations before the fusion join "
+    "ever runs, so nothing corpus-sized reaches the fusion",
+    tags=("search", "similarity", "rag", "topk"),
+    staged=True,
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lambda_lakehouse_spark.operators.similarity import cosine_topk
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = read_table(spark, sf_dir, "embeddings")
+    # Sparse branch: the self-mined BM25 workload (query_id 0..N-1).
+    bm25 = bm25_topk(docs).select("query_id", "doc_id", "rank")
+    # Dense branch: query vector q IS the query's id (shared id space).
+    vec = cosine_topk(emb, F.col("vec_id") < N_QUERIES, k=FUSE_TOP).select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rk").alias("rank"),
+    )
+    fused = rrf_fuse([bm25, vec])
+    annotated = (
+        fused.join(
+            bm25.withColumnRenamed("rank", "bm25_rank"),
+            ["query_id", "doc_id"],
+            "left",
+        )
+        .join(
+            vec.withColumnRenamed("rank", "cos_rank"),
+            ["query_id", "doc_id"],
+            "left",
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            "rrf_score",
+            F.coalesce("bm25_rank", F.lit(0)).cast("int").alias("bm25_rank"),
+            F.coalesce("cos_rank", F.lit(0)).cast("int").alias("cos_rank"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("rrf_score").desc(), "doc_id")
+    return (
+        annotated.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= FUSE_TOP)
+        .select("query_id", "rank", "doc_id", "rrf_score", "bm25_rank", "cos_rank")
+    )

@@ -1577,3 +1577,119 @@ def eval_cosine_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "match_rate",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF recall@k vs exact brute force (round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# The accuracy side of the IVF speed/recall trade: for each query, how
+# many of the exact cosine top-k does the n_probe-cell IVF search
+# return? This is THE number an ANN deployment is tuned against
+# (recall@k as a function of n_probe); certifying it end-to-end also
+# locks the trained quantizer, both candidate generators, and the
+# shared rescoring tail into one cross-engine-exact relation.
+#
+# Both rankings ride certified paths (ivf_cosine_topk and
+# cosine_topk); the comparison is a bounded join of two
+# <= N_QUERIES*k-row relations, so the audit adds no corpus-sized
+# work beyond the searches themselves. Counts are exact integers;
+# recalls are single double divisions.
+
+
+def _ivf_recall_oracle() -> str:
+    ssum = _ssum_sql
+    i = KMEANS_ITERS
+    ctes = _kmeans_replay_ctes()
+    ctes += [
+        f"cells AS (SELECT vec_id, cell FROM asg{i} WHERE rk = 1)",
+        f"qcells AS (SELECT vec_id AS query_id, cell FROM asg{i}"
+        f" WHERE rk <= {N_PROBE} AND vec_id < {N_QUERIES})",
+        "cand AS (SELECT q.query_id, v.vec_id AS neighbor_id"
+        " FROM qcells q JOIN cells v USING (cell)"
+        " WHERE v.vec_id <> q.query_id)",
+        f"dotsf AS (SELECT c.query_id, c.neighbor_id, {ssum('qf.val * nf.val')} AS dot"
+        " FROM cand c"
+        " JOIN flat qf ON qf.vec_id = c.query_id"
+        " JOIN flat nf ON nf.vec_id = c.neighbor_id AND nf.pos = qf.pos"
+        " GROUP BY 1, 2)",
+        f"normsx AS (SELECT vec_id, {ssum('val * val')} AS n2 FROM flat GROUP BY vec_id)",
+        "ivfsc AS (SELECT query_id, neighbor_id, dot / sqrt(nq.n2 * nc.n2) AS cos_sim"
+        " FROM dotsf"
+        " JOIN normsx nq ON nq.vec_id = query_id"
+        " JOIN normsx nc ON nc.vec_id = neighbor_id)",
+        f"""ivfk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS rk FROM ivfsc
+  ) WHERE rk <= {IVF_K}
+)""",
+        f"bdots AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,"
+        f" {ssum('q.val * c.val')} AS dot"
+        " FROM flat q JOIN flat c ON q.pos = c.pos AND c.vec_id <> q.vec_id"
+        f" WHERE q.vec_id < {N_QUERIES} GROUP BY 1, 2)",
+        "bsc AS (SELECT query_id, neighbor_id, dot / sqrt(nq.n2 * nc.n2) AS cos_sim"
+        " FROM bdots"
+        " JOIN normsx nq ON nq.vec_id = query_id"
+        " JOIN normsx nc ON nc.vec_id = neighbor_id)",
+        f"""bk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS rk FROM bsc
+  ) WHERE rk <= {IVF_K}
+)""",
+        "hits AS (SELECT b.query_id,"
+        " CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hit"
+        " FROM bk b LEFT JOIN ivfk i"
+        " ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id"
+        " GROUP BY 1)",
+        "macro AS (SELECT CAST(SUM(n_hit) AS BIGINT) AS tot_hit,"
+        " CAST(COUNT(*) AS BIGINT) AS n_q FROM hits)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT h.query_id, h.n_hit,
+       CAST(h.n_hit AS DOUBLE) / {IVF_K} AS recall_at_k,
+       CAST(m.tot_hit AS DOUBLE) / (m.n_q * {IVF_K}) AS macro_recall
+FROM hits h CROSS JOIN macro m
+"""
+    )
+
+
+@register(
+    "eval_ivf_recall",
+    _ivf_recall_oracle(),
+    doc=f"ANN accuracy audit: per-query recall@{IVF_K} of the trained "
+    f"{N_PROBE}-probe IVF search against the exact cosine top-{IVF_K}, "
+    "plus the macro recall — the tuning relation for the n_probe "
+    "speed/recall trade; both rankings ride the certified search "
+    "paths and the comparison joins only bounded top-k relations",
+    tags=("similarity", "vector", "eval", "ivf"),
+    staged=True,
+)
+def eval_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    qf = F.col("vec_id") < N_QUERIES
+    ivf = ivf_cosine_topk(emb, qf).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    brute = cosine_topk(emb, qf, k=IVF_K).select("query_id", "neighbor_id")
+    hits = (
+        brute.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("n_hit"))
+    )
+    macro = hits.agg(
+        F.sum("n_hit").cast("bigint").alias("tot_hit"),
+        F.count(F.lit(1)).cast("bigint").alias("n_q"),
+    )
+    return hits.crossJoin(F.broadcast(macro)).select(
+        "query_id",
+        "n_hit",
+        (F.col("n_hit").cast("double") / IVF_K).alias("recall_at_k"),
+        (
+            F.col("tot_hit").cast("double") / (F.col("n_q") * IVF_K)
+        ).alias("macro_recall"),
+    )

@@ -894,3 +894,160 @@ def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("f1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa for the lang-id audit (round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# The chance-corrected agreement score that belongs next to the
+# confusion matrix: kappa = (po - pe) / (1 - pe) with po the observed
+# accuracy and pe the expected agreement under independent marginals
+# sum_l n_actual_l * n_predicted_l / n^2. Every input is an exact
+# integer from the bounded (actual, predicted) cell counts; po and pe
+# are each ONE double division and kappa divides their difference —
+# the identical expression tree on both engines. pe = 1 (a degenerate
+# single-class corpus) is zero-guarded to 0.0 on both sides.
+
+_KAPPA_ORACLE = f"""
+WITH pred AS (
+  SELECT lang, predicted_lang FROM ({{lang}}) t
+),
+cells AS (
+  SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM cells),
+tp AS (
+  SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_tp
+  FROM cells WHERE lang = predicted_lang
+),
+act AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_actual FROM cells GROUP BY 1),
+prd AS (SELECT predicted_lang, CAST(SUM(n) AS BIGINT) AS n_predicted
+        FROM cells GROUP BY 1),
+chance AS (
+  SELECT CAST(SUM(a.n_actual * COALESCE(p.n_predicted, 0)) AS BIGINT) AS prod_sum
+  FROM act a LEFT JOIN prd p ON p.predicted_lang = a.lang
+)
+SELECT t.n AS n_docs,
+       tp.n_tp,
+       CAST(tp.n_tp AS DOUBLE) / t.n AS po,
+       CAST(c.prod_sum AS DOUBLE) / (t.n * t.n) AS pe,
+       CASE WHEN c.prod_sum = t.n * t.n THEN 0.0
+            ELSE (CAST(tp.n_tp AS DOUBLE) / t.n
+                  - CAST(c.prod_sum AS DOUBLE) / (t.n * t.n))
+                 / (1.0 - CAST(c.prod_sum AS DOUBLE) / (t.n * t.n))
+       END AS kappa
+FROM tot t CROSS JOIN tp CROSS JOIN chance c
+""".format(lang="{lang}")
+
+
+@register(
+    "eval_langid_kappa",
+    _KAPPA_ORACLE.format(lang=_lang_oracle()),
+    doc="Chance-corrected agreement of the lang-id heuristic: Cohen's "
+    "kappa (po - pe)/(1 - pe) from the bounded confusion-cell counts, "
+    "with pe the marginal-product expectation — exact-integer inputs, "
+    "one double division per ratio, pe=1 zero-guarded identically on "
+    "both engines; 1-row output",
+    tags=("eval", "text", "classification"),
+    staged=True,
+)
+def eval_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = text_lang_id(spark, sf_dir).select("lang", "predicted_lang")
+    cells = pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = cells.agg(F.sum("n").cast("bigint").alias("n"))
+    tp = cells.where(F.col("lang") == F.col("predicted_lang")).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_tp")
+    )
+    act = cells.groupBy("lang").agg(F.sum("n").cast("bigint").alias("n_actual"))
+    prd = cells.groupBy("predicted_lang").agg(
+        F.sum("n").cast("bigint").alias("n_predicted")
+    )
+    chance = (
+        act.join(prd, act["lang"] == prd["predicted_lang"], "left")
+        .select(
+            (F.col("n_actual") * F.coalesce("n_predicted", F.lit(0))).alias("p")
+        )
+        .agg(F.sum("p").cast("bigint").alias("prod_sum"))
+    )
+    j = tot.crossJoin(tp).crossJoin(chance)
+    po = F.col("n_tp").cast("double") / F.col("n")
+    pe = F.col("prod_sum").cast("double") / (F.col("n") * F.col("n"))
+    return j.select(
+        F.col("n").alias("n_docs"),
+        "n_tp",
+        po.alias("po"),
+        pe.alias("pe"),
+        F.when(F.col("prod_sum") == F.col("n") * F.col("n"), F.lit(0.0))
+        .otherwise((po - pe) / (F.lit(1.0) - pe))
+        .alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token rarity / novelty-mass quality score (round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# The corpus-frequency profile of each document's tokens — the
+# cheap LM-free rarity signal: documents dominated by hapax tokens
+# are noise or novelty candidates, documents of only head tokens are
+# boilerplate. Per doc: token count, summed corpus frequency of its
+# token occurrences, hapax occurrence count, rarest-token frequency,
+# and the mean corpus frequency (ONE double division of exact ints).
+#
+# Scale shape: the (doc_id, tok) stream shuffles once on tok — the
+# inverted-index key — to annotate each occurrence with its corpus
+# frequency, then once on doc_id for the per-doc rollup; both
+# aggregates are map-side combinable, nothing is windowed or sorted.
+
+_RARITY_ORACLE = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE text <> ''
+),
+tok AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY tok)
+SELECT k.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(f.f) AS BIGINT) AS sum_freq,
+       CAST(MIN(f.f) AS BIGINT) AS min_freq,
+       CAST(SUM(CASE WHEN f.f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(SUM(f.f) AS DOUBLE) / COUNT(*) AS mean_freq
+FROM tok k JOIN freq f USING (tok)
+GROUP BY k.doc_id
+"""
+
+
+@register(
+    "text_rarity_score",
+    _RARITY_ORACLE,
+    doc="LM-free rarity profile per document: occurrence count, summed "
+    "and mean corpus frequency of its tokens, hapax occurrences, and "
+    "the rarest token's frequency — one shuffle on the inverted-index "
+    "token key to annotate occurrences, one per-doc rollup, exact "
+    "integers with a single double division",
+    tags=("text", "quality", "corpus"),
+    staged=True,
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    return (
+        tok.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("f").cast("bigint").alias("sum_freq"),
+            F.min("f").cast("bigint").alias("min_freq"),
+            F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+            (F.sum("f").cast("double") / F.count(F.lit(1))).alias("mean_freq"),
+        )
+    )

@@ -278,6 +278,10 @@ def test_no_pathological_join_plans(spark):
         "corpus_token_spectrum",  # 1-row token-mass total broadcast
         "corpus_heaps_vocab_growth",  # 1-row max-id + 10-row decile joins
         "dedup_source_survival",  # 1-row per-source totals broadcast
+        "search_hybrid_rrf",  # BM25's 1-row (N, avgdl) stats broadcast
+        "eval_langid_kappa",  # 1-row total/tp/chance broadcasts
+        "stats_halfsample_ci",  # 1-row variance-of-means broadcast
+        "eval_ivf_recall",  # 1-row macro-recall totals broadcast
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
@@ -521,6 +525,14 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
         "dedup_source_survival": {"documents.parquet"},
         # filter-bounded query side (cosine_topk broadcast + label join)
         "eval_cosine_calibration": {"embeddings.parquet"},
+        # BM25's bounded query terms + 1-row stats; cosine's
+        # filter-bounded query side — both branch heads are top-k
+        "search_hybrid_rrf": {"documents.parquet", "embeddings.parquet"},
+        # 1-row variance-of-means aggregate over the 64-row replicates
+        "stats_halfsample_ci": {"documents.parquet"},
+        # both searches broadcast only filter-bounded query sides;
+        # the comparison joins two <=N_QUERIES*k-row relations
+        "eval_ivf_recall": {"embeddings.parquet"},
     }
     bounding_ops = (
         "Filter", "HashAggregate", "SortAggregate", "ObjectHashAggregate",

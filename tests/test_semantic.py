@@ -563,3 +563,211 @@ def test_cosine_calibration_totals_and_bounds(spark):
         assert 0 <= r.n_match <= r.n_pairs
         assert abs(r.match_rate - r.n_match / r.n_pairs) < 1e-12
         assert r.bin_lo == r.bin / 10.0
+
+
+def test_hybrid_rrf_score_decomposition(spark):
+    """Every fused row's rrf_score equals exactly the sum of its two
+    sentinel-coded branch contributions, ranks are 1..k contiguous per
+    query, and each branch rank annotation agrees with the branch
+    ranking run standalone."""
+    from lambda_lakehouse_spark.operators.search import (
+        FUSE_TOP,
+        RRF_K,
+        bm25_topk,
+    )
+    from lambda_lakehouse_spark.registry import load_staged
+    from lambda_lakehouse_spark.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_staged()["search_hybrid_rrf"].spark(spark, sf).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+        want = (1.0 / (RRF_K + r.bm25_rank) if r.bm25_rank > 0 else 0.0) + (
+            1.0 / (RRF_K + r.cos_rank) if r.cos_rank > 0 else 0.0
+        )
+        assert r.rrf_score == want
+        assert r.bm25_rank > 0 or r.cos_rank > 0
+    for q, qs in by_q.items():
+        assert sorted(r.rank for r in qs) == list(range(1, len(qs) + 1))
+        assert len(qs) <= FUSE_TOP
+    # branch-rank annotations agree with the standalone BM25 ranking
+    docs = read_table(spark, sf, "documents").select("doc_id", "text")
+    bm = {
+        (r.query_id, r.doc_id): r["rank"] for r in bm25_topk(docs).collect()
+    }
+    for r in rows:
+        if r.bm25_rank > 0:
+            assert bm[(r.query_id, r.doc_id)] == r.bm25_rank
+
+
+def test_langid_kappa_matches_confusion_matrix(spark):
+    """kappa recomputed in Python from the certified confusion cells
+    equals the query's output bit-for-bit, and po is the confusion
+    matrix's micro-accuracy."""
+    from lambda_lakehouse_spark.registry import load_staged
+
+    sf = "/root/testdata/sf0.001"
+    staged = load_staged()
+    conf = staged["eval_langid_confusion"].spark(spark, sf).collect()
+    out = staged["eval_langid_kappa"].spark(spark, sf).collect()
+    assert len(out) == 1
+    k = out[0]
+    n = sum(r.n_actual for r in conf)
+    tp = sum(r.n_tp for r in conf)
+    prod = sum(r.n_actual * r.n_predicted for r in conf)
+    po = tp / n
+    pe = prod / (n * n)
+    assert k.n_docs == n and k.n_tp == tp
+    assert k.po == po and k.pe == pe
+    assert k.kappa == (po - pe) / (1.0 - pe)
+    assert k.kappa <= 1.0
+
+
+def test_rarity_score_crafted(spark):
+    """Crafted 2-doc corpus: corpus frequencies a=2, b=2, c=1 give
+    exact per-doc rarity profiles."""
+    import tempfile
+
+    from lambda_lakehouse_spark.registry import load_staged
+
+    rows = [(0, "a a b", "en", "s", 5), (1, "b c", "en", "s", 3)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, rows, d)
+        out = {
+            r.doc_id: r
+            for r in load_staged()["text_rarity_score"].spark(spark, d).collect()
+        }
+    d0, d1 = out[0], out[1]
+    assert (d0.n_tokens, d0.sum_freq, d0.min_freq, d0.n_hapax) == (3, 6, 2, 0)
+    assert d0.mean_freq == 2.0
+    assert (d1.n_tokens, d1.sum_freq, d1.min_freq, d1.n_hapax) == (2, 3, 1, 1)
+    assert d1.mean_freq == 1.5
+
+
+def test_halfsample_ci_statistical_sanity(spark):
+    """The hash-bit half-sample SE brackets the classical sd/sqrt(N)
+    within 3x, replicate sizes are near N/2, and the relation is
+    deterministic across runs."""
+    import statistics
+
+    from lambda_lakehouse_spark.registry import load_staged
+    from lambda_lakehouse_spark.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    q = load_staged()["stats_halfsample_ci"]
+    rows = sorted(q.spark(spark, sf).collect(), key=lambda r: r.replicate)
+    assert [r.replicate for r in rows] == list(range(64))
+    n = rows[0].n_docs
+    chars = [
+        r.n_chars
+        for r in read_table(spark, sf, "documents").select("n_chars").collect()
+    ]
+    assert n == len(chars)
+    assert rows[0].mean_all == sum(chars) / n
+    classical = statistics.stdev(chars) / (n ** 0.5)
+    se = rows[0].se_halfsample
+    assert classical / 3 < se < classical * 3
+    for r in rows:
+        # binomial(N, 1/2) replicate sizes: generous 6-sigma bracket
+        assert abs(r.n_rep - n / 2) < 6 * (n ** 0.5) / 2 + 1
+        assert r.se_halfsample == se
+    again = sorted(q.spark(spark, sf).collect(), key=lambda r: r.replicate)
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_winnowing_shared_passage_pairs(spark):
+    """Two documents sharing a long copied passage (inside otherwise
+    different text) must pair; the winnowing guarantee promises a
+    shared fingerprint for any shared substring >= K + W - 1 chars;
+    an unrelated doc must not pair with either."""
+    import tempfile
+
+    from lambda_lakehouse_spark.operators.dedup import (
+        WIN_K,
+        WIN_W,
+        winnow_fingerprints,
+    )
+    from lambda_lakehouse_spark.registry import load_staged
+
+    passage = (
+        "the quick brown fox jumps over the lazy dog while the "
+        "slow green turtle watches from beneath the old stone bridge"
+    )
+    assert len(passage) >= WIN_K + WIN_W - 1
+    rows = [
+        (0, passage + " alpha beta gamma delta epsilon zeta", "en", "s", 1),
+        (1, "one two three four five six seven " + passage, "en", "s", 1),
+        (2, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr qqqq", "en", "s", 1),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, rows, d)
+        out = load_staged()["dedup_winnowing_pairs"].spark(spark, d).collect()
+        # the guarantee, stated on the fingerprint relation itself
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).select("doc_id", "text")
+        fps = winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[0] & by_doc[1], "shared passage must share a fingerprint"
+    assert not (by_doc[0] & by_doc[2]) and not (by_doc[1] & by_doc[2])
+    pairs = {(r.doc_a, r.doc_b): r for r in out}
+    assert set(pairs) == {(0, 1)}
+    p = pairs[(0, 1)]
+    assert p.n_shared <= min(p.n_fp_a, p.n_fp_b)
+    assert p.containment == p.n_shared / min(p.n_fp_a, p.n_fp_b)
+    assert 0 < p.containment <= 1.0
+
+
+def test_winnowing_df_cap_kills_universal_fingerprints(spark):
+    """A fingerprint present in more docs than the DF cap is dropped:
+    a corpus of identical docs larger than the cap yields no pairs."""
+    import tempfile
+
+    from lambda_lakehouse_spark.operators.dedup import WIN_DF_CAP
+    from lambda_lakehouse_spark.registry import load_staged
+
+    text = "identical boilerplate text repeated across every document here"
+    rows = [(i, text, "en", "s", len(text)) for i in range(WIN_DF_CAP + 6)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, rows, d)
+        out = load_staged()["dedup_winnowing_pairs"].spark(spark, d).collect()
+    assert out == []
+
+
+def test_ivf_recall_bounds_and_probe_all_is_exact(spark):
+    """recall@k is a valid per-query ratio consistent with n_hit and
+    the macro recall; probing ALL cells makes IVF exhaustive, so its
+    recall against brute force is exactly 1.0 on every query."""
+    from lambda_lakehouse_spark.operators.similarity import (
+        IVF_K,
+        N_CELLS,
+        N_QUERIES,
+        cosine_topk,
+        ivf_cosine_topk,
+    )
+    from lambda_lakehouse_spark.registry import load_staged
+    from lambda_lakehouse_spark.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_staged()["eval_ivf_recall"].spark(spark, sf).collect()
+    assert len(rows) == N_QUERIES
+    tot = sum(r.n_hit for r in rows)
+    for r in rows:
+        assert 0 <= r.n_hit <= IVF_K
+        assert r.recall_at_k == r.n_hit / IVF_K
+        assert r.macro_recall == tot / (len(rows) * IVF_K)
+
+    emb = read_table(spark, sf, "embeddings")
+    qf = F.col("vec_id") < N_QUERIES
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_cosine_topk(emb, qf, n_probe=N_CELLS).collect()
+    }
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, qf, k=IVF_K).collect()
+    }
+    assert full == brute
