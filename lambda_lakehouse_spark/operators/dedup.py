@@ -1427,27 +1427,35 @@ WIN_MIN_SHARED = 3  # report pairs sharing at least this many fingerprints
 
 
 def winnow_fingerprints(docs: DataFrame, k: int = WIN_K, w: int = WIN_W) -> DataFrame:
-    """DISTINCT (doc_id, fp) winnowed fingerprint relation."""
-    from pyspark.sql import Window as W
+    """DISTINCT (doc_id, fp) winnowed fingerprint relation.
 
+    Deliberately NOT a position-explode + per-doc window: exploding
+    (doc_id, text, p) duplicates the full text into every position row
+    (quadratic bytes in doc length), and the window would shuffle+sort
+    the position-grain relation on doc_id. Positions of a document are
+    row-local by definition, so the shingle hashes, the sliding-window
+    minima, and the per-doc dedup all run INSIDE the row as codegen
+    array expressions — zero shuffle, zero text duplication; only the
+    ~2/(w+1)-density winnowed fingerprints ever become rows. The
+    trailing window at position p spans max(1, p-w+1)..p, exactly the
+    oracle's ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW frame."""
     d = docs.where(F.length("text") >= k)
-    pos = d.select(
+    hs = d.select(
         "doc_id",
-        "text",
-        F.explode(
-            F.sequence(F.lit(1), F.length("text") - F.lit(k) + 1)
-        ).alias("p"),
+        F.expr(
+            f"transform(sequence(1, length(text) - {k} + 1),"
+            f" p -> substring(md5(substring(text, p, {k})), 1, 8))"
+        ).alias("hs"),
     )
-    h = pos.select(
+    fps = hs.select(
         "doc_id",
-        "p",
-        F.substring(F.md5(F.expr(f"substring(text, p, {k})")), 1, 8).alias("h"),
+        F.expr(
+            "array_distinct(transform(sequence(1, size(hs)),"
+            f" p -> array_min(slice(hs, greatest(p - {w} + 1, 1),"
+            f" least({w}, p)))))"
+        ).alias("fps"),
     )
-    win = W.partitionBy("doc_id").orderBy("p").rowsBetween(-(w - 1), 0)
-    return (
-        h.select("doc_id", F.min("h").over(win).alias("fp"))
-        .distinct()
-    )
+    return fps.select("doc_id", F.explode("fps").alias("fp"))
 
 
 _WINNOW_ORACLE = f"""
