@@ -822,3 +822,96 @@ def test_exact_rank_and_ntile_match_model(spark, vals, n_buckets):
         for r in exact_global_ntile(df, ["v", "id"], n_buckets, "b").collect()
     }
     assert got_b == want_b
+
+
+# --- winnowing guarantee -----------------------------------------------
+#
+# Schleimer et al.'s theorem: if two strings share a substring of
+# length >= K + W - 1, their winnowed fingerprint sets intersect.
+# Randomized: two random strings with a random shared passage planted
+# at random offsets must share a fingerprint; and winnowing is a
+# subset of the full shingle-hash set (density sanity).
+
+_winnow_alpha = st.text(alphabet="abcd ", min_size=0, max_size=60)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    prefix_a=_winnow_alpha,
+    suffix_a=_winnow_alpha,
+    prefix_b=_winnow_alpha,
+    suffix_b=_winnow_alpha,
+    passage=st.text(alphabet="wxyz", min_size=23, max_size=48),
+)
+def test_winnowing_guarantee_planted_passage(
+    spark, prefix_a, suffix_a, prefix_b, suffix_b, passage
+):
+    from lambda_lakehouse_spark.operators.dedup import (
+        WIN_K,
+        WIN_W,
+        winnow_fingerprints,
+    )
+
+    assert len(passage) >= WIN_K + WIN_W - 1
+    docs = spark.createDataFrame(
+        [(0, prefix_a + passage + suffix_a), (1, prefix_b + passage + suffix_b)],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs).collect()
+    by_doc: dict[int, set] = {0: set(), 1: set()}
+    for r in fps:
+        by_doc[r.doc_id].add(r.fp)
+    assert by_doc[0] & by_doc[1], (
+        "docs sharing a >= K+W-1 substring must share a winnowed fingerprint"
+    )
+
+
+# --- reciprocal-rank fusion --------------------------------------------
+#
+# Invariants of rrf_fuse on random bounded rankings: (1) a doc ranked
+# 1 by every branch is the unique fused maximum; (2) every fused score
+# equals the recomputed 1/(K+rank) sum; (3) fused candidate set is
+# exactly the union of branch candidate sets.
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    perm_a=st.permutations(list(range(1, 8))),
+    perm_b=st.permutations(list(range(1, 8))),
+    k=st.integers(min_value=3, max_value=6),
+)
+def test_rrf_fuse_invariants(spark, perm_a, perm_b, k):
+    from lambda_lakehouse_spark.operators.search import RRF_K, rrf_fuse
+
+    # doc 0 is rank 1 in both branches; docs from perm_* fill 2..k
+    rank_a = [(0, 0, 1)] + [(0, d, i + 2) for i, d in enumerate(perm_a[: k - 1])]
+    rank_b = [(0, 0, 1)] + [(0, d, i + 2) for i, d in enumerate(perm_b[: k - 1])]
+    schema = "query_id int, doc_id long, rank int"
+    fused = {
+        r.doc_id: r.rrf_score
+        for r in rrf_fuse(
+            [
+                spark.createDataFrame(rank_a, schema),
+                spark.createDataFrame(rank_b, schema),
+            ]
+        ).collect()
+    }
+    ra = {d: r for _, d, r in rank_a}
+    rb = {d: r for _, d, r in rank_b}
+    assert set(fused) == set(ra) | set(rb)
+    for d, score in fused.items():
+        want = (1.0 / (RRF_K + ra[d]) if d in ra else 0.0) + (
+            1.0 / (RRF_K + rb[d]) if d in rb else 0.0
+        )
+        assert score == want
+    top = max(fused.items(), key=lambda kv: kv[1])
+    assert top[0] == 0, "rank-1-everywhere doc must be the fused maximum"
+    assert sum(1 for s in fused.values() if s == top[1]) == 1
