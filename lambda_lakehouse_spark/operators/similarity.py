@@ -1693,3 +1693,87 @@ def eval_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tot_hit").cast("double") / (F.col("n_q") * IVF_K)
         ).alias("macro_recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Row-local exact cosine top-k via higher-order functions (r7 staged)
+# ---------------------------------------------------------------------------
+#
+# The alternative front end to the position-exploded brute plan: keep
+# every embedding as an ARRAY and compute dot products and norms
+# INSIDE the row with zip_with/aggregate — no 64x posexplode, no
+# (query, vec) dot-product aggregate exchange. The corpus flows
+# through exactly ONE narrow pass of |queries| x |corpus| rows (the
+# bounded query side is broadcast), then straight into the per-query
+# top-k. Same floor-scaled integer arithmetic as _scaled_sum — each
+# per-dimension product is floored at 1e-15 and integer-summed by the
+# aggregate fold, so the totals are bit-identical to the grouped sums
+# and the query shares the brute oracle verbatim.
+#
+# Trade-off vs cosine_topk: the exploded plan reuses one flat relation
+# across many consumers (norms, IVF training, drift) — right when
+# several vector ops share a scan; this shape wins when the dot
+# product is the whole job, which is the serve-path common case.
+
+
+def _arr_scaled_dot(a, b) -> F.Column:
+    """Order-free exact dot: per-dim floor(x*y*1e15) ints, folded."""
+    prods = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.floor(
+            x.cast("double") * y.cast("double") * F.lit(float(SCALE))
+        ).cast("long"),
+    )
+    return (
+        F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        .cast("double")
+        / SCALE
+    )
+
+
+def cosine_topk_rowlocal(emb: DataFrame, query_filter, k: int = TOP_K) -> DataFrame:
+    """(query_id, neighbor_id, cos_sim, rk): exact cosine top-k with
+    all vector arithmetic row-local; value-identical to cosine_topk."""
+    n2 = _arr_scaled_dot(F.col("embedding"), F.col("embedding"))
+    q = emb.where(query_filter).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        n2.alias("qn2"),
+    )
+    cand = (
+        emb.select("vec_id", "embedding", n2.alias("cn2"))
+        .crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            _arr_scaled_dot(F.col("embedding"), F.col("q_emb"))
+            / F.sqrt(F.col("qn2") * F.col("cn2"))
+        ).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
+@register(
+    "ann_cosine_topk_rowlocal",
+    _brute_oracle(False, TOP_K),
+    doc="Exact cosine top-k with ROW-LOCAL vector arithmetic: "
+    "zip_with/aggregate fold the floor-scaled per-dimension products "
+    "inside each row — no 64x posexplode, no dot-product aggregate "
+    "exchange; one narrow broadcast pass per bounded query set, then "
+    "the per-query top-k. Bit-identical to the exploded brute plan "
+    "(same oracle), trading scan reuse for minimal data movement",
+    tags=("similarity", "vector", "scale"),
+    staged=True,
+)
+def ann_cosine_topk_rowlocal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_topk_rowlocal(emb, F.col("vec_id") < N_QUERIES)

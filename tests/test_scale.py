@@ -282,6 +282,7 @@ def test_no_pathological_join_plans(spark):
         "eval_langid_kappa",  # 1-row total/tp/chance broadcasts
         "stats_halfsample_ci",  # 1-row variance-of-means broadcast
         "eval_ivf_recall",  # 1-row macro-recall totals broadcast
+        "ann_cosine_topk_rowlocal",  # filter-bounded query-side broadcast
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
@@ -533,6 +534,8 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
         # both searches broadcast only filter-bounded query sides;
         # the comparison joins two <=N_QUERIES*k-row relations
         "eval_ivf_recall": {"embeddings.parquet"},
+        # filter-bounded query rows broadcast into the row-local pass
+        "ann_cosine_topk_rowlocal": {"embeddings.parquet"},
     }
     bounding_ops = (
         "Filter", "HashAggregate", "SortAggregate", "ObjectHashAggregate",

@@ -771,3 +771,21 @@ def test_ivf_recall_bounds_and_probe_all_is_exact(spark):
         for r in cosine_topk(emb, qf, k=IVF_K).collect()
     }
     assert full == brute
+
+
+def test_rowlocal_cosine_equals_exploded_brute(spark):
+    """The zip_with/aggregate row-local plan returns bit-identical
+    (query, neighbor, cos, rank) tuples to the position-exploded
+    cosine_topk — same floor-scaled integers, different data flow."""
+    from lambda_lakehouse_spark.operators.similarity import (
+        N_QUERIES,
+        cosine_topk,
+        cosine_topk_rowlocal,
+    )
+    from lambda_lakehouse_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qf = F.col("vec_id") < N_QUERIES
+    a = sorted(tuple(r) for r in cosine_topk(emb, qf).collect())
+    b = sorted(tuple(r) for r in cosine_topk_rowlocal(emb, qf).collect())
+    assert a == b
