@@ -78,3 +78,34 @@ def test_every_query_has_unique_output_columns(spark):
         if len(set(cols)) != len(cols):
             offenders.append((name, cols))
     assert not offenders, offenders
+
+
+def test_window_generator_matches_contract_rule():
+    """tools/gen_driver_window.py must classify never-green exactly as
+    this contract does — the rotation tool and the invariant may never
+    disagree about what still needs certification."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_driver_window",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "gen_driver_window.py"),
+    )
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+
+    reg = load_all()
+    greens = tool.newest_green_rounds(
+        os.path.join(os.path.dirname(__file__), ".."), reg
+    )
+    certified = set()
+    for path in _ROUNDS:
+        for name, row in json.load(open(path)).items():
+            if name not in reg:
+                continue
+            if row.get("hash_match") is True:
+                certified.add(name)
+            elif reg[name].oracle is None and row.get("spark_rows") is not None:
+                if row.get("err") in (None, "no_oracle"):
+                    certified.add(name)
+    assert set(greens) == certified
