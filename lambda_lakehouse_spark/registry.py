@@ -50,8 +50,9 @@ REGISTRY: dict[str, Query] = {}
 #
 # GRADUATION PROCEDURE (first session of the following round):
 #   1. flip each query's ``staged=True`` to default (remove the kwarg);
-#   2. prepend its name to DRIVER_PRIORITY (staged queries have no green
-#      driver row yet, so they must sit inside the 50-slot window);
+#   2. rebuild DRIVER_PRIORITY with tools/gen_driver_window.py (orders
+#      never-green first — staged graduates have no green driver row —
+#      then --must re-certs, then the stalest greens);
 #   3. re-run: python tools/gen_coverage_appendix.py && pytest
 #      tests/test_registry_contract.py — the window-fit invariant will
 #      fail loudly if too many uncertified queries would queue at once.
