@@ -1051,3 +1051,147 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("f").cast("double") / F.count(F.lit(1))).alias("mean_freq"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE merge training (round-7 staged)
+# ---------------------------------------------------------------------------
+#
+# Tokenizer training as a distributed loop: BPE_STEPS rounds of
+# (count adjacent pairs) -> (pick the most frequent pair) -> (apply
+# the merge corpus-wide), the core of byte-pair-encoding training
+# (Sennrich et al., ACL'16) at word grain. The merge application is
+# the part no window or join expresses: a GREEDY LEFT-TO-RIGHT
+# non-overlapping rewrite of each token sequence — run INSIDE the row
+# as a string-accumulator aggregate() fold (the same higher-order-
+# function discipline as the winnowing rewrite: row-local, zero
+# shuffle). The pair count is the only exchange per round, and the
+# 1-row winning rule broadcasts back into the fold.
+#
+# Cross-engine exactness: pair counts are exact integers with a
+# (count DESC, l, r) total order; the fold is pure string arithmetic
+# with an identical expression tree (Spark aggregate() seeds '', and
+# a CASE mirrors DuckDB list_reduce's first-element seeding — proven
+# equal on the same inputs). A greedy re-merge within one pass is
+# impossible because the merged token is strictly longer than its
+# left constituent, so lookbehind-1 folding IS the canonical
+# non-overlapping semantics.
+
+BPE_STEPS = 3
+
+_BPE_FOLD_SPARK = """
+aggregate(toks, '', (acc, x) -> CASE
+  WHEN acc = '' THEN x
+  WHEN element_at(split(acc, ' '), -1) = l AND x = r
+  THEN left(acc, length(acc) - length(element_at(split(acc, ' '), -1)))
+       || merged
+  ELSE acc || ' ' || x END)
+"""
+
+_BPE_PAIRS_SPARK = (
+    "transform(sequence(1, size(toks) - 1),"
+    " j -> struct(element_at(toks, j) AS l, element_at(toks, j + 1) AS r))"
+)
+
+
+def _bpe_oracle(steps: int = BPE_STEPS) -> str:
+    ctes = [
+        "t0 AS (SELECT doc_id,"
+        " list_filter(string_split(text, ' '), x -> x <> '') AS toks"
+        " FROM documents WHERE text <> ''"
+        " AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 1)"
+    ]
+    for i in range(1, steps + 1):
+        ctes.append(
+            f"""p{i} AS (
+  SELECT x.l AS l, x.r AS r, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (
+    SELECT unnest(list_transform(range(1, len(toks)),
+                  j -> {{'l': toks[j], 'r': toks[j + 1]}})) AS x
+    FROM t{i - 1} WHERE len(toks) >= 2
+  ) GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"top{i} AS (SELECT l, r, l || r AS merged, c FROM p{i}"
+            " ORDER BY c DESC, l, r LIMIT 1)"
+        )
+        ctes.append(
+            f"""t{i} AS (
+  SELECT doc_id, list_filter(string_split(
+    list_reduce(toks, (acc, x) -> CASE
+      WHEN string_split(acc, ' ')[-1] = tp.l AND x = tp.r
+      THEN left(acc, length(acc) - length(string_split(acc, ' ')[-1]))
+           || tp.merged
+      ELSE acc || ' ' || x END), ' '), x -> x <> '') AS toks
+  FROM t{i - 1} CROSS JOIN top{i} tp
+)"""
+        )
+    selects = [
+        f"SELECT CAST({i} AS INTEGER) AS step, l AS pair_left, r AS pair_right,"
+        f" merged, c AS pair_count FROM top{i}"
+        for i in range(1, steps + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "text_bpe_train_merges",
+    _bpe_oracle(),
+    doc=f"Iterative BPE training, {BPE_STEPS} rounds: count adjacent "
+    "token pairs (the round's ONLY exchange), pick the (count DESC, "
+    "l, r) winner, and apply the merge corpus-wide as a row-local "
+    "greedy left-to-right aggregate() string fold — the rewrite no "
+    "window/join expresses; the DuckDB oracle unrolls the identical "
+    "rounds with list_reduce folds",
+    tags=("text", "tokenizer", "iterative"),
+    staged=True,
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lambda_lakehouse_spark.operators.ranking import global_topk
+
+    docs = read_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    cur = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("toks"),
+    ).where(F.size("toks") >= 1)
+
+    rules = []
+    for step in range(1, BPE_STEPS + 1):
+        counts = (
+            cur.where(F.size("toks") >= 2)
+            .select(F.explode(F.expr(_BPE_PAIRS_SPARK)).alias("p"))
+            .select("p.l", "p.r")
+            .groupBy("l", "r")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        # 1-row winning rule; localCheckpoint truncates the growing
+        # per-round lineage exactly like the PageRank loop
+        top = global_topk(
+            counts, [F.desc("c"), F.asc("l"), F.asc("r")], 1, "_rk"
+        ).select(
+            "l", "r", F.concat("l", "r").alias("merged"), "c"
+        ).localCheckpoint(eager=False)
+        rules.append(
+            top.select(
+                F.lit(step).cast("int").alias("step"),
+                F.col("l").alias("pair_left"),
+                F.col("r").alias("pair_right"),
+                "merged",
+                F.col("c").alias("pair_count"),
+            )
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(top.select("l", "r", "merged")))
+            .select("doc_id", F.expr(_BPE_FOLD_SPARK).alias("s"))
+            .select(
+                "doc_id",
+                F.expr("filter(split(s, ' '), x -> x != '')").alias("toks"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out

@@ -283,6 +283,7 @@ def test_no_pathological_join_plans(spark):
         "stats_halfsample_ci",  # 1-row variance-of-means broadcast
         "eval_ivf_recall",  # 1-row macro-recall totals broadcast
         "ann_cosine_topk_rowlocal",  # filter-bounded query-side broadcast
+        "text_bpe_train_merges",  # 1-row merge-rule broadcast per round
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
@@ -536,6 +537,8 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
         "eval_ivf_recall": {"embeddings.parquet"},
         # filter-bounded query rows broadcast into the row-local pass
         "ann_cosine_topk_rowlocal": {"embeddings.parquet"},
+        # 1-row winning merge rule (top-1 bounded) broadcast per round
+        "text_bpe_train_merges": {"documents.parquet"},
     }
     bounding_ops = (
         "Filter", "HashAggregate", "SortAggregate", "ObjectHashAggregate",

@@ -789,3 +789,28 @@ def test_rowlocal_cosine_equals_exploded_brute(spark):
     a = sorted(tuple(r) for r in cosine_topk(emb, qf).collect())
     b = sorted(tuple(r) for r in cosine_topk_rowlocal(emb, qf).collect())
     assert a == b
+
+
+def test_bpe_train_merges_hand_computed(spark):
+    """Three rounds on a crafted corpus, fully hand-derived:
+    round 1 merges (a,b)x3, round 2 (ab,c)x2, round 3 breaks the
+    count tie by (l, r) order to (ab, abc)."""
+    import tempfile
+
+    from lambda_lakehouse_spark.registry import load_staged
+
+    rows = [(0, "a b a b c", "en", "s", 9), (1, "a b c c", "en", "s", 7)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, rows, d)
+        out = sorted(
+            load_staged()["text_bpe_train_merges"].spark(spark, d).collect(),
+            key=lambda r: r.step,
+        )
+    got = [
+        (r.step, r.pair_left, r.pair_right, r.merged, r.pair_count) for r in out
+    ]
+    assert got == [
+        (1, "a", "b", "ab", 3),
+        (2, "ab", "c", "abc", 2),
+        (3, "ab", "abc", "ababc", 1),
+    ]
