@@ -2085,7 +2085,6 @@ WHERE rk <= {TFIDF_TOP_K}
     "posting-keyed df join, and a doc-partitioned top-k window — "
     "never a single-tasked relation",
     tags=("corpus", "text", "tfidf", "topk"),
-    staged=True,
 )
 def corpus_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2159,7 +2158,6 @@ FROM s CROSS JOIN tot
     "portability risk) — a (source,lang) count, a source rollup, and "
     "a 1-row total broadcast; |sources|-row output at any sf",
     tags=("corpus", "stats", "diversity", "mix"),
-    staged=True,
 )
 def corpus_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("source", "lang")
@@ -2233,7 +2231,6 @@ FROM w CROSS JOIN ess
     "corpus — one source-count aggregate, a 1-row total broadcast, "
     "and a 1-row ESS broadcast; |sources| output rows at any sf",
     tags=("corpus", "sampling", "mixing"),
-    staged=True,
 )
 def sample_target_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("source")
@@ -2415,7 +2412,6 @@ def _decile_of(idcol: str) -> F.Column:
     "aggregate and only <=10-row profiles join; type/token ratio per "
     "checkpoint is one double division of exact integers",
     tags=("corpus", "stats", "text"),
-    staged=True,
 )
 def corpus_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
@@ -2518,7 +2514,6 @@ FROM top
     "rank*freq product — TakeOrderedAndProject head, single-pass "
     "bounded rank tail, integer-exact throughout",
     tags=("corpus", "stats", "heavy_hitters"),
-    staged=True,
 )
 def corpus_zipf_rank_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").where(F.col("text") != "")
@@ -2590,7 +2585,6 @@ FROM per_src s CROSS JOIN tot t
     "rebalanced against — fingerprint-keyed shuffle, bounded rollup, "
     "1-row totals broadcast",
     tags=("dedup", "corpus", "sampling"),
-    staged=True,
 )
 def dedup_source_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lambda_lakehouse_spark.operators.text import normalized_text

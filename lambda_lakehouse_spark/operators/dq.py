@@ -457,7 +457,6 @@ FROM per_col p LEFT JOIN mode m USING (col)
     "|columns| output rows at any scale; string/integer columns only "
     "(double→string formatting is engine-specific)",
     tags=("quality", "profile", "agg"),
-    staged=True,
 )
 def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")

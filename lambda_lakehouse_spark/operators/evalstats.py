@@ -605,7 +605,6 @@ FROM s
     "an exact integer; doubles appear only in one division tree and "
     "one IEEE-exact sqrt",
     tags=("stats", "eval", "rank", "drift"),
-    staged=True,
 )
 def stats_mannwhitney_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
@@ -694,7 +693,6 @@ FROM nrel n LEFT JOIN dcg d USING (source)
     "IDCG an indexed cumulative literal — no engine log(), one final "
     "double division; source-partitioned window, |sources|-row output",
     tags=("eval", "stats", "ranking", "ndcg"),
-    staged=True,
 )
 def eval_ndcg_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -826,7 +824,6 @@ FROM means m CROSS JOIN var_hs v
     "replicate means via floor-scaled exact sums — reproducible "
     "error bars at any scale",
     tags=("stats", "sampling", "eval"),
-    staged=True,
 )
 def stats_halfsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")

@@ -439,7 +439,6 @@ WHERE rank <= {OVERLAP_TOP_K}
     "DF-cap pattern from ngram-jaccard — and degrees computed over "
     "the same capped edge set keep the score well-defined",
     tags=("graph", "join", "similarity", "link-prediction"),
-    staged=True,
 )
 def graph_supplier_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (

@@ -500,7 +500,6 @@ JOIN nf nb ON nb.doc_id = p.doc_b
     "MinHash hot-bucket pattern); frames come from the stubbed "
     "Arrow-batched sampler the oracle replays in hex space",
     tags=("multimodal", "dedup", "pandas-udf", "join"),
-    staged=True,
 )
 def multimodal_frame_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(

@@ -265,7 +265,6 @@ FROM c2c c LEFT JOIN dropped d ON d.v = c.vec_id
     "with edge-keyed verdicts; oracle replays training via the shared "
     "k-means CTEs",
     tags=("dedup", "semantic", "embedding", "kmeans"),
-    staged=True,
 )
 def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
@@ -433,7 +432,6 @@ FROM pasg{PQ_ITERS} WHERE rk = 1
     "DataFrame passes (subspace id is a grouping key); assignment "
     "argmin runs in the exact BIGINT domain; oracle replays training",
     tags=("embedding", "quantization", "pq", "kmeans"),
-    staged=True,
 )
 def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
@@ -601,7 +599,6 @@ WHERE rk <= {k}
     "embed_pq_codes; oracle replays coarse + PQ training and the "
     "identical approximation",
     tags=("similarity", "vector", "ivf", "pq", "serving"),
-    staged=True,
 )
 def ann_cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
@@ -671,7 +668,6 @@ GROUP BY f.query_id
     "(4× less memory/bandwidth). Both rankings are the decimal-exact "
     "brute path; overlap is a pair-keyed left join",
     tags=("embedding", "eval", "matryoshka", "similarity"),
-    staged=True,
 )
 def eval_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")

@@ -1543,7 +1543,6 @@ FROM edges GROUP BY bin
     "retrieval accept gates; exact-cosine front end, integer counts, "
     "one double division per bin",
     tags=("similarity", "vector", "eval"),
-    staged=True,
 )
 def eval_cosine_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
@@ -1667,7 +1666,6 @@ FROM hits h CROSS JOIN macro m
     "speed/recall trade; both rankings ride the certified search "
     "paths and the comparison joins only bounded top-k relations",
     tags=("similarity", "vector", "eval", "ivf"),
-    staged=True,
 )
 def eval_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")

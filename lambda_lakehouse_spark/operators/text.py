@@ -716,7 +716,6 @@ WHERE rank <= {BPE_PAIR_TOP_K}
     "distributed top-k; each further BPE merge round is this same "
     "one-pass aggregate",
     tags=("text", "tokenizer", "bpe", "topk"),
-    staged=True,
 )
 def text_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lambda_lakehouse_spark.operators.ranking import global_topk
@@ -779,7 +778,6 @@ WHERE length(text) > 0
     "(codegen'd, map-only, zero shuffles) with the code_like verdict a "
     "mixed-scrape curation pipeline routes on",
     tags=("text", "quality", "curation"),
-    staged=True,
 )
 def text_code_prose_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
@@ -852,7 +850,6 @@ LEFT JOIN tp t USING (lang)
     "ratio is ONE double division of exact integers, zero-guarded "
     "identically on both engines",
     tags=("eval", "text", "classification"),
-    staged=True,
 )
 def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = text_lang_id(spark, sf_dir).select("lang", "predicted_lang")
@@ -951,7 +948,6 @@ FROM tot t CROSS JOIN tp CROSS JOIN chance c
     "one double division per ratio, pe=1 zero-guarded identically on "
     "both engines; 1-row output",
     tags=("eval", "text", "classification"),
-    staged=True,
 )
 def eval_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = text_lang_id(spark, sf_dir).select("lang", "predicted_lang")
@@ -1030,7 +1026,6 @@ GROUP BY k.doc_id
     "token key to annotate occurrences, one per-doc rollup, exact "
     "integers with a single double division",
     tags=("text", "quality", "corpus"),
-    staged=True,
 )
 def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").where(F.col("text") != "")
@@ -1145,7 +1140,6 @@ def _bpe_oracle(steps: int = BPE_STEPS) -> str:
     "window/join expresses; the DuckDB oracle unrolls the identical "
     "rounds with list_reduce folds",
     tags=("text", "tokenizer", "iterative"),
-    staged=True,
 )
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lambda_lakehouse_spark.operators.ranking import global_topk

@@ -1923,7 +1923,6 @@ SELECT event_type, day, x, ewma FROM ew
     "left-to-right and explodes back; the oracle's recursive CTE "
     "replays the identical IEEE chain",
     tags=("timeseries", "events", "smoothing", "hof"),
-    staged=True,
 )
 def timeseries_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")

@@ -56,10 +56,27 @@ REGISTRY: dict[str, Query] = {}
 #   3. re-run: python tools/gen_coverage_appendix.py && pytest
 #      tests/test_registry_contract.py — the window-fit invariant will
 #      fail loudly if too many uncertified queries would queue at once.
-# The round-5 cohort (33 queries) graduated at the round-6 boundary
-# and the round-6 cohort (24) at the round-7 boundary, each following
-# exactly this procedure. STAGED currently holds the round-7 cohort
-# queued for round 8 (embedding-space curation + text/stats ops).
+# The round-5 cohort (33 queries) graduated at the round-6 boundary,
+# the round-6 cohort (24) at the round-7 boundary, and the round-7
+# cohort (29) at the round-8 boundary, each following exactly this
+# procedure. STAGED holds the round-8 cohort queued for round 9.
+#
+# STALENESS / ROTATION POLICY (adopted round 8, per the round-7
+# verdict): at 219 registered queries and a 50-slot driver window, a
+# full re-certification cycle takes ~4.5 rounds, so driver-green
+# staleness is bounded by scheduling, not by code health (pytest
+# re-proves every oracle each run regardless). To keep the bound from
+# growing:
+#   - new STAGED work is capped at 5 queries per round, so graduations
+#     consume at most ~5 window slots the following round;
+#   - every remaining slot goes to the stalest greens, oldest round
+#     first (gen_driver_window.py orders this mechanically);
+#   - changed-plan queries are forced in via --must even if their last
+#     green is recent — a green row must certify the CURRENT plan.
+# With ≤5 graduates + ~45 rotation slots per round the steady-state
+# re-cert cycle is ~219/45 ≈ 4.9 rounds; the r8 window front-loads the
+# final oversized graduation (29) and still clears 15 of the 49-query
+# r4-stale cohort, with the remaining 34 scheduled first in r9.
 STAGED: dict[str, Query] = {}
 
 
@@ -92,73 +109,110 @@ def register(
 # (every query beyond slot 50 holds a prior green row) is pinned by
 # tests/test_registry_contract.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # — round-7 window (50 slots) —
-    # Slots 1-2: the two round-6 reds, re-certified after the oracle
-    # HUGEINT casts (CAST(SUM(..) AS BIGINT)) — engine values were
-    # verified identical at sf0.01; only the oracle SQL changed.
-    "multimodal_audio_envelope",
-    "dedup_paragraph_fraction",
-    # Slots 3-26: the round-7 graduation — the 24 formerly-STAGED
-    # queries (pytest oracle-green at sf0.001 and sf0.01 since round
-    # 6, no driver row yet, so all must sit inside the window).
-    "profile_histogram_equidepth",
-    "window_global_pctrank",
-    "agg_percentile_cont_global",
-    "dedup_jaccard_prefix_filter",
-    "eval_knn_label_accuracy",
-    "embed_label_separation",
-    "attribution_touchpoints",
-    "shard_rendezvous_routing",
-    "sample_temperature_mixture",
-    "corpus_cross_source_overlap",
-    "stats_ks_drift_sources",
-    "dedup_paragraph_scrub",
-    "corpus_curation_pipeline",
-    "curriculum_length_interleave",
-    "text_bigram_next_word",
-    "split_leakage_safe",
-    "dq_referential_integrity",
-    "search_phrase_positional",
-    "graph_triangle_count",
-    "eval_auc_exact",
-    "eval_decile_lift",
-    "stats_autocorr_daily_revenue",
-    "stats_benford_first_digit",
-    "stats_chi2_lang_source",
-    # Slots 27-50: stale-row rotation (round-6 verdict item 4) — the
-    # oldest greens are the r02 cohort + window_lag_lead_running (r03)
-    # and the r03/r04 plan staples; 24 of them re-certify this round.
-    "q14_promo_revenue",
-    "q18_large_volume",
-    "q19_disjunctive_join",
-    "q4_late_orders",
-    "q6_selective_filter",
-    "q7_nation_trade",
-    "sample_deterministic",
-    "scalar_clean_cast",
-    "scalar_date_suite",
-    "scalar_json_suite",
-    "scalar_string_suite",
-    "scalar_surrogate_keys",
-    "seed_lookup_fx",
-    "setops_intersect_except",
-    "unpivot_measures",
-    "window_moving_avg_rows",
-    "window_ranking_suite",
-    "window_rolling_range",
-    "window_topk_per_group",
-    "window_lag_lead_running",
-    "fact_assembly_star",
-    "pit_join_fact_dim",
-    "scd2_user_dim",
-    "asof_join_daily_score",
+    # — round-8 window (50 slots), generated by tools/gen_driver_window.py
+    #   --must search_bm25_topk basket_association_rules
+    #   sample_priority_weighted corpus_collocations_lift
+    #   text_vocab_coverage graph_pagerank_supply —
+    # Slots 1-29: the round-8 graduation — the 29 formerly-STAGED
+    # round-7 queries (pytest oracle-green at sf0.001 and sf0.01, no
+    # driver row yet, so all must sit inside the window).
+    "timeseries_ewma_smoothing",
+    "text_bpe_pair_merges",
+    "text_code_prose_signals",
+    "eval_langid_confusion",
+    "eval_langid_kappa",
+    "text_rarity_score",
+    "text_bpe_train_merges",
+    "dedup_winnowing_pairs",
+    "multimodal_frame_overlap",
+    "eval_cosine_calibration",
+    "eval_ivf_recall",
+    "ann_cosine_topk_rowlocal",
+    "corpus_tfidf_topterms",
+    "corpus_source_diversity",
+    "sample_target_mix_weights",
+    "corpus_token_spectrum",
+    "corpus_heaps_vocab_growth",
+    "corpus_zipf_rank_curve",
+    "dedup_source_survival",
+    "dq_column_profile",
+    "search_hybrid_rrf",
+    "graph_supplier_overlap",
+    "stats_mannwhitney_doclen",
+    "eval_ndcg_at10",
+    "stats_halfsample_ci",
+    "dedup_semdedup_cells",
+    "embed_pq_codes",
+    "ann_cosine_topk_ivfpq",
+    "eval_matryoshka_prefix_recall",
+    # Slots 30-35: changed-plan re-certs — the six queries rewritten by
+    # the single-pass global_topk rank (commit 2d079fa) whose newest
+    # green row predates that rewrite; a green row must certify the
+    # CURRENT plan.
+    "search_bm25_topk",
+    "basket_association_rules",
+    "sample_priority_weighted",
+    "corpus_collocations_lift",
+    "text_vocab_coverage",
+    "graph_pagerank_supply",
+    # Slots 36-50: stale-row rotation — 15 of the 49-query cohort whose
+    # newest green is r04, oldest-first per gen_driver_window.py; the
+    # remaining 34 lead the round-9 rotation (see the staleness policy
+    # above STAGED).
+    "agg_argmax_suite",
+    "agg_distinct_domain",
+    "agg_group_min",
+    "ann_cosine_topk_brute",
+    "ann_cosine_topk_ivf",
+    "corpus_quality_filter",
+    "corpus_stats",
+    "date_spine_generate",
+    "decontaminate_overlap",
+    "dedup_connected_components",
+    "dedup_embedding_cosine",
+    "dedup_exact_docs",
+    "dedup_incremental_batch",
+    "dedup_materialize_corpus",
+    "dedup_minhash_lsh",
     # — beyond slot 50: every query below (and every unlisted query,
     # which follows in registration order) holds a prior green driver
     # row — pinned by tests/test_registry_contract.py. Kept in
     # staleness order so future rotations just reshuffle this tail;
-    # cdc_table_diff is the oldest green that did not fit this round
-    # and leads the round-8 rotation. —
-    "cdc_table_diff",
+    # the 34 remaining r04 greens lead the round-9 rotation. —
+    "dedup_minhash_lsh_capped",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_subset_keys",
+    "funnel_conversion",
+    "join_broadcast_lookup",
+    "join_left_enrich",
+    "multimodal_decode_stub",
+    "multimodal_format_sniff",
+    "multimodal_frame_sample",
+    "project_filter_flags",
+    "q10_returned_items",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q17_small_quantity",
+    "q1_pricing_summary",
+    "q21_waiting_supplier",
+    "q22_idle_balance",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "sample_mixture_weighted",
+    "schema_align_union",
+    "sessionize_events",
+    "shard_by_token_budget",
+    "sql_over_files",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_token_quality",
+    "window_cumulative_distinct",
+    "window_share_of_total",
+    "window_tumbling_agg",
+    "window_value_functions",
 )
 
 

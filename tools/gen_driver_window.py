@@ -88,12 +88,19 @@ def main() -> int:
         key=lambda n: (greens[n], n),  # stalest first, name-stable
     )
     window = never + must + rest
-    if len(never) + len(must) > args.window:
+    overflow = len(never) + len(must) - args.window
+    if overflow > 0:
+        # Refuse to emit a silently-truncated window: a paste-without-
+        # reading workflow must not drop forced re-certs from
+        # certification. Name the dropped entries and exit nonzero.
+        dropped = (never + must)[args.window:]
         print(
-            f"-- WARNING: {len(never)} never-green + {len(must)} forced "
-            f"> window {args.window}: the overflow cannot certify this round",
+            f"-- ERROR: {len(never)} never-green + {len(must)} forced "
+            f"> window {args.window}: these {overflow} cannot certify "
+            f"this round: {', '.join(dropped)}",
             file=sys.stderr,
         )
+        return 3
 
     print("DRIVER_PRIORITY: tuple[str, ...] = (")
     for i, n in enumerate(window[: args.window]):
