@@ -135,9 +135,24 @@ def cmd_verify(args) -> int:
         f"({len(s_rows)} spark rows vs {len(o_rows)} oracle rows)"
     )
     if not ok:
-        for a, b in list(zip(s_rows, o_rows))[:5]:
-            if a != b:
-                print(f"  spark : {a}\n  oracle: {b}")
+        if sorted(s_cols) != sorted(o_cols):
+            print(f"  spark cols : {sorted(s_cols)}")
+            print(f"  oracle cols: {sorted(o_cols)}")
+        # Diff the row multisets (not positionally-zipped pairs): with
+        # differing row counts or late-sorting mismatches a pairwise zip
+        # can print nothing at all.
+        from collections import Counter
+
+        s_only = Counter(s_rows) - Counter(o_rows)
+        o_only = Counter(o_rows) - Counter(s_rows)
+        for label, extra in (("spark-only", s_only), ("oracle-only", o_only)):
+            shown = 0
+            for row, n in sorted(extra.items()):
+                if shown >= 5:
+                    print(f"  ... {len(extra) - shown} more {label} rows")
+                    break
+                print(f"  {label}{f' x{n}' if n > 1 else ''}: {row}")
+                shown += 1
     return 0 if ok else 1
 
 

@@ -120,11 +120,25 @@ def assert_query_matches_oracle(spark, ducks, query, sf_dir: str = SF_DIR):
     sdf = query.spark(spark, sf_dir)
     s_cols, s_rows = canonical_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
 
-    assert_pandas_dtype_kinds_match(sdf, ducks.execute(query.oracle).df(), query.name)
+    # Execute the (possibly expensive) oracle ONCE into a temp table —
+    # column types (incl. HUGEINT) are preserved — then take the two
+    # views the gate needs as trivial scans: the pandas ``.df()`` form
+    # for the driver-path dtype-kind guard (HUGEINT -> float64 widening
+    # only surfaces there) and ``fetchall()`` for exact native values
+    # (ints/Decimals stay exact there, unlike the pandas form).
+    ducks.execute(
+        "CREATE OR REPLACE TEMP TABLE __oracle_result AS "
+        + query.oracle.rstrip().rstrip(";")
+    )
+    try:
+        opdf = ducks.execute("SELECT * FROM __oracle_result").df()
+        assert_pandas_dtype_kinds_match(sdf, opdf, query.name)
 
-    cur = ducks.execute(query.oracle)
-    o_columns = [d[0] for d in cur.description]
-    o_cols, o_rows = canonical_rows(o_columns, cur.fetchall())
+        cur = ducks.execute("SELECT * FROM __oracle_result")
+        o_columns = [d[0] for d in cur.description]
+        o_cols, o_rows = canonical_rows(o_columns, cur.fetchall())
+    finally:
+        ducks.execute("DROP TABLE IF EXISTS __oracle_result")
 
     assert s_cols == o_cols, f"{query.name}: column mismatch {s_cols} vs {o_cols}"
     assert len(s_rows) == len(o_rows), (
