@@ -2307,7 +2307,7 @@ LEFT JOIN spec nx ON nx.r = s.r + 1
     "adjusted count r* = (r+1)*n_{r+1}/n_r via a bounded equi "
     "self-join — every ratio ONE double division of exact integers",
     tags=("corpus", "stats", "text"),
-    staged=True,
+    bench=True,
 )
 def corpus_token_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").where(F.col("text") != "")

@@ -1440,21 +1440,33 @@ def winnow_fingerprints(docs: DataFrame, k: int = WIN_K, w: int = WIN_W) -> Data
     trailing window at position p spans max(1, p-w+1)..p, exactly the
     oracle's ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW frame."""
     d = docs.where(F.length("text") >= k)
-    hs = d.select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(1, length(text) - {k} + 1),"
-            f" p -> substring(md5(substring(text, p, {k})), 1, 8))"
-        ).alias("hs"),
+    # The per-position hashing is CPU-bound; if the input arrives in
+    # fewer splits than cores (small files — the sf0.1 parquet is ONE
+    # split), spread it first or the whole pass runs single-threaded.
+    # At real scale the scan already has enough splits and no shuffle
+    # happens. (Same rails as band_table above.)
+    spark = docs.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < n_parts:
+        d = d.repartition(n_parts, "doc_id")
+    hs_expr = (
+        f"transform(sequence(1, length(text) - {k} + 1),"
+        f" p -> substring(md5(substring(text, p, {k})), 1, 8))"
     )
-    fps = hs.select(
-        "doc_id",
-        F.expr(
-            "array_distinct(transform(sequence(1, size(hs)),"
-            f" p -> array_min(slice(hs, greatest(p - {w} + 1, 1),"
-            f" least({w}, p)))))"
-        ).alias("fps"),
+    # Bind the (expensive) hash array ONCE via a single-element-array
+    # lambda — the same rails as band_table's sig_expr. Two chained
+    # projections would NOT do this: CollapseProject inlines the hash
+    # array into every lambda reference, so the window-min transform
+    # would recompute all ~|text| md5s PER POSITION — O(n²) hashing
+    # per document (measured: a 10-minute sf0.1 pass collapses to
+    # ~1 s once bound).
+    fps_expr = (
+        f"transform(array({hs_expr}), hs ->"
+        " array_distinct(transform(sequence(1, size(hs)),"
+        f" p -> array_min(slice(hs, greatest(p - {w} + 1, 1),"
+        f" least({w}, p))))))[0]"
     )
+    fps = d.select("doc_id", F.expr(fps_expr).alias("fps"))
     return fps.select("doc_id", F.explode("fps").alias("fp"))
 
 
@@ -1511,7 +1523,7 @@ WHERE p.n_shared >= {WIN_MIN_SHARED}
     "containment; the passage-copy detector set-similarity dedup "
     "structurally misses",
     tags=("dedup", "text", "scale", "winnowing"),
-    staged=True,
+    bench=True,
 )
 def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")

@@ -496,7 +496,7 @@ FROM (
     "both branches are bounded top-k relations before the fusion join "
     "ever runs, so nothing corpus-sized reaches the fusion",
     tags=("search", "similarity", "rag", "topk"),
-    staged=True,
+    bench=True,
 )
 def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lambda_lakehouse_spark.operators.similarity import cosine_topk

@@ -1770,7 +1770,7 @@ def cosine_topk_rowlocal(emb: DataFrame, query_filter, k: int = TOP_K) -> DataFr
     "the per-query top-k. Bit-identical to the exploded brute plan "
     "(same oracle), trading scan reuse for minimal data movement",
     tags=("similarity", "vector", "scale"),
-    staged=True,
+    bench=True,
 )
 def ann_cosine_topk_rowlocal(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
