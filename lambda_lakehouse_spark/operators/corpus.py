@@ -2616,3 +2616,337 @@ def dedup_source_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_docs").cast("double") / F.col("total_docs")).alias("raw_share"),
         (F.col("n_kept").cast("double") / F.col("total_kept")).alias("dedup_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling — round-8 staged
+# ---------------------------------------------------------------------------
+#
+# Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+# select raw-pool documents whose hashed-ngram feature distribution
+# looks like a small TARGET domain, by importance weight
+# w(doc) = prod_b p_target(b) / p_raw(b) over the doc's feature
+# buckets, then resample by weight. This certified variant keeps every
+# step rational so the sample hash-certifies across engines:
+#
+# - features: DISTINCT md5-hashed unigram buckets (binary bag, B=64)
+#   — the paper's hashed-ngram model with presence counts;
+# - bucket ratios: Laplace-smoothed integer cross-products with ONE
+#   double division, ratio_b = (t_b+1)*(R+B) / ((r_b+1)*(T+B));
+# - per-doc weight: fold-product of the doc's SORTED ratio list
+#   (array_sort + aggregate in Spark, list_sort + list_reduce in the
+#   oracle) — identical multiplication order, so IEEE doubles agree
+#   bit-for-bit; ≤B factors bounds the product's dynamic range (the
+#   100 TB variant with count features moves to log-space sums, which
+#   drops driver hash-exactness but not correctness);
+# - resampling: the existing priority-sampling machinery (md5-uniform
+#   q = w/u top-k, JACM'07) — rational, unlike Gumbel top-k.
+#
+# Scale shape: token explode → distinct (doc, bucket) shuffle keyed by
+# doc; the bucket model is a ≤B-row relation broadcast onto it; the
+# per-doc product is one groupBy(doc_id); selection is a distributed
+# TakeOrderedAndProject. No corpus-sized window, no driver loop.
+
+DSIR_BUCKETS = 64
+DSIR_TARGET_SOURCES = ("src1", "src2")
+DSIR_SAMPLE_K = 100
+
+_DSIR_TARGET_IN = ", ".join(repr(s) for s in DSIR_TARGET_SOURCES)
+
+_DSIR_WEIGHTS_CTE = f"""
+feat AS (
+  SELECT DISTINCT doc_id, source,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % {DSIR_BUCKETS} AS b
+  FROM (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+    FROM documents WHERE text <> ''
+  ) WHERE tok <> ''
+),
+raw_b AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS r_b FROM feat GROUP BY b
+),
+tgt_b AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS t_b FROM feat
+  WHERE source IN ({_DSIR_TARGET_IN}) GROUP BY b
+),
+totals AS (
+  SELECT CAST(SUM(r_b) AS BIGINT) AS r_tot,
+         CAST((SELECT COALESCE(SUM(t_b), 0) FROM tgt_b) AS BIGINT) AS t_tot
+  FROM raw_b
+),
+ratio AS (
+  SELECT r.b,
+         CAST((COALESCE(t.t_b, 0) + 1) * (tt.r_tot + {DSIR_BUCKETS}) AS DOUBLE)
+           / ((r.r_b + 1) * (tt.t_tot + {DSIR_BUCKETS})) AS ratio
+  FROM raw_b r LEFT JOIN tgt_b t USING (b) CROSS JOIN totals tt
+),
+dsir_w AS (
+  SELECT f.doc_id,
+         list_reduce(list_sort(list(ratio.ratio)), (a, x) -> a * x)
+           AS dsir_weight
+  FROM feat f JOIN ratio ON ratio.b = f.b
+  GROUP BY f.doc_id
+)"""
+
+_DSIR_ORACLE = f"""
+WITH {_DSIR_WEIGHTS_CTE},
+pr AS (
+  SELECT doc_id, dsir_weight,
+         dsir_weight
+           / (CAST((('0x' || substr(md5('dsir1:' || doc_id), 1, 15))::BIGINT
+                    + 1) AS DOUBLE) / CAST({_U_DENOM} AS DOUBLE))
+           AS priority
+  FROM dsir_w
+),
+ranked AS (
+  SELECT doc_id, dsir_weight, priority,
+         CAST(ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS INTEGER)
+           AS rank
+  FROM pr
+  QUALIFY rank <= {DSIR_SAMPLE_K} + 1
+),
+tau AS (
+  SELECT MAX(CASE WHEN rank = {DSIR_SAMPLE_K} + 1 THEN priority END) AS tau
+  FROM ranked
+)
+SELECT r.rank, r.doc_id, r.dsir_weight, r.priority,
+       CASE WHEN t.tau IS NULL THEN r.dsir_weight
+            ELSE greatest(r.dsir_weight, t.tau) END AS est_weight
+FROM ranked r CROSS JOIN tau t
+WHERE r.rank <= {DSIR_SAMPLE_K}
+"""
+
+
+def dsir_hashed_buckets(
+    docs: DataFrame, n_buckets: int = DSIR_BUCKETS
+) -> DataFrame:
+    """Distinct (doc_id, source, b) hashed-unigram feature incidences —
+    the binary bag-of-hashed-ngrams relation both DSIR queries share.
+    ``docs`` needs (doc_id, source, text)."""
+    return (
+        docs.where(F.col("text") != "")
+        .select("doc_id", "source", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+                % n_buckets
+            ).alias("b"),
+        )
+        .distinct()
+    )
+
+
+def dsir_weights_from_features(
+    feat: DataFrame,
+    target_sources: tuple[str, ...] = DSIR_TARGET_SOURCES,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """(doc_id, dsir_weight): importance weight of each document under
+    the target-vs-raw bucket model (see block comment)."""
+    raw_b = feat.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("r_b"))
+    tgt_b = (
+        feat.where(F.col("source").isin(*target_sources))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t_b"))
+    )
+    model = raw_b.join(tgt_b, "b", "left").select(
+        "b", "r_b", F.coalesce("t_b", F.lit(0)).cast("bigint").alias("t_b")
+    )
+    totals = model.agg(
+        F.sum("r_b").cast("bigint").alias("r_tot"),
+        F.sum("t_b").cast("bigint").alias("t_tot"),
+    )
+    ratio = model.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            ((F.col("t_b") + 1) * (F.col("r_tot") + n_buckets)).cast("double")
+            / ((F.col("r_b") + 1) * (F.col("t_tot") + n_buckets))
+        ).alias("ratio"),
+    )
+    return (
+        feat.select("doc_id", "b")
+        .join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("ratio")),
+                F.lit(1.0),
+                lambda acc, x: acc * x,
+            ).alias("dsir_weight")
+        )
+    )
+
+
+@register(
+    "sample_dsir_hashed_ngrams",
+    _DSIR_ORACLE,
+    doc=f"DSIR importance resampling (Xie et al. NeurIPS'23): "
+    f"hashed-unigram bucket model (B={DSIR_BUCKETS}, binary features), "
+    "Laplace-smoothed target/raw ratio per bucket as one double "
+    "division of exact integer cross-products, per-doc weight as the "
+    "sorted-ratio fold product (bit-identical across engines), and a "
+    f"top-{DSIR_SAMPLE_K} md5-uniform priority resample — the "
+    "log/pow-free, driver-hash-certifiable variant of the paper",
+    tags=("sampling", "corpus", "mixing", "dsir"),
+    staged=True,
+)
+def sample_dsir_hashed_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    w = dsir_weights_from_features(dsir_hashed_buckets(docs))
+    return priority_sample(w, "doc_id", "dsir_weight", k=DSIR_SAMPLE_K, seed="dsir1")
+
+
+# ---------------------------------------------------------------------------
+# DSIR target-shift audit — round-8 staged
+# ---------------------------------------------------------------------------
+#
+# Did the resampling work? Total-variation distance between hashed-
+# bucket distributions: TV(raw, target) before selection vs
+# TV(selected, target) after — the selected set must sit closer to the
+# target domain than the raw pool it was drawn from, and shift_gain
+# (= the TV reduction) is the audit number a mixing plan records.
+#
+# Exactness: TV = 0.5 * sum_b |p1_b - p2_b| with p_i = c_b / C rewrites
+# to sum_b |c1_b*C2 - c2_b*C1| (exact BIGINT cross-products, order-free
+# integer sum) over ONE double division by 2*C1*C2 — no float
+# accumulation anywhere. Cross-products stay under 2^63 through ~1e9
+# doc-bucket incidences; past that the audit moves the numerator to
+# DECIMAL(38,0) (same shape, noted here for the 100 TB reader).
+#
+# Scale shape: the bucket profiles are ≤B-row aggregates of the
+# (doc, bucket) relation; the selected set is the K-row resample
+# broadcast back onto it; the final row is a 1-row fold of a ≤B-row
+# relation. Output is one row at any sf.
+
+_DSIR_SHIFT_ORACLE = f"""
+WITH {_DSIR_WEIGHTS_CTE},
+pr AS (
+  SELECT doc_id, dsir_weight,
+         dsir_weight
+           / (CAST((('0x' || substr(md5('dsir1:' || doc_id), 1, 15))::BIGINT
+                    + 1) AS DOUBLE) / CAST({_U_DENOM} AS DOUBLE))
+           AS priority
+  FROM dsir_w
+),
+sel AS (
+  SELECT doc_id FROM pr
+  QUALIFY ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id)
+    <= {DSIR_SAMPLE_K}
+),
+sel_b AS (
+  SELECT f.b, CAST(COUNT(*) AS BIGINT) AS s_b
+  FROM feat f JOIN sel USING (doc_id) GROUP BY f.b
+),
+m AS (
+  SELECT r.b, r.r_b,
+         CAST(COALESCE(t.t_b, 0) AS BIGINT) AS t_b,
+         CAST(COALESCE(s.s_b, 0) AS BIGINT) AS s_b
+  FROM raw_b r LEFT JOIN tgt_b t USING (b) LEFT JOIN sel_b s USING (b)
+),
+tot AS (
+  SELECT CAST(SUM(r_b) AS BIGINT) AS r_tot,
+         CAST(SUM(t_b) AS BIGINT) AS t_tot,
+         CAST(SUM(s_b) AS BIGINT) AS s_tot,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(SUM(ABS(r_b * (SELECT SUM(t_b) FROM m)
+                      - t_b * (SELECT SUM(r_b) FROM m))) AS BIGINT) AS d_rt,
+         CAST(SUM(ABS(s_b * (SELECT SUM(t_b) FROM m)
+                      - t_b * (SELECT SUM(s_b) FROM m))) AS BIGINT) AS d_st
+  FROM m
+)
+SELECT n_buckets, r_tot, t_tot, s_tot,
+       CAST(d_rt AS DOUBLE) / (2 * r_tot * t_tot) AS tv_raw_target,
+       CAST(d_st AS DOUBLE) / (2 * s_tot * t_tot) AS tv_selected_target,
+       CAST(d_rt AS DOUBLE) / (2 * r_tot * t_tot)
+         - CAST(d_st AS DOUBLE) / (2 * s_tot * t_tot) AS shift_gain
+FROM tot
+"""
+
+
+@register(
+    "eval_dsir_target_shift",
+    _DSIR_SHIFT_ORACLE,
+    doc="DSIR effectiveness audit: exact total-variation distance "
+    "between hashed-bucket distributions — TV(raw, target) vs "
+    "TV(selected, target) with the TV reduction as shift_gain — every "
+    "term an integer cross-product with one double division (see "
+    "block comment); 1-row output at any sf",
+    tags=("eval", "sampling", "dsir", "stats"),
+    staged=True,
+)
+def eval_dsir_target_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    feat = dsir_hashed_buckets(docs)
+    w = dsir_weights_from_features(feat)
+    sel = priority_sample(
+        w, "doc_id", "dsir_weight", k=DSIR_SAMPLE_K, seed="dsir1"
+    ).select("doc_id")
+    raw_b = feat.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("r_b"))
+    tgt_b = (
+        feat.where(F.col("source").isin(*DSIR_TARGET_SOURCES))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t_b"))
+    )
+    sel_b = (
+        feat.join(F.broadcast(sel), "doc_id")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("s_b"))
+    )
+    m = (
+        raw_b.join(tgt_b, "b", "left")
+        .join(sel_b, "b", "left")
+        .select(
+            "b",
+            "r_b",
+            F.coalesce("t_b", F.lit(0)).cast("bigint").alias("t_b"),
+            F.coalesce("s_b", F.lit(0)).cast("bigint").alias("s_b"),
+        )
+    )
+    tot = m.agg(
+        F.sum("r_b").cast("bigint").alias("r_tot"),
+        F.sum("t_b").cast("bigint").alias("t_tot"),
+        F.sum("s_b").cast("bigint").alias("s_tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+    )
+    d = (
+        m.crossJoin(F.broadcast(tot))
+        .select(
+            "n_buckets",
+            "r_tot",
+            "t_tot",
+            "s_tot",
+            F.abs(
+                F.col("r_b") * F.col("t_tot") - F.col("t_b") * F.col("r_tot")
+            ).alias("n_rt"),
+            F.abs(
+                F.col("s_b") * F.col("t_tot") - F.col("t_b") * F.col("s_tot")
+            ).alias("n_st"),
+        )
+        .groupBy("n_buckets", "r_tot", "t_tot", "s_tot")
+        .agg(
+            F.sum("n_rt").cast("bigint").alias("d_rt"),
+            F.sum("n_st").cast("bigint").alias("d_st"),
+        )
+    )
+    tv_rt = F.col("d_rt").cast("double") / (
+        F.lit(2) * F.col("r_tot") * F.col("t_tot")
+    )
+    tv_st = F.col("d_st").cast("double") / (
+        F.lit(2) * F.col("s_tot") * F.col("t_tot")
+    )
+    return d.select(
+        "n_buckets",
+        "r_tot",
+        "t_tot",
+        "s_tot",
+        tv_rt.alias("tv_raw_target"),
+        tv_st.alias("tv_selected_target"),
+        (tv_rt - tv_st).alias("shift_gain"),
+    )

@@ -1565,3 +1565,71 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup replay: K arrival batches == the full self-join —
+# round-8 staged
+# ---------------------------------------------------------------------------
+#
+# The exactness guarantee the daily-batch (and streaming) architecture
+# rests on, certified end-to-end: process the corpus as K arrival
+# batches where each batch re-hashes only itself and probes the
+# cumulative band index of everything that arrived before it
+# (``minhash_lsh_incremental`` — new×corpus plus new×new, never a
+# corpus self-join), and the UNION of the K probe outputs equals the
+# one-shot full LSH self-join exactly, with each pair attributed to
+# the batch of its later-arriving document. A pair is found exactly
+# once — at k = max(batch_a, batch_b) — so no cross-batch dedup of the
+# output is needed. This is the batch-certifiable core of the
+# streaming speed layer (``streaming.jobs.near_dup_alert_sink`` runs
+# the same probe per micro-batch against the index the batch layer
+# refreshes).
+#
+# Scale shape: the band table is computed once and lazily
+# localCheckpoint-ed (K reuses, no recomputation of the minhash
+# signatures); each probe joins |batch-k bands| against the bucket
+# key. K is a constant (arrival days), not sf-proportional.
+
+REPLAY_BATCHES = 3
+
+_REPLAY_ORACLE = (
+    "WITH base AS ("
+    + _minhash_oracle()
+    + f""")
+SELECT doc_a, doc_b, n_shared_bands, est_jaccard,
+       CAST(GREATEST(doc_a % {REPLAY_BATCHES},
+                     doc_b % {REPLAY_BATCHES}) AS BIGINT) AS found_in_batch
+FROM base
+"""
+)
+
+
+@register(
+    "dedup_incremental_replay",
+    _REPLAY_ORACLE,
+    doc=f"Incremental-dedup exactness replay: {REPLAY_BATCHES} arrival "
+    "batches (doc_id mod k) each probe the cumulative band index of "
+    "earlier batches via minhash_lsh_incremental, and the union equals "
+    "the one-shot full LSH self-join with found_in_batch = "
+    "max(batch_a, batch_b) — the guarantee the daily-batch and "
+    "streaming (near_dup_alert_sink) layers rely on",
+    tags=("dedup", "lsh", "incremental", "streaming"),
+    staged=True,
+)
+def dedup_incremental_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bands = (
+        band_table(docs)
+        .withColumn("batch", F.col("doc_id") % REPLAY_BATCHES)
+        .localCheckpoint(eager=False)
+    )
+    out: DataFrame | None = None
+    for k in range(REPLAY_BATCHES):
+        new = bands.where(F.col("batch") == k).drop("batch")
+        corpus = bands.where(F.col("batch") < k).drop("batch")
+        part = minhash_lsh_incremental(corpus, new).withColumn(
+            "found_in_batch", F.lit(k).cast("bigint")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -416,3 +416,68 @@ def wap_sink(table, rules, quarantine: list | None = None):
             )
 
     return _sink
+
+
+def near_dup_index_sink(
+    index_path: str, alerts_path: str, threshold: float = 0.5
+):
+    """foreachBatch speed layer WITH in-stream index refresh: each
+    micro-batch probes the cumulative band index (every band committed
+    by EARLIER epochs), appends its alerts, then commits its own bands
+    — so a near-dup pair split across two micro-batches is caught at
+    the later doc's trigger instead of waiting for the batch layer's
+    daily refresh. This is ``operators.dedup.dedup_incremental_replay``
+    run as a stream: the union of per-epoch alerts over the stream's
+    lifetime equals the one-shot LSH self-join over the streamed
+    corpus, thresholded (the replay query certifies that equality
+    against the DuckDB oracle; the streaming test pins the twin).
+
+    Replay-idempotence (foreachBatch is at-least-once): both the alert
+    table and the index are partitioned by ``epoch_id`` and each epoch
+    dynamically overwrites ONLY its own partition; the probe reads
+    strictly-earlier epochs (``epoch_id < current``), so a replayed
+    epoch never sees its own half-committed bands and rewrites
+    byte-identical output.
+
+    Scale: per trigger the join cost is |batch bands| probing the
+    bucket key of an index that grows with the corpus — the identical
+    shape to the certified incremental batch; state-store footprint is
+    zero (the index lives in the table layer, not executor state).
+    """
+    from lambda_lakehouse_spark.operators.dedup import (
+        band_table,
+        minhash_lsh_incremental,
+    )
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        new_bands = band_table(batch_df.select("doc_id", "text"))
+        try:
+            corpus_bands = (
+                spark.read.parquet(index_path)
+                .where(F.col("epoch_id") < epoch_id)
+                .drop("epoch_id")
+            )
+        except Exception:  # first epoch: no index yet
+            corpus_bands = spark.createDataFrame([], new_bands.schema)
+        alerts = (
+            minhash_lsh_incremental(corpus_bands, new_bands)
+            .where(F.col("est_jaccard") >= threshold)
+            .select(
+                "doc_a", "doc_b", "n_shared_bands", "est_jaccard",
+                F.lit(epoch_id).alias("epoch_id"),
+            )
+        )
+        write_partitioned(
+            alerts, alerts_path, partition_by=("epoch_id",),
+            dynamic_overwrite=True,
+        )
+        write_partitioned(
+            new_bands.withColumn("epoch_id", F.lit(epoch_id)),
+            index_path, partition_by=("epoch_id",),
+            dynamic_overwrite=True,
+        )
+
+    return _sink

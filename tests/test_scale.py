@@ -284,6 +284,8 @@ def test_no_pathological_join_plans(spark):
         "eval_ivf_recall",  # 1-row macro-recall totals broadcast
         "ann_cosine_topk_rowlocal",  # filter-bounded query-side broadcast
         "text_bpe_train_merges",  # 1-row merge-rule broadcast per round
+        "sample_dsir_hashed_ngrams",  # 1-row totals + 1-row tau broadcasts
+        "eval_dsir_target_shift",  # 1-row totals/tau + 1-row TV fold
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
@@ -539,6 +541,12 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
         "ann_cosine_topk_rowlocal": {"embeddings.parquet"},
         # 1-row winning merge rule (top-1 bounded) broadcast per round
         "text_bpe_train_merges": {"documents.parquet"},
+        # ≤B-row bucket-ratio model + 1-row totals + 1-row tau (all
+        # aggregate-bounded; the corpus relation itself never ships)
+        "sample_dsir_hashed_ngrams": {"documents.parquet"},
+        # same DSIR model broadcasts + the K-row (limit-bounded)
+        # selected-sample id set probed back into the feature relation
+        "eval_dsir_target_shift": {"documents.parquet"},
     }
     bounding_ops = (
         "Filter", "HashAggregate", "SortAggregate", "ObjectHashAggregate",

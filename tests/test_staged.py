@@ -548,3 +548,107 @@ def test_paragraph_scrub_crafted(spark):
     assert got[2].n_kept == 0 and got[2].clean_text == ""
     assert got[3].n_kept == 2 and got[3].clean_text == other
     assert sum(r.n_kept for r in got.values()) == 5  # distinct windows
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """DSIR invariant: documents written in the target subcorpus's
+    vocabulary must outweigh documents written in the raw-only
+    vocabulary (round-8 staged sample_dsir_hashed_ngrams)."""
+    from lambda_lakehouse_spark.operators.corpus import (
+        dsir_hashed_buckets,
+        dsir_weights_from_features,
+    )
+
+    tgt_vocab = "alpha beta gamma delta"
+    raw_vocab = "zeta eta theta iota"
+    rows = (
+        # target domain (sources src1/src2) speaks tgt_vocab
+        [(i, "src1", tgt_vocab) for i in range(1, 6)]
+        + [(i, "src2", tgt_vocab) for i in range(6, 11)]
+        # raw pool: one target-like doc, many raw-vocab docs
+        + [(100, "src9", tgt_vocab)]
+        + [(200 + i, "src9", raw_vocab) for i in range(20)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    w = {
+        r.doc_id: r.dsir_weight
+        for r in dsir_weights_from_features(dsir_hashed_buckets(docs)).collect()
+    }
+    raw_ids = [200 + i for i in range(20)]
+    assert w[100] > max(w[i] for i in raw_ids), w
+    # and the target docs themselves score identically to the
+    # target-like raw doc (same feature set)
+    assert w[100] == w[1]
+
+
+def test_dsir_target_shift_crafted_tv(spark, ducks):
+    """TV distances in eval_dsir_target_shift are the textbook
+    0.5*sum|p-q| — recompute from the same parquet with floats and
+    compare within float tolerance."""
+    import math
+
+    from lambda_lakehouse_spark.registry import load_staged
+    from tests.conftest import SF_DIR
+
+    q = load_staged()["eval_dsir_target_shift"]
+    row = q.spark(spark, SF_DIR).collect()[0]
+    # recompute TV(raw, target) from the oracle's own bucket CTE
+    m = ducks.execute(
+        """
+        WITH feat AS (
+          SELECT DISTINCT doc_id, source,
+                 ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS b
+          FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+                FROM documents WHERE text <> '') WHERE tok <> ''
+        )
+        SELECT b,
+               COUNT(*) AS r_b,
+               SUM(CASE WHEN source IN ('src1', 'src2') THEN 1 ELSE 0 END) AS t_b
+        FROM feat GROUP BY b
+        """
+    ).fetchall()
+    r_tot = sum(r for _, r, _ in m)
+    t_tot = sum(t for _, _, t in m)
+    tv = 0.5 * sum(abs(r / r_tot - t / t_tot) for _, r, t in m)
+    assert math.isclose(row.tv_raw_target, tv, rel_tol=1e-12)
+    assert row.r_tot == r_tot and row.t_tot == t_tot
+    assert row.shift_gain == row.tv_raw_target - row.tv_selected_target
+
+
+def test_incremental_replay_equals_full_selfjoin(spark):
+    """The round-8 staged guarantee on crafted docs: K sequential
+    band-index probes union to EXACTLY the one-shot LSH self-join,
+    each pair found once, attributed to its later batch."""
+    from lambda_lakehouse_spark.operators.dedup import (
+        REPLAY_BATCHES,
+        band_table,
+        minhash_lsh_incremental,
+        minhash_lsh_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base + (" extra" * (i % 4))) for i in range(1, 31)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = {
+        (r.doc_a, r.doc_b): (r.n_shared_bands, r.est_jaccard)
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert full, "crafted corpus must produce near-dup pairs"
+
+    bands = band_table(docs).withColumn(
+        "batch", F.col("doc_id") % REPLAY_BATCHES
+    )
+    got = {}
+    for k in range(REPLAY_BATCHES):
+        part = minhash_lsh_incremental(
+            bands.where(F.col("batch") < k).drop("batch"),
+            bands.where(F.col("batch") == k).drop("batch"),
+        ).collect()
+        for r in part:
+            key = (r.doc_a, r.doc_b)
+            assert key not in got, f"pair {key} found twice"
+            assert max(r.doc_a % REPLAY_BATCHES, r.doc_b % REPLAY_BATCHES) == k
+            got[key] = (r.n_shared_bands, r.est_jaccard)
+    assert got == full

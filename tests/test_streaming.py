@@ -574,3 +574,53 @@ def test_wap_sink_publishes_clean_quarantines_dirty(spark, tmp_path):
     assert t.branches() == []                    # no staging debris
     ops = [s["operation"] for s in t.snapshots()]
     assert ops[0] == "create" and all(o == "merge_branch" for o in ops[1:])
+
+
+def test_near_dup_index_refresh_stream_equals_full_selfjoin(
+    spark, tmp_path_factory
+):
+    """Speed layer WITH in-stream index refresh: over the stream's
+    lifetime the alert union must equal the one-shot LSH self-join of
+    the streamed corpus (thresholded), each pair attributed to its
+    later doc's epoch — the streaming twin of
+    dedup_incremental_replay's certified guarantee."""
+    from lambda_lakehouse_spark.operators.dedup import minhash_lsh_pairs
+    from lambda_lakehouse_spark.streaming.jobs import near_dup_index_sink
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    drop_dir = str(tmp_path_factory.mktemp("ndidx") / "in")
+    batches = [
+        docs.where(F.col("doc_id") % 3 == k).select("doc_id", "text")
+        for k in range(3)
+    ]
+    for b in batches:  # one file per drop → one micro-batch each
+        b.coalesce(1).write.mode("append").parquet(drop_dir)
+
+    base = tmp_path_factory.mktemp("ndidx")
+    index_path, alerts_path = str(base / "index"), str(base / "alerts")
+    stream = _stream(spark, drop_dir, batches[0].schema)
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(near_dup_index_sink(index_path, alerts_path, 0.5))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.doc_a, r.doc_b): (r.est_jaccard, r.epoch_id)
+        for r in spark.read.parquet(alerts_path).collect()
+    }
+    expected = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs).where(
+            F.col("est_jaccard") >= 0.5
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    assert all(abs(got[k][0] - expected[k]) < 1e-12 for k in got)
+    assert len(got) > 0, "fixture must exercise the path"
+    # epoch ordering is arrival order (file drops in doc_id%3 order),
+    # so each pair's epoch is the later doc's batch
+    for (a, b), (_, epoch) in got.items():
+        assert epoch == max(a % 3, b % 3)
