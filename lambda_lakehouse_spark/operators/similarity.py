@@ -110,7 +110,10 @@ def cosine_topk(
     query_filter,
     k: int = TOP_K,
     same_label_only: bool = False,
+    diff_label_only: bool = False,
 ) -> DataFrame:
+    if same_label_only and diff_label_only:
+        raise ValueError("same_label_only and diff_label_only are exclusive")
     flat = _flat(emb)
     norms = flat.groupBy("vec_id").agg(
         _scaled_sum(F.col("val") * F.col("val")).alias("n2")
@@ -125,6 +128,8 @@ def cosine_topk(
     j = j.where(F.col("vec_id") != F.col("query_id"))
     if same_label_only:
         j = j.where(F.col("label") == F.col("q_label"))
+    if diff_label_only:
+        j = j.where(F.col("label") != F.col("q_label"))
     dots = j.groupBy("query_id", "vec_id").agg(
         _scaled_sum(F.col("qval") * F.col("val")).alias("dot")
     )
@@ -1775,3 +1780,96 @@ def cosine_topk_rowlocal(emb: DataFrame, query_filter, k: int = TOP_K) -> DataFr
 def ann_cosine_topk_rowlocal(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return cosine_topk_rowlocal(emb, F.col("vec_id") < N_QUERIES)
+
+
+# ---------------------------------------------------------------------------
+# Contrastive hard-negative mining — round-8 staged
+# ---------------------------------------------------------------------------
+#
+# Triplet/contrastive training-data prep over the embedding corpus:
+# for each query vector, the top-k most-similar OTHER-label neighbors
+# (the hard negatives — lexically close, semantically wrong) together
+# with the top-1 same-label similarity (the hardest positive) and the
+# margin pos_sim - neg_sim. Rows with a small or negative margin are
+# the pairs a contrastive fine-tune must see (Schroff et al. FaceNet
+# CVPR'15 semi-hard mining, batched corpus-wide).
+#
+# Scale shape: both branches are the certified cosine_topk machinery —
+# floor-scaled integer dot products against a broadcast, filter-bounded
+# query side; each branch ends bounded (k rows / 1 row per query)
+# before the final ≤N_QUERIES-row fusion join. Margin is a difference
+# of two exact doubles, so the output hash-certifies.
+
+_HARDNEG_ORACLE = f"""
+WITH flat AS (
+  SELECT vec_id, label, pos, CAST(embedding[pos] AS DOUBLE) AS val
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS pos)
+),
+norms AS (
+  SELECT vec_id, {_ssum_sql("val * val")} AS n2
+  FROM flat GROUP BY vec_id
+),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         MAX(CASE WHEN q.label = c.label THEN 1 ELSE 0 END) AS same_label,
+         {_ssum_sql("q.val * c.val")} AS dot
+  FROM flat q
+  JOIN flat c ON q.pos = c.pos AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id, same_label,
+         dot / sqrt(nq.n2 * nc.n2) AS cos_sim
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = neighbor_id
+),
+neg AS (
+  SELECT query_id, neighbor_id, cos_sim, rk FROM (
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rk
+    FROM scored WHERE same_label = 0
+  ) WHERE rk <= {TOP_K}
+),
+pos AS (
+  SELECT query_id, cos_sim AS pos_sim FROM (
+    SELECT query_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id) AS prk
+    FROM scored WHERE same_label = 1
+  ) WHERE prk = 1
+)
+SELECT n.query_id, n.neighbor_id, n.cos_sim AS neg_sim, n.rk,
+       p.pos_sim, p.pos_sim - n.cos_sim AS margin
+FROM neg n JOIN pos p USING (query_id)
+"""
+
+
+@register(
+    "mine_hard_negatives",
+    _HARDNEG_ORACLE,
+    doc=f"Contrastive hard-negative mining: per query vector the "
+    f"top-{TOP_K} most-similar different-label neighbors, the top-1 "
+    "same-label positive similarity, and the pos-neg margin — the "
+    "triplet-mining signal (FaceNet CVPR'15), composed from two "
+    "bounded cosine_topk branches and a per-query fusion join",
+    tags=("similarity", "vector", "eval", "mining"),
+    staged=True,
+)
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    qf = F.col("vec_id") < N_QUERIES
+    negs = cosine_topk(emb, qf, k=TOP_K, diff_label_only=True)
+    pos = cosine_topk(emb, qf, k=1, same_label_only=True).select(
+        "query_id", F.col("cos_sim").alias("pos_sim")
+    )
+    return negs.join(F.broadcast(pos), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.col("cos_sim").alias("neg_sim"),
+        "rk",
+        "pos_sim",
+        (F.col("pos_sim") - F.col("cos_sim")).alias("margin"),
+    )

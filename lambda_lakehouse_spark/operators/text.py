@@ -1089,7 +1089,10 @@ _BPE_PAIRS_SPARK = (
 )
 
 
-def _bpe_oracle(steps: int = BPE_STEPS) -> str:
+def _bpe_ctes(steps: int = BPE_STEPS) -> str:
+    """The shared WITH-clause body replaying ``steps`` BPE rounds
+    (t0 .. t{steps}) — composed by both the training oracle and the
+    compression-audit oracle so the replays cannot drift."""
     ctes = [
         "t0 AS (SELECT doc_id,"
         " list_filter(string_split(text, ' '), x -> x <> '') AS toks"
@@ -1122,12 +1125,16 @@ def _bpe_oracle(steps: int = BPE_STEPS) -> str:
   FROM t{i - 1} CROSS JOIN top{i} tp
 )"""
         )
+    return "WITH " + ",\n".join(ctes)
+
+
+def _bpe_oracle(steps: int = BPE_STEPS) -> str:
     selects = [
         f"SELECT CAST({i} AS INTEGER) AS step, l AS pair_left, r AS pair_right,"
         f" merged, c AS pair_count FROM top{i}"
         for i in range(1, steps + 1)
     ]
-    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+    return _bpe_ctes(steps) + "\n" + "\nUNION ALL\n".join(selects)
 
 
 @register(
@@ -1142,16 +1149,25 @@ def _bpe_oracle(steps: int = BPE_STEPS) -> str:
     tags=("text", "tokenizer", "iterative"),
 )
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rules, _ = bpe_train(read_table(spark, sf_dir, "documents"))
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def bpe_train(docs: DataFrame, steps: int = BPE_STEPS):
+    """Run ``steps`` BPE rounds; return (per-round rule DataFrames,
+    the final tokenized corpus (doc_id, toks))."""
     from lambda_lakehouse_spark.operators.ranking import global_topk
 
-    docs = read_table(spark, sf_dir, "documents").where(F.col("text") != "")
-    cur = docs.select(
+    cur = docs.where(F.col("text") != "").select(
         "doc_id",
         F.expr("filter(split(text, ' '), x -> x != '')").alias("toks"),
     ).where(F.size("toks") >= 1)
 
     rules = []
-    for step in range(1, BPE_STEPS + 1):
+    for step in range(1, steps + 1):
         counts = (
             cur.where(F.size("toks") >= 2)
             .select(F.explode(F.expr(_BPE_PAIRS_SPARK)).alias("p"))
@@ -1185,7 +1201,85 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
 
-    out = rules[0]
-    for r in rules[1:]:
-        out = out.unionByName(r)
-    return out
+    return rules, cur
+
+
+# ---------------------------------------------------------------------------
+# BPE compression audit — round-8 staged
+# ---------------------------------------------------------------------------
+#
+# The number a tokenizer-training run is judged by: after applying the
+# trained merges corpus-wide, how much did each source's token count
+# shrink? Per source: docs, tokens before/after the BPE_STEPS merges,
+# merges applied, and the compression ratio (after/before — lower =
+# the source's text is more mergeable, i.e. the rules fit it better).
+# Sources whose ratio stays near 1.0 are poorly served by the rules —
+# the per-domain fertility signal (Rust et al., ACL'21) that drives
+# tokenizer-mix decisions.
+#
+# Exactness/scale: reuses bpe_train (the certified iterative loop —
+# pair-count exchange per round, row-local fold) and adds one
+# doc-grain join plus a |sources|-row rollup; the ratio is one double
+# division of exact BIGINTs. The oracle replays the identical rounds
+# via the shared _bpe_ctes.
+
+_BPE_COMPRESSION_ORACLE = (
+    _bpe_ctes()
+    + f""",
+before AS (SELECT doc_id, len(toks) AS n_before FROM t0),
+after AS (SELECT doc_id, len(toks) AS n_after FROM t{BPE_STEPS})
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(b.n_before) AS BIGINT) AS toks_before,
+       CAST(SUM(a.n_after) AS BIGINT) AS toks_after,
+       CAST(SUM(b.n_before) - SUM(a.n_after) AS BIGINT) AS merges_applied,
+       CAST(SUM(a.n_after) AS DOUBLE) / SUM(b.n_before) AS compression_ratio
+FROM before b
+JOIN after a USING (doc_id)
+JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+)
+
+
+@register(
+    "text_bpe_compression",
+    _BPE_COMPRESSION_ORACLE,
+    doc=f"Per-source BPE compression audit: token counts before/after "
+    f"the {BPE_STEPS} trained merges, merges applied, and the "
+    "after/before compression ratio — the per-domain tokenizer-fit "
+    "signal; reuses the certified bpe_train loop plus one doc-grain "
+    "join and a |sources|-row rollup",
+    tags=("text", "tokenizer", "corpus", "eval"),
+    staged=True,
+)
+def text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    _, cur = bpe_train(docs)
+    before = (
+        docs.where(F.col("text") != "")
+        .select(
+            "doc_id",
+            F.size(F.expr("filter(split(text, ' '), x -> x != '')")).alias(
+                "n_before"
+            ),
+        )
+        .where(F.col("n_before") >= 1)
+    )
+    after = cur.select("doc_id", F.size("toks").alias("n_after"))
+    return (
+        before.join(after, "doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_before").cast("bigint").alias("toks_before"),
+            F.sum("n_after").cast("bigint").alias("toks_after"),
+            (F.sum("n_before") - F.sum("n_after"))
+            .cast("bigint")
+            .alias("merges_applied"),
+            (
+                F.sum("n_after").cast("double") / F.sum("n_before")
+            ).alias("compression_ratio"),
+        )
+    )

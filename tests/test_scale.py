@@ -286,6 +286,7 @@ def test_no_pathological_join_plans(spark):
         "text_bpe_train_merges",  # 1-row merge-rule broadcast per round
         "sample_dsir_hashed_ngrams",  # 1-row totals + 1-row tau broadcasts
         "eval_dsir_target_shift",  # 1-row totals/tau + 1-row TV fold
+        "text_bpe_compression",  # bpe_train's 1-row merge-rule per round
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
@@ -547,6 +548,11 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
         # same DSIR model broadcasts + the K-row (limit-bounded)
         # selected-sample id set probed back into the feature relation
         "eval_dsir_target_shift": {"documents.parquet"},
+        # both cosine branches broadcast the filter-bounded query side;
+        # the positives branch is additionally top-1-bounded
+        "mine_hard_negatives": {"embeddings.parquet"},
+        # bpe_train's 1-row winning merge rule per round
+        "text_bpe_compression": {"documents.parquet"},
     }
     bounding_ops = (
         "Filter", "HashAggregate", "SortAggregate", "ObjectHashAggregate",

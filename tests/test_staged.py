@@ -652,3 +652,58 @@ def test_incremental_replay_equals_full_selfjoin(spark):
             assert max(r.doc_a % REPLAY_BATCHES, r.doc_b % REPLAY_BATCHES) == k
             got[key] = (r.n_shared_bands, r.est_jaccard)
     assert got == full
+
+
+def test_hard_negatives_crafted_margins(spark):
+    """Crafted 2-D-like embeddings (padded): negatives must all carry a
+    different label, the positive similarity must dominate every
+    same-label score, and margins must order by negative hardness."""
+    from lambda_lakehouse_spark.operators.similarity import cosine_topk
+
+    def vec(x, y):
+        return [float(x), float(y)] + [0.0] * 62
+
+    rows = [
+        (0, vec(1, 0), 1),        # query, label 1
+        (10, vec(0.99, 0.1), 1),  # near positive
+        (11, vec(0.7, 0.7), 1),   # far positive
+        (20, vec(0.95, 0.3), 2),  # hard negative
+        (21, vec(0.0, 1.0), 2),   # easy negative
+        (22, vec(-1.0, 0.0), 3),  # opposite negative
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    qf = F.col("vec_id") < 1
+    negs = cosine_topk(emb, qf, k=3, diff_label_only=True).collect()
+    got = [(r.neighbor_id, r.rk) for r in sorted(negs, key=lambda r: r.rk)]
+    assert got == [(20, 1), (21, 2), (22, 3)]
+    pos = cosine_topk(emb, qf, k=1, same_label_only=True).collect()
+    assert [r.neighbor_id for r in pos] == [10]
+    # margin ordering: the hard negative has the smallest margin
+    pos_sim = pos[0].cos_sim
+    margins = [pos_sim - r.cos_sim for r in sorted(negs, key=lambda r: r.rk)]
+    assert margins[0] < margins[1] < margins[2]
+    assert pos_sim > max(r.cos_sim for r in negs)
+
+
+def test_bpe_compression_arithmetic_invariants(spark, ducks):
+    """toks_after + merges_applied == toks_before per source, the ratio
+    is exactly after/before, and the totals reconcile with an
+    independent token count of the corpus."""
+    from lambda_lakehouse_spark.registry import load_staged
+    from tests.conftest import SF_DIR
+
+    q = load_staged()["text_bpe_compression"]
+    rows = q.spark(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.toks_after + r.merges_applied == r.toks_before
+        assert r.compression_ratio == r.toks_after / r.toks_before
+        assert 0 < r.compression_ratio <= 1.0
+    total_before = sum(r.toks_before for r in rows)
+    (independent,) = ducks.execute(
+        "SELECT SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))"
+        " FROM documents WHERE text <> ''"
+    ).fetchone()
+    assert total_before == independent
