@@ -118,12 +118,19 @@ def main() -> None:
 
     if os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0":
         for name in names:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--single", name],
-                capture_output=True,
-                text=True,
-            )
-            lines = [l for l in out.stdout.splitlines() if l.startswith('{"query"')]
+            # one retry: a transient subprocess failure (host pressure,
+            # torn environment) must not leave a null in the artifact
+            for attempt in range(2):
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--single", name],
+                    capture_output=True,
+                    text=True,
+                )
+                lines = [
+                    l for l in out.stdout.splitlines() if l.startswith('{"query"')
+                ]
+                if out.returncode == 0 and lines:
+                    break
             if out.returncode != 0 or not lines:
                 # keep the sweep alive: report the failure, emit null
                 # for this query, and preserve every timing already

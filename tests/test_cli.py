@@ -12,10 +12,10 @@ SF = "/root/testdata/sf0.001"
 def test_cli_list_includes_registry_and_staged(spark, capsys):
     assert main(["list"]) == 0
     out = capsys.readouterr().out
-    assert "q1_pricing_summary" in out and "dedup_winnowing_pairs" not in out
-    assert main(["list", "--staged", "--tag", "winnowing"]) == 0
+    assert "q1_pricing_summary" in out and "mine_hard_negatives" not in out
+    assert main(["list", "--staged", "--tag", "mining"]) == 0
     out = capsys.readouterr().out
-    assert "dedup_winnowing_pairs" in out and "q1_pricing_summary" not in out
+    assert "mine_hard_negatives" in out and "q1_pricing_summary" not in out
 
 
 def test_cli_oracle_prints_sql(spark, capsys):
@@ -40,3 +40,26 @@ def test_cli_run_and_verify_roundtrip(spark, capsys):
 def test_cli_explain_prints_physical_plan(spark, capsys):
     assert main(["--sf-dir", SF, "explain", "q6_selective_filter"]) == 0
     assert "Physical Plan" in capsys.readouterr().out
+
+
+def test_cli_verify_mismatch_prints_multiset_diff(spark, capsys):
+    """A MISMATCH must print rows from each side's multiset difference
+    (positional zipping can print nothing when counts differ) and exit
+    nonzero."""
+    from lambda_lakehouse_spark.registry import REGISTRY, Query
+
+    def fake(spark, sf_dir):
+        return spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+
+    name = "_test_mismatch_probe"
+    REGISTRY[name] = Query(
+        name, fake, "SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'a')) t(id, v)"
+    )
+    try:
+        rc = main(["--sf-dir", SF, "verify", name])
+    finally:
+        del REGISTRY[name]
+    assert rc == 1
+    out = capsys.readouterr().out
+    assert "MISMATCH" in out and "2 spark rows vs 1 oracle rows" in out
+    assert "spark-only" in out and "'b'" in out

@@ -109,3 +109,35 @@ def test_window_generator_matches_contract_rule():
                 if row.get("err") in (None, "no_oracle"):
                     certified.add(name)
     assert set(greens) == certified
+
+
+def test_window_generator_exits_nonzero_on_overflow(capsys):
+    """When never-green + forced --must exceed the window, the tool
+    must refuse (exit 3) and NAME the dropped entries on stderr —
+    a truncated window can never be pasted unnoticed (round-7 advice)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_driver_window_ovf",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "gen_driver_window.py"),
+    )
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+
+    reg = load_all()
+    greens = tool.newest_green_rounds(
+        os.path.join(os.path.dirname(__file__), ".."), reg
+    )
+    some_greens = sorted(greens)[:3]
+    import sys
+    from unittest import mock
+
+    argv = ["prog", "--window", "2", "--must", *some_greens]
+    with mock.patch.object(sys, "argv", argv):
+        rc = tool.main()
+    assert rc == 3
+    err = capsys.readouterr().err
+    assert "cannot certify" in err
+    # at least one dropped name is spelled out
+    assert any(n in err for n in some_greens)

@@ -21,7 +21,17 @@ from lambda_lakehouse_spark.operators.semantic import (
     semdedup_verdicts,
     train_pq_codebook,
 )
+
+
 from lambda_lakehouse_spark.operators.similarity import _flat
+
+
+def _q(name):
+    """Look up a query across the registry and the staged tier — tests
+    written while a query was staged keep working after it graduates."""
+    from lambda_lakehouse_spark.registry import load_all, load_staged
+
+    return {**load_all(), **load_staged()}[name]
 
 
 def _emb_df(spark, rows):
@@ -182,7 +192,6 @@ def test_bpe_pairs_counts_adjacent_only(spark):
     with multiplicity; single-char words contribute nothing."""
     import tempfile
 
-    from lambda_lakehouse_spark.registry import load_staged
 
     docs = spark.createDataFrame(
         [(1, "abab x", "en", "s", 6), (2, "ab", "en", "s", 2)],
@@ -192,7 +201,7 @@ def test_bpe_pairs_counts_adjacent_only(spark):
         docs.write.parquet(f"{d}/documents.parquet")
         out = {
             r.pair: (r.rank, r.n)
-            for r in load_staged()["text_bpe_pair_merges"].spark(spark, d).collect()
+            for r in _q("text_bpe_pair_merges").spark(spark, d).collect()
         }
     assert out["ab"] == (1, 3)
     assert out["ba"] == (2, 1)
@@ -202,7 +211,6 @@ def test_bpe_pairs_counts_adjacent_only(spark):
 def test_code_prose_signals_on_code_like_text(spark):
     import tempfile
 
-    from lambda_lakehouse_spark.registry import load_staged
 
     code = "int f(){return 0;};"
     prose = "a gentle paragraph about nothing in particular at all"
@@ -214,7 +222,7 @@ def test_code_prose_signals_on_code_like_text(spark):
         docs.write.parquet(f"{d}/documents.parquet")
         out = {
             r.doc_id: r
-            for r in load_staged()["text_code_prose_signals"].spark(spark, d).collect()
+            for r in _q("text_code_prose_signals").spark(spark, d).collect()
         }
     assert out[1].code_like and out[1].n_braces == 2 and out[1].n_semicolons == 2
     assert not out[2].code_like and out[2].sym_frac == 0.0
@@ -225,7 +233,6 @@ def test_tfidf_rarity_prefers_rare_terms(spark):
     term appearing in all docs (df dominates for fixed tf)."""
     import tempfile
 
-    from lambda_lakehouse_spark.registry import load_staged
 
     docs = spark.createDataFrame(
         [
@@ -237,7 +244,7 @@ def test_tfidf_rarity_prefers_rare_terms(spark):
     )
     with tempfile.TemporaryDirectory() as d:
         docs.write.parquet(f"{d}/documents.parquet")
-        rows = load_staged()["corpus_tfidf_topterms"].spark(spark, d).collect()
+        rows = _q("corpus_tfidf_topterms").spark(spark, d).collect()
     top1 = {r.doc_id: r.word for r in rows if r.rk == 1}
     assert top1[1] == "rare"  # tf=1,df=1 (score 3) beats tf=2,df=3 (score 2)
 
@@ -247,7 +254,6 @@ def test_ndcg_perfect_and_worst_ranking(spark):
     DCG equals the cumulative IDCG literal); zero relevant → 0.0."""
     import tempfile
 
-    from lambda_lakehouse_spark.registry import load_staged
 
     rows = [(i, "t", "en" if i < 3 else "de", "sA", 100 - i) for i in range(8)]
     rows += [(20 + i, "t", "fr", "sB", 50 - i) for i in range(5)]
@@ -258,7 +264,7 @@ def test_ndcg_perfect_and_worst_ranking(spark):
         docs.write.parquet(f"{d}/documents.parquet")
         out = {
             r.source: r
-            for r in load_staged()["eval_ndcg_at10"].spark(spark, d).collect()
+            for r in _q("eval_ndcg_at10").spark(spark, d).collect()
         }
     # sA: relevant docs are exactly the 3 longest → perfect ranking
     assert out["sA"].n_rel == 3 and out["sA"].ndcg == 1.0
@@ -270,7 +276,6 @@ def test_source_diversity_monoculture_vs_uniform(spark):
     exactly 0.5; shares sum to 1."""
     import tempfile
 
-    from lambda_lakehouse_spark.registry import load_staged
 
     rows = [(i, "t", "en", "mono", 5) for i in range(4)]
     rows += [(10 + i, "t", ["en", "de"][i % 2], "duo", 5) for i in range(4)]
@@ -281,7 +286,7 @@ def test_source_diversity_monoculture_vs_uniform(spark):
         docs.write.parquet(f"{d}/documents.parquet")
         out = {
             r.source: r
-            for r in load_staged()["corpus_source_diversity"].spark(spark, d).collect()
+            for r in _q("corpus_source_diversity").spark(spark, d).collect()
         }
     assert out["mono"].lang_simpson == 0.0 and out["mono"].n_langs == 1
     assert out["duo"].lang_simpson == 0.5 and out["duo"].n_langs == 2
@@ -302,11 +307,10 @@ def test_supplier_overlap_jaccard_identity(spark):
         [(p, s, 1.0) for p, s in rows],
         "l_partkey long, l_suppkey long, l_quantity double",
     )
-    from lambda_lakehouse_spark.registry import load_staged
 
     with tempfile.TemporaryDirectory() as d:
         li.write.parquet(f"{d}/lineitem.parquet")
-        out = load_staged()["graph_supplier_overlap"].spark(spark, d).collect()
+        out = _q("graph_supplier_overlap").spark(spark, d).collect()
     assert len(out) == 1
     r = out[0]
     assert (r.s1, r.s2, r.common, r.jaccard, r.rank) == (101, 102, 3, 1.0, 1)
@@ -317,7 +321,6 @@ def test_frame_overlap_shared_chunk_detected(spark):
     frame → containment 1.0; an unrelated doc pairs with nobody."""
     import tempfile
 
-    from lambda_lakehouse_spark.registry import load_staged
 
     block = "A" * 256
     rows = [
@@ -330,7 +333,7 @@ def test_frame_overlap_shared_chunk_detected(spark):
     )
     with tempfile.TemporaryDirectory() as d:
         docs.write.parquet(f"{d}/documents.parquet")
-        out = load_staged()["multimodal_frame_overlap"].spark(spark, d).collect()
+        out = _q("multimodal_frame_overlap").spark(spark, d).collect()
     assert len(out) == 1
     r = out[0]
     assert (r.doc_a, r.doc_b, r.containment) == (1, 2, 1.0)
@@ -363,7 +366,6 @@ def test_ewma_recurrence_exact(spark):
     import datetime as dt
     import tempfile
 
-    from lambda_lakehouse_spark.registry import load_staged
 
     rows = [
         (1, dt.datetime(2024, 1, 1, 5), 1, "click", 10.0, "{}"),
@@ -379,7 +381,7 @@ def test_ewma_recurrence_exact(spark):
     with tempfile.TemporaryDirectory() as d:
         ev.write.parquet(f"{d}/events.parquet")
         out = sorted(
-            load_staged()["timeseries_ewma_smoothing"].spark(spark, d).collect(),
+            _q("timeseries_ewma_smoothing").spark(spark, d).collect(),
             key=lambda r: r.day,
         )
     assert [r.x for r in out] == [10.0, 20.0, 40.0]
@@ -392,11 +394,10 @@ def test_langid_confusion_identities(spark):
     """Per class: tp <= min(n_actual, n_predicted); sum of n_actual ==
     sum of n_predicted == corpus size; micro-accuracy from the matrix
     equals text_lang_id's is_match rate."""
-    from lambda_lakehouse_spark.registry import load_staged
     from lambda_lakehouse_spark.operators.text import text_lang_id
 
     sf = "/root/testdata/sf0.001"
-    rows = load_staged()["eval_langid_confusion"].spark(spark, sf).collect()
+    rows = _q("eval_langid_confusion").spark(spark, sf).collect()
     n = sum(r.n_actual for r in rows)
     assert n == 500
     assert sum(r.n_predicted for r in rows) == n
@@ -411,7 +412,6 @@ def test_target_mix_weights_uniform_corpus_is_identity(spark):
     equals the corpus size (no effective-data loss)."""
     import tempfile
 
-    from lambda_lakehouse_spark.registry import load_staged
 
     rows = [(i, "t", "en", f"s{i % 4}", 1) for i in range(40)]
     docs = spark.createDataFrame(
@@ -419,7 +419,7 @@ def test_target_mix_weights_uniform_corpus_is_identity(spark):
     )
     with tempfile.TemporaryDirectory() as d:
         docs.write.parquet(f"{d}/documents.parquet")
-        out = load_staged()["sample_target_mix_weights"].spark(spark, d).collect()
+        out = _q("sample_target_mix_weights").spark(spark, d).collect()
     assert len(out) == 4
     for r in out:
         assert r.weight == 1.0 and r.current_share == 0.25
@@ -431,7 +431,6 @@ def test_target_mix_weights_skew_shrinks_ess(spark):
     sample size: ESS < N, and the dominant source gets weight < 1."""
     import tempfile
 
-    from lambda_lakehouse_spark.registry import load_staged
 
     rows = [(i, "t", "en", "big", 1) for i in range(90)]
     rows += [(100 + i, "t", "en", "small", 1) for i in range(10)]
@@ -442,7 +441,7 @@ def test_target_mix_weights_skew_shrinks_ess(spark):
         docs.write.parquet(f"{d}/documents.parquet")
         out = {
             r.source: r
-            for r in load_staged()["sample_target_mix_weights"].spark(spark, d).collect()
+            for r in _q("sample_target_mix_weights").spark(spark, d).collect()
         }
     assert out["big"].weight < 1.0 < out["small"].weight
     assert out["big"].ess < 100.0
@@ -460,13 +459,12 @@ def test_token_spectrum_crafted_gt_identities(spark):
     mass 6; GT r* chain (r+1)*n_{r+1}/n_r; r=1 share is p0."""
     import tempfile
 
-    from lambda_lakehouse_spark.registry import load_staged
 
     with tempfile.TemporaryDirectory() as d:
         _write_docs(spark, [(0, "a a a b b c", "en", "s", 11)], d)
         rows = {
             r.r: r
-            for r in load_staged()["corpus_token_spectrum"].spark(spark, d).collect()
+            for r in _q("corpus_token_spectrum").spark(spark, d).collect()
         }
     assert set(rows) == {1, 2, 3}
     assert all(rows[r].n_types == 1 for r in rows)
@@ -481,11 +479,10 @@ def test_heaps_growth_monotone_and_exact_totals(spark):
     """Vocab/doc/token prefix counts are non-decreasing in the decile;
     the final row covers the whole corpus; vocab never exceeds
     tokens."""
-    from lambda_lakehouse_spark.registry import load_staged
 
     sf = "/root/testdata/sf0.001"
     rows = sorted(
-        load_staged()["corpus_heaps_vocab_growth"].spark(spark, sf).collect(),
+        _q("corpus_heaps_vocab_growth").spark(spark, sf).collect(),
         key=lambda r: r.decile,
     )
     assert [r.decile for r in rows] == list(range(1, 11))
@@ -503,12 +500,11 @@ def test_zipf_rank_curve_crafted(spark):
     rank*freq products."""
     import tempfile
 
-    from lambda_lakehouse_spark.registry import load_staged
 
     with tempfile.TemporaryDirectory() as d:
         _write_docs(spark, [(0, "x x x y y z", "en", "s", 11)], d)
         rows = sorted(
-            load_staged()["corpus_zipf_rank_curve"].spark(spark, d).collect(),
+            _q("corpus_zipf_rank_curve").spark(spark, d).collect(),
             key=lambda r: r.rank,
         )
     assert [(r.rank, r.token, r.freq, r.rank_x_freq) for r in rows] == [
@@ -523,7 +519,6 @@ def test_dedup_survival_cross_source_keeper(spark):
     the copy, the other loses it; shares rebalance accordingly."""
     import tempfile
 
-    from lambda_lakehouse_spark.registry import load_staged
 
     rows = [
         (0, "same text", "en", "first", 9),
@@ -535,7 +530,7 @@ def test_dedup_survival_cross_source_keeper(spark):
         _write_docs(spark, rows, d)
         out = {
             r.source: r
-            for r in load_staged()["dedup_source_survival"].spark(spark, d).collect()
+            for r in _q("dedup_source_survival").spark(spark, d).collect()
         }
     assert out["first"].n_kept == 1 and out["first"].survival_rate == 1.0
     assert out["second"].n_docs == 3 and out["second"].n_kept == 2
@@ -548,11 +543,10 @@ def test_cosine_calibration_totals_and_bounds(spark):
     """Bin counts sum to n_queries*k edges; rates are valid
     probabilities; n_match consistent with match_rate."""
     from lambda_lakehouse_spark.operators.similarity import EVAL_KNN_MOD, TOP_K
-    from lambda_lakehouse_spark.registry import load_staged
     from lambda_lakehouse_spark.sources.readers import read_table
 
     sf = "/root/testdata/sf0.001"
-    rows = load_staged()["eval_cosine_calibration"].spark(spark, sf).collect()
+    rows = _q("eval_cosine_calibration").spark(spark, sf).collect()
     n_q = (
         read_table(spark, sf, "embeddings")
         .where(F.col("vec_id") % EVAL_KNN_MOD == 0)
@@ -575,11 +569,10 @@ def test_hybrid_rrf_score_decomposition(spark):
         RRF_K,
         bm25_topk,
     )
-    from lambda_lakehouse_spark.registry import load_staged
     from lambda_lakehouse_spark.sources.readers import read_table
 
     sf = "/root/testdata/sf0.001"
-    rows = load_staged()["search_hybrid_rrf"].spark(spark, sf).collect()
+    rows = _q("search_hybrid_rrf").spark(spark, sf).collect()
     by_q = {}
     for r in rows:
         by_q.setdefault(r.query_id, []).append(r)
@@ -605,12 +598,10 @@ def test_langid_kappa_matches_confusion_matrix(spark):
     """kappa recomputed in Python from the certified confusion cells
     equals the query's output bit-for-bit, and po is the confusion
     matrix's micro-accuracy."""
-    from lambda_lakehouse_spark.registry import load_staged
 
     sf = "/root/testdata/sf0.001"
-    staged = load_staged()
-    conf = staged["eval_langid_confusion"].spark(spark, sf).collect()
-    out = staged["eval_langid_kappa"].spark(spark, sf).collect()
+    conf = _q("eval_langid_confusion").spark(spark, sf).collect()
+    out = _q("eval_langid_kappa").spark(spark, sf).collect()
     assert len(out) == 1
     k = out[0]
     n = sum(r.n_actual for r in conf)
@@ -629,14 +620,13 @@ def test_rarity_score_crafted(spark):
     exact per-doc rarity profiles."""
     import tempfile
 
-    from lambda_lakehouse_spark.registry import load_staged
 
     rows = [(0, "a a b", "en", "s", 5), (1, "b c", "en", "s", 3)]
     with tempfile.TemporaryDirectory() as d:
         _write_docs(spark, rows, d)
         out = {
             r.doc_id: r
-            for r in load_staged()["text_rarity_score"].spark(spark, d).collect()
+            for r in _q("text_rarity_score").spark(spark, d).collect()
         }
     d0, d1 = out[0], out[1]
     assert (d0.n_tokens, d0.sum_freq, d0.min_freq, d0.n_hapax) == (3, 6, 2, 0)
@@ -651,11 +641,10 @@ def test_halfsample_ci_statistical_sanity(spark):
     deterministic across runs."""
     import statistics
 
-    from lambda_lakehouse_spark.registry import load_staged
     from lambda_lakehouse_spark.sources.readers import read_table
 
     sf = "/root/testdata/sf0.001"
-    q = load_staged()["stats_halfsample_ci"]
+    q = _q("stats_halfsample_ci")
     rows = sorted(q.spark(spark, sf).collect(), key=lambda r: r.replicate)
     assert [r.replicate for r in rows] == list(range(64))
     n = rows[0].n_docs
@@ -688,7 +677,6 @@ def test_winnowing_shared_passage_pairs(spark):
         WIN_W,
         winnow_fingerprints,
     )
-    from lambda_lakehouse_spark.registry import load_staged
 
     passage = (
         "the quick brown fox jumps over the lazy dog while the "
@@ -702,7 +690,7 @@ def test_winnowing_shared_passage_pairs(spark):
     ]
     with tempfile.TemporaryDirectory() as d:
         _write_docs(spark, rows, d)
-        out = load_staged()["dedup_winnowing_pairs"].spark(spark, d).collect()
+        out = _q("dedup_winnowing_pairs").spark(spark, d).collect()
         # the guarantee, stated on the fingerprint relation itself
         docs = spark.createDataFrame(
             rows, "doc_id long, text string, lang string, source string, n_chars long"
@@ -727,13 +715,12 @@ def test_winnowing_df_cap_kills_universal_fingerprints(spark):
     import tempfile
 
     from lambda_lakehouse_spark.operators.dedup import WIN_DF_CAP
-    from lambda_lakehouse_spark.registry import load_staged
 
     text = "identical boilerplate text repeated across every document here"
     rows = [(i, text, "en", "s", len(text)) for i in range(WIN_DF_CAP + 6)]
     with tempfile.TemporaryDirectory() as d:
         _write_docs(spark, rows, d)
-        out = load_staged()["dedup_winnowing_pairs"].spark(spark, d).collect()
+        out = _q("dedup_winnowing_pairs").spark(spark, d).collect()
     assert out == []
 
 
@@ -748,11 +735,10 @@ def test_ivf_recall_bounds_and_probe_all_is_exact(spark):
         cosine_topk,
         ivf_cosine_topk,
     )
-    from lambda_lakehouse_spark.registry import load_staged
     from lambda_lakehouse_spark.sources.readers import read_table
 
     sf = "/root/testdata/sf0.001"
-    rows = load_staged()["eval_ivf_recall"].spark(spark, sf).collect()
+    rows = _q("eval_ivf_recall").spark(spark, sf).collect()
     assert len(rows) == N_QUERIES
     tot = sum(r.n_hit for r in rows)
     for r in rows:
@@ -797,13 +783,12 @@ def test_bpe_train_merges_hand_computed(spark):
     count tie by (l, r) order to (ab, abc)."""
     import tempfile
 
-    from lambda_lakehouse_spark.registry import load_staged
 
     rows = [(0, "a b a b c", "en", "s", 9), (1, "a b c c", "en", "s", 7)]
     with tempfile.TemporaryDirectory() as d:
         _write_docs(spark, rows, d)
         out = sorted(
-            load_staged()["text_bpe_train_merges"].spark(spark, d).collect(),
+            _q("text_bpe_train_merges").spark(spark, d).collect(),
             key=lambda r: r.step,
         )
     got = [
