@@ -624,3 +624,34 @@ def test_near_dup_index_refresh_stream_equals_full_selfjoin(
     # so each pair's epoch is the later doc's batch
     for (a, b), (_, epoch) in got.items():
         assert epoch == max(a % 3, b % 3)
+
+
+def test_near_dup_index_sink_replay_is_idempotent(spark, tmp_path_factory):
+    """foreachBatch is at-least-once: replaying an epoch (same batch,
+    same epoch_id) must leave both the alert table and the band index
+    byte-identical — each epoch dynamically overwrites only its own
+    partition and probes strictly-earlier epochs."""
+    from lambda_lakehouse_spark.streaming.jobs import near_dup_index_sink
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    b0 = docs.where(F.col("doc_id") % 3 == 0)
+    b1 = docs.where(F.col("doc_id") % 3 == 1)
+    base = tmp_path_factory.mktemp("ndidem")
+    index_path, alerts_path = str(base / "index"), str(base / "alerts")
+    sink = near_dup_index_sink(index_path, alerts_path, 0.5)
+
+    sink(b0, 0)
+    sink(b1, 1)
+    snap_alerts = sorted(map(tuple, spark.read.parquet(alerts_path).collect()))
+    snap_index = sorted(map(tuple, spark.read.parquet(index_path).collect()))
+    assert snap_alerts
+
+    sink(b1, 1)  # crash-replay of the last epoch
+    assert sorted(map(tuple, spark.read.parquet(alerts_path).collect())) == snap_alerts
+    assert sorted(map(tuple, spark.read.parquet(index_path).collect())) == snap_index
+
+    sink(b0, 0)  # pathological re-delivery of an OLD epoch: its probe
+    # sees no earlier epochs (epoch_id < 0 is empty) and rewrites the
+    # identical partition — still a no-op
+    assert sorted(map(tuple, spark.read.parquet(alerts_path).collect())) == snap_alerts
+    assert sorted(map(tuple, spark.read.parquet(index_path).collect())) == snap_index
