@@ -47,7 +47,7 @@ def main() -> None:
     staged_section = ""
     if staged_rows:
         staged_section = (
-            f"\n### Staged for round-6 driver certification\n\n"
+            f"\n### Staged for the next driver-certification round\n\n"
             f"{len(staged_rows)} queries fully implemented and passing the "
             "identical DuckDB-oracle gate in pytest "
             "(tests/test_oracle_queries.py::test_staged_query_matches_oracle) "
