@@ -2211,9 +2211,9 @@ ess AS (
   -- floor-scaled integer sums (1e9 resolution): summation-order-free,
   -- so Spark's partial-agg order and DuckDB agree bit-for-bit even
   -- when n*w terms are not exactly representable
-  SELECT (CAST(SUM(CAST(FLOOR(n_docs * weight * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
-           * (CAST(SUM(CAST(FLOOR(n_docs * weight * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
-           / (CAST(SUM(CAST(FLOOR(n_docs * weight * weight * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
+  SELECT (CAST(CAST(SUM(CAST(FLOOR(n_docs * weight * 1e9) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e9)
+           * (CAST(CAST(SUM(CAST(FLOOR(n_docs * weight * 1e9) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e9)
+           / (CAST(CAST(SUM(CAST(FLOOR(n_docs * weight * weight * 1e9) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e9)
            AS ess
   FROM w
 )

@@ -803,9 +803,9 @@ means AS (
   FROM rep r CROSS JOIN tot t
 ),
 var_hs AS (
-  SELECT CAST(SUM(CAST(FLOOR(
+  SELECT CAST(CAST(SUM(CAST(FLOOR(
            (mean_rep - mean_all) * (mean_rep - mean_all) * 1e9
-         ) AS BIGINT)) AS DOUBLE) / 1e9 / {_HS_B} AS v
+         ) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e9 / {_HS_B} AS v
   FROM means
 )
 SELECT m.replicate, m.n_rep, m.mean_rep, m.n_docs, m.mean_all,

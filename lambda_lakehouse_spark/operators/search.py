@@ -437,12 +437,12 @@ flat AS (
 ),
 norms AS (
   SELECT vec_id,
-         CAST(SUM(CAST(FLOOR(val * val * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS n2
+         CAST(CAST(SUM(CAST(FLOOR(val * val * 1e15) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e15 AS n2
   FROM flat GROUP BY vec_id
 ),
 dots AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         CAST(SUM(CAST(FLOOR(q.val * c.val * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS dot
+         CAST(CAST(SUM(CAST(FLOOR(q.val * c.val * 1e15) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e15 AS dot
   FROM flat q
   JOIN flat c ON q.pos = c.pos AND c.vec_id <> q.vec_id
   WHERE q.vec_id < {{n_fuse}}

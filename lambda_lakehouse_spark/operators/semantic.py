@@ -91,8 +91,13 @@ def _scaled_sum_raw(prod):
 
 
 def _ssum_raw_sql(e: str) -> str:
-    """SQL form of :func:`_scaled_sum_raw`."""
-    return f"SUM(CAST(FLOOR(({e}) * 1e15) AS BIGINT))"
+    """SQL form of :func:`_scaled_sum_raw`. The outer BIGINT cast
+    matters: DuckDB widens SUM(BIGINT) to HUGEINT, and DuckDB's
+    HUGEINT->DOUBLE cast is NOT correctly rounded (measured 1-ulp off
+    above 2^53 at sf0.1), so any downstream double cast must leave the
+    HUGEINT domain through BIGINT first — BIGINT->DOUBLE rounds
+    correctly and matches Spark's bigint sums exactly."""
+    return f"CAST(SUM(CAST(FLOOR(({e}) * 1e15) AS BIGINT)) AS BIGINT)"
 
 
 # ---------------------------------------------------------------------------

@@ -56,8 +56,19 @@ TOP_K = 5
 
 def _ssum_sql(e: str) -> str:
     """SQL form of :func:`_scaled_sum` — shared by every oracle so the
-    floor-scaled integer arithmetic cannot drift between them."""
-    return f"CAST(SUM(CAST(FLOOR(({e}) * 1e15) AS BIGINT)) AS DOUBLE) / 1e15"
+    floor-scaled integer arithmetic cannot drift between them.
+
+    The inner ``CAST(SUM(...) AS BIGINT)`` is load-bearing: DuckDB
+    widens SUM(BIGINT) to HUGEINT, and DuckDB's HUGEINT->DOUBLE cast
+    is NOT correctly rounded — measured 1 ulp off for exactly-
+    representable sums above 2^53 (first surfaced at sf0.1, where
+    1e15-scaled sums over ~300 members cross 1e16). BIGINT->DOUBLE
+    rounds correctly and matches Spark's bigint-sum cast bit-for-bit.
+    """
+    return (
+        f"CAST(CAST(SUM(CAST(FLOOR(({e}) * 1e15) AS BIGINT)) AS BIGINT)"
+        " AS DOUBLE) / 1e15"
+    )
 
 
 def _scaled_sum(prod):
@@ -152,12 +163,12 @@ WITH flat AS (
 ),
 norms AS (
   SELECT vec_id,
-         CAST(SUM(CAST(FLOOR(val * val * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS n2
+         CAST(CAST(SUM(CAST(FLOOR(val * val * 1e15) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e15 AS n2
   FROM flat GROUP BY vec_id
 ),
 dots AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         CAST(SUM(CAST(FLOOR(q.val * c.val * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS dot
+         CAST(CAST(SUM(CAST(FLOOR(q.val * c.val * 1e15) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e15 AS dot
   FROM flat q
   JOIN flat c ON q.pos = c.pos AND c.vec_id <> q.vec_id {label_cond}
   WHERE q.vec_id < {N_QUERIES}
@@ -207,12 +218,12 @@ WITH flat AS (
 ),
 norms AS (
   SELECT vec_id,
-         CAST(SUM(CAST(FLOOR(val * val * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS n2
+         CAST(CAST(SUM(CAST(FLOOR(val * val * 1e15) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e15 AS n2
   FROM flat GROUP BY vec_id
 ),
 dots AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         CAST(SUM(CAST(FLOOR(a.val * b.val * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS dot
+         CAST(CAST(SUM(CAST(FLOOR(a.val * b.val * 1e15) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e15 AS dot
   FROM flat a
   JOIN flat b ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id
   GROUP BY 1, 2
