@@ -1,6 +1,6 @@
 SF ?= /root/testdata/sf0.001
 
-.PHONY: test verify bench audit
+.PHONY: test verify bench audit oracle-bench-scale
 
 test:
 	SPARK_GRAFT_TEST_SF_DIR=$(SF) python -m pytest tests/ -q
@@ -13,3 +13,9 @@ bench:
 
 audit:
 	python tools/plan_audit.py
+
+# Oracle gate at BENCH scale (sf0.1) — the sweep that caught DuckDB's
+# HUGEINT->DOUBLE rounding drift; slower (~45 min), run before a round
+# closes or after touching any floor-scaled oracle arithmetic.
+oracle-bench-scale:
+	SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1 python -m pytest tests/test_oracle_queries.py -q
