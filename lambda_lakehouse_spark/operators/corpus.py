@@ -2791,7 +2791,6 @@ def dsir_weights_from_features(
     f"top-{DSIR_SAMPLE_K} md5-uniform priority resample — the "
     "log/pow-free, driver-hash-certifiable variant of the paper",
     tags=("sampling", "corpus", "mixing", "dsir"),
-    staged=True,
 )
 def sample_dsir_hashed_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
@@ -2860,10 +2859,18 @@ tot AS (
   FROM m
 )
 SELECT n_buckets, r_tot, t_tot, s_tot,
-       CAST(d_rt AS DOUBLE) / (2 * r_tot * t_tot) AS tv_raw_target,
-       CAST(d_st AS DOUBLE) / (2 * s_tot * t_tot) AS tv_selected_target,
-       CAST(d_rt AS DOUBLE) / (2 * r_tot * t_tot)
-         - CAST(d_st AS DOUBLE) / (2 * s_tot * t_tot) AS shift_gain
+       CASE WHEN r_tot = 0 OR t_tot = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(d_rt AS DOUBLE) / (2 * r_tot * t_tot)
+       END AS tv_raw_target,
+       CASE WHEN s_tot = 0 OR t_tot = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(d_st AS DOUBLE) / (2 * s_tot * t_tot)
+       END AS tv_selected_target,
+       CASE WHEN r_tot = 0 OR t_tot = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(d_rt AS DOUBLE) / (2 * r_tot * t_tot)
+       END
+       - CASE WHEN s_tot = 0 OR t_tot = 0 THEN CAST(0 AS DOUBLE)
+              ELSE CAST(d_st AS DOUBLE) / (2 * s_tot * t_tot)
+         END AS shift_gain
 FROM tot
 """
 
@@ -2877,7 +2884,6 @@ FROM tot
     "term an integer cross-product with one double division (see "
     "block comment); 1-row output at any sf",
     tags=("eval", "sampling", "dsir", "stats"),
-    staged=True,
 )
 def eval_dsir_target_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
@@ -2935,11 +2941,22 @@ def eval_dsir_target_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_st").cast("bigint").alias("d_st"),
         )
     )
-    tv_rt = F.col("d_rt").cast("double") / (
-        F.lit(2) * F.col("r_tot") * F.col("t_tot")
+    # Zero-guard the TV denominators IDENTICALLY on both engines (the
+    # pattern eval_langid_kappa uses for pe=1): on a corpus with no
+    # documents from DSIR_TARGET_SOURCES, t_tot = 0 and an unguarded
+    # division returns NULL in Spark but diverges in DuckDB — TV
+    # against an empty distribution is defined here as 0.0 on both.
+    tv_rt = F.when(
+        (F.col("r_tot") == 0) | (F.col("t_tot") == 0), F.lit(0.0)
+    ).otherwise(
+        F.col("d_rt").cast("double")
+        / (F.lit(2) * F.col("r_tot") * F.col("t_tot"))
     )
-    tv_st = F.col("d_st").cast("double") / (
-        F.lit(2) * F.col("s_tot") * F.col("t_tot")
+    tv_st = F.when(
+        (F.col("s_tot") == 0) | (F.col("t_tot") == 0), F.lit(0.0)
+    ).otherwise(
+        F.col("d_st").cast("double")
+        / (F.lit(2) * F.col("s_tot") * F.col("t_tot"))
     )
     return d.select(
         "n_buckets",

@@ -76,6 +76,28 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spread_if_narrow(df: DataFrame, key: str) -> DataFrame:
+    """Spread a CPU-bound per-row map across all cores when the scan
+    would arrive in fewer splits than ``defaultParallelism`` — WITHOUT
+    touching ``.rdd`` (which forces a Python-side RDD conversion of
+    the plan on every invocation).
+
+    The decision uses only public plan inputs: ``df.inputFiles()``.
+    Fewer files than cores → repartition by ``key``; the shuffle moves
+    at most that handful of files' worth of text and is dwarfed by the
+    per-character hashing it unlocks. At real scale (thousands of
+    files) the condition is false and the plan is untouched — no
+    shuffle. Non-file relations (in-memory test fixtures, upstream
+    shuffles) report no input files and pass through unchanged: they
+    either already carry shuffle parallelism or are tiny.
+    """
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if files and len(files) < n_parts:
+        return df.repartition(n_parts, key)
+    return df
+
+
 def _seeds(k: int) -> list[int]:
     """k fixed 60-bit permutation seeds, deterministically derived."""
     import hashlib
@@ -114,10 +136,7 @@ def _signatures(docs: DataFrame, shingle_len: int = 5, k: int = MINHASH_K) -> Da
     # Hashing is CPU-bound; if the input arrives in fewer splits than
     # cores (small files), spread it first. At real scale the scan
     # already has enough splits and no shuffle happens.
-    spark = docs.sparkSession
-    n_parts = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < n_parts:
-        docs = docs.repartition(n_parts, "doc_id")
+    docs = _spread_if_narrow(docs, "doc_id")
     return docs.select("doc_id", F.expr(sig_expr).alias("sig"))
 
 
@@ -1445,10 +1464,7 @@ def winnow_fingerprints(docs: DataFrame, k: int = WIN_K, w: int = WIN_W) -> Data
     # split), spread it first or the whole pass runs single-threaded.
     # At real scale the scan already has enough splits and no shuffle
     # happens. (Same rails as band_table above.)
-    spark = docs.sparkSession
-    n_parts = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < n_parts:
-        d = d.repartition(n_parts, "doc_id")
+    d = _spread_if_narrow(d, "doc_id")
     hs_expr = (
         f"transform(sequence(1, length(text) - {k} + 1),"
         f" p -> substring(md5(substring(text, p, {k})), 1, 8))"
@@ -1615,7 +1631,6 @@ FROM base
     "max(batch_a, batch_b) — the guarantee the daily-batch and "
     "streaming (near_dup_alert_sink) layers rely on",
     tags=("dedup", "lsh", "incremental", "streaming"),
-    staged=True,
 )
 def dedup_incremental_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")

@@ -64,6 +64,18 @@ def _ssum_sql(e: str) -> str:
     representable sums above 2^53 (first surfaced at sf0.1, where
     1e15-scaled sums over ~300 members cross 1e16). BIGINT->DOUBLE
     rounds correctly and matches Spark's bigint-sum cast bit-for-bit.
+
+    Magnitude bound: the scaled sum must stay below 2^63 ≈ 9.2e18,
+    i.e. |Σ terms| < ~9.2e3 at 1e15 scaling. Unit-norm cosine terms
+    are ≤ 1 per member pair, so the bound allows ~9e3 accumulated
+    units — orders of magnitude above any per-group sum here (dims
+    ≤ 64, similarities ≤ 1). Past it the two engines FAIL DIFFERENTLY:
+    DuckDB raises on the HUGEINT->BIGINT overflow (the gate turns red
+    loudly) while Spark's non-ANSI SUM(BIGINT) wraps silently — so an
+    oracle-side error, not a silent mismatch, is the observable
+    symptom. Any new caller summing unbounded magnitudes must pre-scale
+    (as eval_dsir_target_shift's integer cross-products do) or assert
+    the bound on both engines.
     """
     return (
         f"CAST(CAST(SUM(CAST(FLOOR(({e}) * 1e15) AS BIGINT)) AS BIGINT)"
@@ -1867,7 +1879,6 @@ FROM neg n JOIN pos p USING (query_id)
     "triplet-mining signal (FaceNet CVPR'15), composed from two "
     "bounded cosine_topk branches and a per-query fusion join",
     tags=("similarity", "vector", "eval", "mining"),
-    staged=True,
 )
 def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")

@@ -1251,7 +1251,6 @@ GROUP BY d.source
     "signal; reuses the certified bpe_train loop plus one doc-grain "
     "join and a |sources|-row rollup",
     tags=("text", "tokenizer", "corpus", "eval"),
-    staged=True,
 )
 def text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")

@@ -57,9 +57,10 @@ REGISTRY: dict[str, Query] = {}
 #      tests/test_registry_contract.py — the window-fit invariant will
 #      fail loudly if too many uncertified queries would queue at once.
 # The round-5 cohort (33 queries) graduated at the round-6 boundary,
-# the round-6 cohort (24) at the round-7 boundary, and the round-7
-# cohort (29) at the round-8 boundary, each following exactly this
-# procedure. STAGED holds the round-8 cohort queued for round 9.
+# the round-6 cohort (24) at the round-7 boundary, the round-7 cohort
+# (29) at the round-8 boundary, and the round-8 cohort (5) at the
+# round-9 boundary, each following exactly this procedure. STAGED
+# holds the round-9 cohort queued for round 10.
 #
 # STALENESS / ROTATION POLICY (adopted round 8, per the round-7
 # verdict): at 219 registered queries and a 50-slot driver window, a
@@ -74,9 +75,19 @@ REGISTRY: dict[str, Query] = {}
 #   - changed-plan queries are forced in via --must even if their last
 #     green is recent — a green row must certify the CURRENT plan.
 # With ≤5 graduates + ~45 rotation slots per round the steady-state
-# re-cert cycle is ~219/45 ≈ 4.9 rounds; the r8 window front-loads the
-# final oversized graduation (29) and still clears 15 of the 49-query
-# r4-stale cohort, with the remaining 34 scheduled first in r9.
+# re-cert cycle is ~224/45 ≈ 5.0 rounds; the r8 window front-loads the
+# final oversized graduation (29) and clears 15 of the 49-query
+# r4-stale cohort; the r9 window takes the 5 r8 graduates + the
+# remaining 34 r4-greens (clearing r4 entirely) + the 11
+# alphabetically-first r5 greens.
+#
+# ROUND-10 ROTATION PRE-PLAN (per the round-8 verdict, demand 7):
+# after r9 certifies, the staleness histogram is r5:32, r6:42, r7:50,
+# r8:50, r9:50. The r10 window therefore takes the ≤5 r9 graduates +
+# all 32 remaining r5 greens (clearing r5 entirely) + ~13 oldest r6
+# greens — 5+32+13 = 50, comfortably inside the window-fit invariant
+# at 224 registered + ≤5 staged. Run gen_driver_window.py as usual;
+# it derives exactly this composition mechanically.
 STAGED: dict[str, Query] = {}
 
 
@@ -109,76 +120,20 @@ def register(
 # (every query beyond slot 50 holds a prior green row) is pinned by
 # tests/test_registry_contract.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # — round-8 window (50 slots), generated by tools/gen_driver_window.py
-    #   --must search_bm25_topk basket_association_rules
-    #   sample_priority_weighted corpus_collocations_lift
-    #   text_vocab_coverage graph_pagerank_supply —
-    # Slots 1-29: the round-8 graduation — the 29 formerly-STAGED
-    # round-7 queries (pytest oracle-green at sf0.001 and sf0.01, no
-    # driver row yet, so all must sit inside the window).
-    "timeseries_ewma_smoothing",
-    "text_bpe_pair_merges",
-    "text_code_prose_signals",
-    "eval_langid_confusion",
-    "eval_langid_kappa",
-    "text_rarity_score",
-    "text_bpe_train_merges",
-    "dedup_winnowing_pairs",
-    "multimodal_frame_overlap",
-    "eval_cosine_calibration",
-    "eval_ivf_recall",
-    "ann_cosine_topk_rowlocal",
-    "corpus_tfidf_topterms",
-    "corpus_source_diversity",
-    "sample_target_mix_weights",
-    "corpus_token_spectrum",
-    "corpus_heaps_vocab_growth",
-    "corpus_zipf_rank_curve",
-    "dedup_source_survival",
-    "dq_column_profile",
-    "search_hybrid_rrf",
-    "graph_supplier_overlap",
-    "stats_mannwhitney_doclen",
-    "eval_ndcg_at10",
-    "stats_halfsample_ci",
-    "dedup_semdedup_cells",
-    "embed_pq_codes",
-    "ann_cosine_topk_ivfpq",
-    "eval_matryoshka_prefix_recall",
-    # Slots 30-35: changed-plan re-certs — the six queries rewritten by
-    # the single-pass global_topk rank (commit 2d079fa) whose newest
-    # green row predates that rewrite; a green row must certify the
-    # CURRENT plan.
-    "search_bm25_topk",
-    "basket_association_rules",
-    "sample_priority_weighted",
-    "corpus_collocations_lift",
-    "text_vocab_coverage",
-    "graph_pagerank_supply",
-    # Slots 36-50: stale-row rotation — 15 of the 49-query cohort whose
-    # newest green is r04, oldest-first per gen_driver_window.py; the
-    # remaining 34 lead the round-9 rotation (see the staleness policy
-    # above STAGED).
-    "agg_argmax_suite",
-    "agg_distinct_domain",
-    "agg_group_min",
-    "ann_cosine_topk_brute",
-    "ann_cosine_topk_ivf",
-    "corpus_quality_filter",
-    "corpus_stats",
-    "date_spine_generate",
-    "decontaminate_overlap",
-    "dedup_connected_components",
-    "dedup_embedding_cosine",
-    "dedup_exact_docs",
-    "dedup_incremental_batch",
-    "dedup_materialize_corpus",
-    "dedup_minhash_lsh",
-    # — beyond slot 50: every query below (and every unlisted query,
-    # which follows in registration order) holds a prior green driver
-    # row — pinned by tests/test_registry_contract.py. Kept in
-    # staleness order so future rotations just reshuffle this tail;
-    # the 34 remaining r04 greens lead the round-9 rotation. —
+    # — round-9 window (50 slots), generated by
+    #   tools/gen_driver_window.py (no --must this round: no
+    #   certified plan changed since its newest green row) —
+    # Slots 1-5: the round-9 graduation — the 5 formerly-STAGED
+    # round-8 queries (pytest oracle-green at sf0.001/sf0.01 and
+    # judge-CLI-verified, no driver row yet).
+    "text_bpe_compression",
+    "dedup_incremental_replay",
+    "mine_hard_negatives",
+    "sample_dsir_hashed_ngrams",
+    "eval_dsir_target_shift",
+    # Slots 6-39: the ENTIRE remaining r4-stale cohort (34
+    # queries whose newest green is r04), clearing the oldest
+    # staleness tier completely per the rotation policy above.
     "dedup_minhash_lsh_capped",
     "dedup_ngram_jaccard",
     "dedup_simhash",
@@ -213,6 +168,56 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "window_share_of_total",
     "window_tumbling_agg",
     "window_value_functions",
+    # Slots 40-50: the 11 alphabetically-first r5 greens — the
+    # head of the next-oldest cohort.
+    "agg_approx_sketches",
+    "agg_exact_percentiles",
+    "agg_weighted_stats",
+    "ann_cosine_topk_hyperlsh",
+    "ann_cosine_topk_ivf_pretrained",
+    "cdc_table_diff",
+    "corpus_top_ngrams",
+    "dedup_lsh_eval",
+    "dedup_materialize_corpus_best",
+    "dedup_minhash_lsh_verified",
+    "dedup_ngram_jaccard_capped",
+    # — beyond slot 50: every query below (and every unlisted
+    # query, which follows in registration order) holds a prior
+    # green driver row — pinned by tests/test_registry_contract.py.
+    # These 32 are the remaining r5 greens, i.e. the round-10
+    # rotation cohort (see the policy paragraph above STAGED). —
+    "dq_expectation_metrics",
+    "embed_quantize_int8",
+    "event_transition_matrix",
+    "fuzzy_pairs_edit1",
+    "hierarchy_flatten_iterative",
+    "interval_join_events",
+    "join_salted_hot_key",
+    "multimodal_patch_grid",
+    "pack_sequences_nextfit",
+    "profile_column_stats",
+    "q11_important_stock",
+    "q16_parts_supplier_count",
+    "q20_excess_inventory",
+    "q2_min_cost_supplier",
+    "retention_cohorts",
+    "rollup_incremental_merge",
+    "sample_cap_per_source",
+    "sample_stratified_exact",
+    "scd2_incremental_fold",
+    "sessionize_paths",
+    "snapshot_incremental_read",
+    "snapshot_merge_changelog",
+    "snapshot_time_travel",
+    "source_json_roundtrip",
+    "stats_group_regression",
+    "text_chunk_stride",
+    "text_pii_redact",
+    "text_repetition_score",
+    "timeseries_gap_fill",
+    "ts_similarity_topk",
+    "window_gap_islands",
+    "zorder_layout_keys",
 )
 
 

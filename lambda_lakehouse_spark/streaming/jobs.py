@@ -34,7 +34,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lambda_lakehouse_spark.functions.scalar import dsum
-from lambda_lakehouse_spark.sources.writer import write_partitioned
+from lambda_lakehouse_spark.sources.writer import (
+    _table_exists,
+    write_partitioned,
+)
 
 
 def tumbling_counts(
@@ -454,13 +457,23 @@ def near_dup_index_sink(
             return
         spark = batch_df.sparkSession
         new_bands = band_table(batch_df.select("doc_id", "text"))
-        try:
+        # Explicit existence probe, NOT a bare try/except around the
+        # read: a swallowed transient read failure (corrupt file, FS
+        # error, permissions) would silently yield an empty corpus —
+        # the epoch's alerts miss every cross-epoch pair while its own
+        # bands still commit, and since later epochs only probe EARLIER
+        # bands those pairs are lost forever, breaking the documented
+        # union==full-self-join guarantee. _table_exists fails safe on
+        # unresolvable schemes; a genuine read error now propagates so
+        # foreachBatch retries the micro-batch instead of committing
+        # incomplete alerts.
+        if _table_exists(spark, index_path):
             corpus_bands = (
                 spark.read.parquet(index_path)
                 .where(F.col("epoch_id") < epoch_id)
                 .drop("epoch_id")
             )
-        except Exception:  # first epoch: no index yet
+        else:  # first epoch: no index yet
             corpus_bands = spark.createDataFrame([], new_bands.schema)
         alerts = (
             minhash_lsh_incremental(corpus_bands, new_bands)

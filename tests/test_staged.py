@@ -587,10 +587,10 @@ def test_dsir_target_shift_crafted_tv(spark, ducks):
     compare within float tolerance."""
     import math
 
-    from lambda_lakehouse_spark.registry import load_staged
+    from lambda_lakehouse_spark.registry import load_all
     from tests.conftest import SF_DIR
 
-    q = load_staged()["eval_dsir_target_shift"]
+    q = load_all()["eval_dsir_target_shift"]
     row = q.spark(spark, SF_DIR).collect()[0]
     # recompute TV(raw, target) from the oracle's own bucket CTE
     m = ducks.execute(
@@ -691,10 +691,10 @@ def test_bpe_compression_arithmetic_invariants(spark, ducks):
     """toks_after + merges_applied == toks_before per source, the ratio
     is exactly after/before, and the totals reconcile with an
     independent token count of the corpus."""
-    from lambda_lakehouse_spark.registry import load_staged
+    from lambda_lakehouse_spark.registry import load_all
     from tests.conftest import SF_DIR
 
-    q = load_staged()["text_bpe_compression"]
+    q = load_all()["text_bpe_compression"]
     rows = q.spark(spark, SF_DIR).collect()
     assert rows
     for r in rows:

@@ -593,8 +593,22 @@ def test_near_dup_index_refresh_stream_equals_full_selfjoin(
         docs.where(F.col("doc_id") % 3 == k).select("doc_id", "text")
         for k in range(3)
     ]
-    for b in batches:  # one file per drop → one micro-batch each
+    # One file per drop → one micro-batch each (maxFilesPerTrigger=1).
+    # The file source orders files by modification time, and three
+    # rapid sequential drops can tie on coarse mtimes — which would
+    # batch or reorder the drops and break the epoch-attribution
+    # assertion below. Stamp strictly-increasing mtimes explicitly so
+    # arrival order is deterministic, not a filesystem accident.
+    import glob as _glob
+    import os as _os
+
+    stamped: set = set()
+    for i, b in enumerate(batches):
         b.coalesce(1).write.mode("append").parquet(drop_dir)
+        for f in _glob.glob(drop_dir + "/*.parquet"):
+            if f not in stamped:
+                _os.utime(f, (1_700_000_000 + 60 * i,) * 2)
+                stamped.add(f)
 
     base = tmp_path_factory.mktemp("ndidx")
     index_path, alerts_path = str(base / "index"), str(base / "alerts")
