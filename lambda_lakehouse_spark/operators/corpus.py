@@ -2967,3 +2967,204 @@ def eval_dsir_target_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         tv_st.alias("tv_selected_target"),
         (tv_rt - tv_st).alias("shift_gain"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style n-gram LM quality scoring — round-9 staged
+# ---------------------------------------------------------------------------
+#
+# CCNet (Wenzek et al., LREC 2020) scores every document by the
+# perplexity of a target-domain language model and splits the corpus
+# into head/middle/tail quality terciles. Its KenLM 5-gram model is
+# replaced here by the engine's hashed-unigram machinery (the DSIR
+# feature space above) and the float log-probabilities by an
+# INTEGER-RATIONAL surprisal proxy, so the driver can hash-certify the
+# result bit-for-bit across engines:
+#
+# - model: token-OCCURRENCE counts c_b over the target sources, hashed
+#   into LM_BUCKETS buckets (a count model, unlike DSIR's binary
+#   incidence model — perplexity weights repeated tokens);
+# - per-token surprisal = DIGITS of the integer quotient
+#   (C + B) div (c_b + 1), i.e. length(CAST(q AS VARCHAR)) =
+#   floor(log10 q) + 1 — a monotone staircase of -log10 p under
+#   Laplace smoothing, computed with integer division + decimal string
+#   length only. No log(), no pow(), nothing engine-divergent.
+# - per-doc score = surprisal_sum / n_tokens (one double division of
+#   two exact integers — identical IEEE result on both engines).
+#
+# Magnitude bound: q <= C + B; at 100 TB C ~ 1e13 so q has <= 14
+# digits, the per-doc sum is <= 14 * n_tokens < 2^63 for any document
+# that fits in memory. No scaled-sum overflow mode at any real scale.
+#
+# Scale shape: token explode -> broadcast join against the <=B-row
+# model -> one groupBy(doc_id). Map-side combinable, no window, no
+# corpus-sized shuffle beyond the doc-keyed aggregate the text ops
+# already pay.
+
+LM_BUCKETS = 256
+
+_LM_SCORES_CTE = f"""
+toks AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % {LM_BUCKETS} AS b
+  FROM (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+    FROM documents WHERE text <> ''
+  ) WHERE tok <> ''
+),
+model AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS c_b FROM toks
+  WHERE source IN ({_DSIR_TARGET_IN}) GROUP BY b
+),
+mtot AS (
+  SELECT CAST(COALESCE(SUM(c_b), 0) AS BIGINT) AS c_tot FROM model
+),
+tok_scored AS (
+  SELECT t.doc_id, t.source,
+         length(CAST(((tt.c_tot + {LM_BUCKETS})
+                      // (COALESCE(m.c_b, 0) + 1)) AS VARCHAR)) AS s,
+         CASE WHEN m.c_b IS NULL THEN 1 ELSE 0 END AS oov
+  FROM toks t LEFT JOIN model m USING (b) CROSS JOIN mtot tt
+),
+lm_scores AS (
+  SELECT doc_id, source,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(oov) AS BIGINT) AS n_oov,
+         CAST(SUM(s) AS BIGINT) AS surprisal,
+         CAST(CAST(SUM(s) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_digits
+  FROM tok_scored GROUP BY 1, 2
+)"""
+
+_LM_SURPRISAL_ORACLE = f"""
+WITH {_LM_SCORES_CTE}
+SELECT doc_id, source, n_tokens, n_oov, surprisal, avg_digits
+FROM lm_scores
+"""
+
+
+def lm_doc_scores(
+    docs: DataFrame,
+    target_sources: tuple[str, ...] = DSIR_TARGET_SOURCES,
+    n_buckets: int = LM_BUCKETS,
+) -> DataFrame:
+    """(doc_id, source, n_tokens, n_oov, surprisal, avg_digits): the
+    CCNet-style target-LM quality score per document (block comment
+    above). ``docs`` needs (doc_id, source, text)."""
+    toks = (
+        docs.where(F.col("text") != "")
+        .select(
+            "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+                % n_buckets
+            ).alias("b"),
+        )
+    )
+    model = (
+        toks.where(F.col("source").isin(*target_sources))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_b"))
+    )
+    mtot = model.agg(
+        F.coalesce(F.sum("c_b"), F.lit(0)).cast("bigint").alias("c_tot")
+    )
+    scored = (
+        toks.join(F.broadcast(model), "b", "left")
+        .crossJoin(F.broadcast(mtot))
+        .select(
+            "doc_id",
+            "source",
+            F.length(
+                F.expr(
+                    f"cast((c_tot + {n_buckets}) div"
+                    " (coalesce(c_b, 0L) + 1) as string)"
+                )
+            ).alias("s"),
+            F.when(F.col("c_b").isNull(), 1).otherwise(0).alias("oov"),
+        )
+    )
+    return scored.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("oov").cast("bigint").alias("n_oov"),
+        F.sum("s").cast("bigint").alias("surprisal"),
+        (
+            F.sum("s").cast("bigint").cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_digits"),
+    )
+
+
+@register(
+    "quality_lm_surprisal",
+    _LM_SURPRISAL_ORACLE,
+    doc="CCNet-style LM quality score (Wenzek et al. LREC'20): every "
+    "document scored by its average token surprisal under a hashed-"
+    "unigram count model of the target sources — surprisal as DIGITS "
+    "of the Laplace-smoothed integer quotient (an exact, log-free "
+    "-log10 p staircase), so the score is hash-certifiable across "
+    "engines; n_oov counts tokens in buckets the target never emits",
+    tags=("text", "quality", "corpus", "lm"),
+    staged=True,
+)
+def quality_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    return lm_doc_scores(docs)
+
+
+_LM_TERCILES_ORACLE = f"""
+WITH {_LM_SCORES_CTE},
+bucketed AS (
+  SELECT source, surprisal, n_tokens,
+         CAST(NTILE(3) OVER (ORDER BY avg_digits, doc_id) AS INTEGER)
+           AS tercile
+  FROM lm_scores
+)
+SELECT source, tercile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(surprisal) AS BIGINT) AS surprisal_tot,
+       CAST(SUM(n_tokens) AS BIGINT) AS token_tot,
+       CAST(CAST(SUM(surprisal) AS BIGINT) AS DOUBLE)
+         / CAST(SUM(n_tokens) AS BIGINT) AS avg_digits
+FROM bucketed GROUP BY 1, 2
+"""
+
+
+@register(
+    "quality_ccnet_terciles",
+    _LM_TERCILES_ORACLE,
+    doc="CCNet head/middle/tail split: exact global NTILE(3) of the "
+    "corpus under (avg LM surprisal, doc_id) — tercile 1 = closest to "
+    "the target domain — rolled up per (source, tercile) with exact "
+    "integer surprisal/token totals; the per-source tercile mix is "
+    "the curation signal CCNet feeds its quality filter. Uses the "
+    "two-pass distributed ntile (operators/ranking.py), never a "
+    "single-partition global sort",
+    tags=("text", "quality", "corpus", "sampling"),
+    staged=True,
+)
+def quality_ccnet_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lambda_lakehouse_spark.operators.ranking import exact_global_ntile
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    scores = lm_doc_scores(docs)
+    b = exact_global_ntile(
+        scores, [F.col("avg_digits"), F.col("doc_id")], 3, "tercile"
+    )
+    return b.groupBy("source", "tercile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("surprisal").cast("bigint").alias("surprisal_tot"),
+        F.sum("n_tokens").cast("bigint").alias("token_tot"),
+        (
+            F.sum("surprisal").cast("bigint").cast("double")
+            / F.sum("n_tokens").cast("bigint")
+        ).alias("avg_digits"),
+    )

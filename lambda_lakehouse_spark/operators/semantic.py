@@ -700,3 +700,198 @@ def eval_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.count("p_neighbor").cast("double") / MRL_K).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced sampling + audit — round-9 staged
+# ---------------------------------------------------------------------------
+#
+# Training-data curation oversamples rare semantic regions: instead of
+# sampling documents proportionally (which reproduces the corpus's
+# cluster skew), draw an EQUAL quota from every IVF cell — the
+# "cluster-balanced" / diversity-preserving selection used by
+# DoReMi-style and SemDeDup-adjacent pipelines. Composes two certified
+# pieces: the seeded k-means cells (train_ivf_cells — the identical
+# replay the IVF/SemDeDup oracles already pin) and the md5-uniform
+# deterministic selection of priority_sample (corpus.py), here ranked
+# WITHIN each cell.
+#
+# Scale shape: the cell assignment is the IVF training pass the index
+# build already pays; selection is one row_number window PARTITIONED
+# BY cell — cells are the parallel unit (thousands of cells at real
+# scale, quota rows kept per cell), never an unpartitioned window.
+#
+# The audit row answers "did balancing work, and what did it cost?"
+# exactly: per-corpus ESS of the inverse-inclusion-probability weights
+# under within-cell uniform sampling. Item in cell c has inclusion
+# q_c = s_c / n_c, weight w = n_c / s_c; ESS = (Σw)² / Σw² over the
+# selected set = N² / Σ_c (n_c² / s_c). The Σ_c fold is a floor-scaled
+# integer sum over |cells| terms so both engines agree bit-for-bit
+# (n_c² / s_c <= N² — at 1e9 scaling safe through N ~ 3e4 per the
+# 2^63 bound; the audit's job is the test corpus, the FORMULA is the
+# 100 TB artifact).
+
+CLUSTER_QUOTA = 40
+_CB_SEED = "cb1"
+_CB_AUDIT_SCALE = 1_000_000_000  # 1e9
+
+
+def _cb_selected(emb: DataFrame) -> DataFrame:
+    """(vec_id, cell, cell_rank): the per-cell quota sample —
+    md5-seeded rank within each k-means cell, quota = CLUSTER_QUOTA."""
+    flat = _flat(emb).select("vec_id", "pos", "val")
+    cells = (
+        _assign_cells(flat, train_ivf_cells(emb))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "cell")
+    )
+    w = W.partitionBy("cell").orderBy(
+        F.md5(F.concat(F.lit(f"{_CB_SEED}:"), F.col("vec_id").cast("string"))),
+        F.col("vec_id"),
+    )
+    return (
+        cells.withColumn("cell_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("cell_rank") <= CLUSTER_QUOTA)
+        .select("vec_id", "cell", "cell_rank")
+    )
+
+
+def _cb_cells_cte() -> list[str]:
+    from lambda_lakehouse_spark.operators.similarity import KMEANS_ITERS
+
+    i = KMEANS_ITERS
+    return _kmeans_replay_ctes() + [
+        f"cells AS (SELECT vec_id, cell FROM asg{i} WHERE rk = 1)",
+        f"""cb_sel AS (
+  SELECT vec_id, cell, CAST(ROW_NUMBER() OVER (
+    PARTITION BY cell
+    ORDER BY md5('{_CB_SEED}:' || CAST(vec_id AS VARCHAR)), vec_id
+  ) AS INTEGER) AS cell_rank
+  FROM cells
+  QUALIFY cell_rank <= {CLUSTER_QUOTA}
+)""",
+    ]
+
+
+_CB_SAMPLE_ORACLE = (
+    "WITH "
+    + ",\n".join(_cb_cells_cte())
+    + "\nSELECT vec_id, cell, cell_rank FROM cb_sel\n"
+)
+
+
+@register(
+    "sample_cluster_balanced",
+    _CB_SAMPLE_ORACLE,
+    doc=f"Cluster-balanced sample: an equal {CLUSTER_QUOTA}-row quota "
+    "drawn from every IVF cell by seeded md5 rank — the diversity-"
+    "preserving selection that oversamples rare semantic regions "
+    "instead of reproducing corpus cluster skew; composes the "
+    "certified k-means cells with the md5-uniform selection rule of "
+    "priority_sample, ranked within cells",
+    tags=("sampling", "vector", "corpus", "curation"),
+    staged=True,
+)
+def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return _cb_selected(emb)
+
+
+_CB_AUDIT_ORACLE = (
+    "WITH "
+    + ",\n".join(_cb_cells_cte())
+    + f""",
+per_cell AS (
+  SELECT c.cell,
+         CAST(COUNT(*) AS BIGINT) AS n_c,
+         CAST(COUNT(s.vec_id) AS BIGINT) AS s_c
+  FROM cells c LEFT JOIN cb_sel s USING (vec_id)
+  GROUP BY c.cell
+),
+folded AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(SUM(n_c) AS BIGINT) AS n_total,
+         CAST(SUM(s_c) AS BIGINT) AS k_selected,
+         CAST(SUM(CASE WHEN s_c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS cells_covered,
+         CAST(MIN(s_c) AS BIGINT) AS min_cell_selected,
+         CAST(MAX(s_c) AS BIGINT) AS max_cell_selected,
+         CAST(SUM(CAST(FLOOR(CAST(n_c * n_c AS DOUBLE) / s_c
+                             * {_CB_AUDIT_SCALE}) AS BIGINT)) AS BIGINT)
+           AS ess_denom_scaled
+  FROM per_cell WHERE s_c > 0
+)
+SELECT n_cells, n_total, k_selected, cells_covered,
+       min_cell_selected, max_cell_selected,
+       CAST(n_total * n_total AS DOUBLE)
+         / (CAST(ess_denom_scaled AS DOUBLE) / {_CB_AUDIT_SCALE})
+         AS ess_balanced
+FROM folded
+"""
+)
+
+
+@register(
+    "eval_cluster_balance_audit",
+    _CB_AUDIT_ORACLE,
+    doc="Cluster-balanced sampling audit (one row): cell coverage, "
+    "per-cell selection min/max, and the exact effective sample size "
+    "of the inverse-inclusion weights — ESS = N^2 / sum_c(n_c^2/s_c) "
+    "with the cell fold floor-scaled to integers so both engines "
+    "agree bit-for-bit; the number a curation run records to show "
+    "balancing bought diversity without collapsing statistical power",
+    tags=("sampling", "eval", "vector", "stats"),
+    staged=True,
+)
+def eval_cluster_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    flat = _flat(emb).select("vec_id", "pos", "val")
+    cells = (
+        _assign_cells(flat, train_ivf_cells(emb))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "cell")
+    )
+    sel = _cb_selected(emb).select("vec_id", F.lit(1).alias("_sel"))
+    per_cell = (
+        cells.join(sel, "vec_id", "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_c"),
+            F.count("_sel").cast("bigint").alias("s_c"),
+        )
+        .where(F.col("s_c") > 0)
+    )
+    folded = per_cell.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("n_c").cast("bigint").alias("n_total"),
+        F.sum("s_c").cast("bigint").alias("k_selected"),
+        F.sum(F.when(F.col("s_c") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cells_covered"),
+        F.min("s_c").cast("bigint").alias("min_cell_selected"),
+        F.max("s_c").cast("bigint").alias("max_cell_selected"),
+        F.sum(
+            F.floor(
+                (F.col("n_c") * F.col("n_c")).cast("double")
+                / F.col("s_c")
+                * F.lit(float(_CB_AUDIT_SCALE))
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("ess_denom_scaled"),
+    )
+    return folded.select(
+        "n_cells",
+        "n_total",
+        "k_selected",
+        "cells_covered",
+        "min_cell_selected",
+        "max_cell_selected",
+        (
+            (F.col("n_total") * F.col("n_total")).cast("double")
+            / (
+                F.col("ess_denom_scaled").cast("double")
+                / F.lit(float(_CB_AUDIT_SCALE))
+            )
+        ).alias("ess_balanced"),
+    )

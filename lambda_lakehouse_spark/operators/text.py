@@ -1282,3 +1282,128 @@ def text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("compression_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination matrix — round-9 staged
+# ---------------------------------------------------------------------------
+#
+# Pairwise n-gram containment between SOURCES: for every source pair,
+# how much of source A's distinct 24-char gram vocabulary also occurs
+# in source B (and vice versa, plus Jaccard) — the corpus-level twin
+# of decontaminate_overlap above. A training mix wants this matrix
+# before weighting sources: high containment means two "different"
+# sources are substantially the same crawl and their mixing weights
+# double-count.
+#
+# Scale shape: distinct (source, gram-hash) relation (the md5 prefix
+# keeps shuffle rows at 16 bytes, not 24-char strings) → self-join on
+# the gram hash. Per gram the join emits at most |sources|² pairs —
+# the inverted-index shape of the dedup family, bounded by S² per
+# posting, never corpus². Output is the ≤S(S-1)/2-row matrix.
+
+CONTAM_GRAM = 24
+
+_CONTAM_ORACLE = f"""
+WITH sg AS (
+  SELECT DISTINCT source, substr(md5(gram), 1, 16) AS gh
+  FROM (
+    SELECT source,
+           unnest(list_distinct([substr(text, i, {CONTAM_GRAM})
+            FOR i IN range(1, greatest(length(text) - {CONTAM_GRAM - 1}, 1) + 1)]))
+             AS gram
+    FROM documents
+  ) WHERE length(gram) = {CONTAM_GRAM}
+),
+sizes AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM sg GROUP BY source
+),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM sg a JOIN sg b ON a.gh = b.gh AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s.src_a, s.src_b, s.n_shared,
+       na.n_grams AS n_a, nb.n_grams AS n_b,
+       CAST(s.n_shared AS DOUBLE) / na.n_grams AS contain_a_in_b,
+       CAST(s.n_shared AS DOUBLE) / nb.n_grams AS contain_b_in_a,
+       CAST(s.n_shared AS DOUBLE) / (na.n_grams + nb.n_grams - s.n_shared)
+         AS jaccard
+FROM shared s
+JOIN sizes na ON na.source = s.src_a
+JOIN sizes nb ON nb.source = s.src_b
+"""
+
+
+@register(
+    "eval_source_contamination",
+    _CONTAM_ORACLE,
+    doc=f"Cross-source contamination matrix: for every source pair "
+    f"sharing at least one gram (zero-overlap pairs are absent), the "
+    f"distinct {CONTAM_GRAM}-char-gram overlap — containment both "
+    "directions + Jaccard — the corpus-level audit a mixing plan runs "
+    "before weighting sources (high containment = two sources are the "
+    "same crawl, weights double-count). Inverted-index self-join on "
+    "16-byte gram hashes, <=|sources|^2 pairs per posting, output "
+    "bounded by the source-pair matrix",
+    tags=("text", "dedup", "eval", "decontamination", "corpus"),
+    staged=True,
+)
+def eval_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return source_contamination(docs)
+
+
+def source_contamination(docs: DataFrame) -> DataFrame:
+    """The contamination matrix over any (source, text) relation —
+    the registered query above bound to the documents table."""
+    sg = (
+        docs.select(
+            "source",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform("
+                    f"sequence(1, greatest(length(text)-{CONTAM_GRAM - 1}, 1)),"
+                    f" i -> substr(text, i, {CONTAM_GRAM})))"
+                )
+            ).alias("gram"),
+        )
+        .where(F.length("gram") == CONTAM_GRAM)
+        .select("source", F.substring(F.md5("gram"), 1, 16).alias("gh"))
+        .distinct()
+    )
+    sizes = sg.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    a = sg.select(F.col("source").alias("src_a"), "gh")
+    b = sg.select(F.col("source").alias("src_b"), "gh")
+    shared = (
+        a.join(b, "gh")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    na = sizes.select(F.col("source").alias("src_a"), F.col("n_grams").alias("n_a"))
+    nb = sizes.select(F.col("source").alias("src_b"), F.col("n_grams").alias("n_b"))
+    return (
+        shared.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (F.col("n_shared").cast("double") / F.col("n_a")).alias(
+                "contain_a_in_b"
+            ),
+            (F.col("n_shared").cast("double") / F.col("n_b")).alias(
+                "contain_b_in_a"
+            ),
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )

@@ -287,6 +287,8 @@ def test_no_pathological_join_plans(spark):
         "sample_dsir_hashed_ngrams",  # 1-row totals + 1-row tau broadcasts
         "eval_dsir_target_shift",  # 1-row totals/tau + 1-row TV fold
         "text_bpe_compression",  # bpe_train's 1-row merge-rule per round
+        "quality_lm_surprisal",  # 1-row LM-model-total (c_tot) broadcast
+        "quality_ccnet_terciles",  # same c_tot broadcast + ntile totals
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
@@ -553,6 +555,14 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
         "mine_hard_negatives": {"embeddings.parquet"},
         # bpe_train's 1-row winning merge rule per round
         "text_bpe_compression": {"documents.parquet"},
+        # ≤LM_BUCKETS-row unigram count model + 1-row c_tot total (both
+        # aggregate-bounded; the token stream itself never ships)
+        "quality_lm_surprisal": {"documents.parquet"},
+        # same LM model broadcasts + the exact-ntile totals/offsets
+        "quality_ccnet_terciles": {"documents.parquet"},
+        # |sources|-row gram-vocabulary-size aggregates broadcast onto
+        # the bounded source-pair matrix (the gram relation never ships)
+        "eval_source_contamination": {"documents.parquet"},
     }
     bounding_ops = (
         "Filter", "HashAggregate", "SortAggregate", "ObjectHashAggregate",

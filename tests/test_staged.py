@@ -707,3 +707,138 @@ def test_bpe_compression_arithmetic_invariants(spark, ducks):
         " FROM documents WHERE text <> ''"
     ).fetchone()
     assert total_before == independent
+
+
+# ---------------------------------------------------------------------------
+# Round-9 staged cohort property tests
+# ---------------------------------------------------------------------------
+
+
+def test_lm_surprisal_ranks_target_vocab(spark):
+    """CCNet-style scoring must rank a target-vocabulary document as
+    LESS surprising than an alien-vocabulary document, and OOV
+    accounting must be exact on crafted inputs."""
+    from lambda_lakehouse_spark.operators.corpus import lm_doc_scores
+
+    tgt_vocab = "alpha beta gamma delta epsilon"
+    alien = "qqxz wwvy kkjt ppmn rrho"
+    rows = (
+        [(i, "src1", tgt_vocab) for i in range(1, 6)]
+        + [(i, "src2", tgt_vocab) for i in range(6, 11)]
+        + [(100, "src9", tgt_vocab)]   # target-like raw doc
+        + [(200, "src9", alien)]       # fully OOV doc
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    got = {r.doc_id: r for r in lm_doc_scores(docs).collect()}
+    # identical text => identical score regardless of source
+    assert got[100].avg_digits == got[1].avg_digits
+    assert got[100].n_oov == 0
+    # the alien doc is fully OOV and strictly more surprising
+    assert got[200].n_oov == got[200].n_tokens == 5
+    assert got[200].avg_digits > got[100].avg_digits
+    # surprisal is digits: between 1 and digits(C+B) per token
+    for r in got.values():
+        assert 1 <= r.avg_digits <= 20
+
+
+def test_ccnet_terciles_partition_exactly(spark):
+    """The three terciles partition the scored corpus with sizes
+    differing by at most one (exact NTILE semantics), and the
+    per-bucket token arithmetic reconciles."""
+    from lambda_lakehouse_spark.registry import load_staged
+    from tests.conftest import SF_DIR
+
+    q = load_staged()["quality_ccnet_terciles"]
+    rows = q.spark(spark, SF_DIR).collect()
+    assert rows
+    by_tercile = {}
+    for r in rows:
+        assert r.tercile in (1, 2, 3)
+        by_tercile[r.tercile] = by_tercile.get(r.tercile, 0) + r.n_docs
+        assert r.avg_digits == r.surprisal_tot / r.token_tot
+    sizes = sorted(by_tercile.values())
+    assert len(sizes) == 3 and sizes[-1] - sizes[0] <= 1
+    from lambda_lakehouse_spark.registry import load_staged as _ls
+
+    per_doc = _ls()["quality_lm_surprisal"].spark(spark, SF_DIR)
+    assert sum(by_tercile.values()) == per_doc.count()
+
+
+def test_cluster_balanced_quota_and_contiguity(spark):
+    """Every cell yields at most the quota; cells smaller than the
+    quota are fully selected; within-cell ranks are contiguous from 1."""
+    from lambda_lakehouse_spark.operators.semantic import (
+        CLUSTER_QUOTA,
+        _cb_selected,
+    )
+    from lambda_lakehouse_spark.operators.similarity import (
+        _assign_cells,
+        _flat,
+        train_ivf_cells,
+    )
+    from lambda_lakehouse_spark.sources.readers import read_table
+    from tests.conftest import SF_DIR
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    flat = _flat(emb).select("vec_id", "pos", "val")
+    cells = (
+        _assign_cells(flat, train_ivf_cells(emb))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "cell")
+    )
+    n_by_cell = {r.cell: r.n for r in cells.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    sel = _cb_selected(emb).collect()
+    ranks_by_cell: dict = {}
+    for r in sel:
+        ranks_by_cell.setdefault(r.cell, []).append(r.cell_rank)
+    for cell, ranks in ranks_by_cell.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) == min(CLUSTER_QUOTA, n_by_cell[cell])
+
+
+def test_cluster_balance_audit_invariants(spark):
+    """ESS <= N always (Cauchy-Schwarz), selection totals reconcile
+    with the per-cell quota, and coverage equals the cell count."""
+    from lambda_lakehouse_spark.operators.semantic import (
+        CLUSTER_QUOTA,
+        _cb_selected,
+    )
+    from lambda_lakehouse_spark.registry import load_staged
+    from tests.conftest import SF_DIR
+
+    row = load_staged()["eval_cluster_balance_audit"].spark(
+        spark, SF_DIR
+    ).collect()[0]
+    assert row.k_selected == _cb_selected_count(spark, SF_DIR)
+    assert row.cells_covered == row.n_cells
+    assert 0 < row.ess_balanced <= row.n_total * (1 + 1e-9)
+    assert 1 <= row.min_cell_selected <= row.max_cell_selected <= CLUSTER_QUOTA
+
+
+def _cb_selected_count(spark, sf_dir):
+    from lambda_lakehouse_spark.operators.semantic import _cb_selected
+    from lambda_lakehouse_spark.sources.readers import read_table
+
+    return _cb_selected(read_table(spark, sf_dir, "embeddings")).count()
+
+
+def test_contamination_identical_and_disjoint_sources(spark):
+    """Two sources with identical text must show containment 1.0 both
+    ways and Jaccard 1.0; a vocabulary-disjoint source pair emits no
+    matrix row (zero-overlap pairs are absent by construction)."""
+    from lambda_lakehouse_spark.operators.text import source_contamination
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = "zxqwv jklmp aaabbbccc dddeeefff ggghhhiii jjjkkklll mmmnnnooo"
+    docs = spark.createDataFrame(
+        [(1, "sA", t1), (2, "sB", t1), (3, "sC", t2)],
+        "doc_id long, source string, text string",
+    )
+    rows = {(r.src_a, r.src_b): r for r in source_contamination(docs).collect()}
+    ab = rows[("sA", "sB")]
+    assert ab.contain_a_in_b == 1.0 and ab.contain_b_in_a == 1.0
+    assert ab.jaccard == 1.0 and ab.n_a == ab.n_b == ab.n_shared
+    assert ("sA", "sC") not in rows and ("sB", "sC") not in rows
