@@ -3155,7 +3155,13 @@ def quality_ccnet_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    scores = lm_doc_scores(docs)
+    # lineage-truncate the per-doc scores (one row per document) before
+    # the two-pass ntile: its rank/counts/totals branches are separate
+    # consumers, and without the checkpoint each re-derives the full
+    # LM scoring pipeline — measured 9 parquet scans for a query that
+    # needs 2 (model + token stream). Same lazy-localCheckpoint pattern
+    # as pagerank / doc_clusters / source_contamination.
+    scores = lm_doc_scores(docs).localCheckpoint(eager=False)
     b = exact_global_ntile(
         scores, [F.col("avg_digits"), F.col("doc_id")], 3, "tercile"
     )
