@@ -1,6 +1,6 @@
 SF ?= /root/testdata/sf0.001
 
-.PHONY: test verify bench audit oracle-bench-scale
+.PHONY: test verify bench audit scan-audit oracle-bench-scale
 
 test:
 	SPARK_GRAFT_TEST_SF_DIR=$(SF) python -m pytest tests/ -q
@@ -19,3 +19,10 @@ audit:
 # closes or after touching any floor-scaled oracle arithmetic.
 oracle-bench-scale:
 	SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1 python -m pytest tests/test_oracle_queries.py -q
+
+# Executed-plan scan-amplification sweep (tools/scan_audit.py): counts
+# PHYSICAL scans per table per query; catches lineage re-execution that
+# the compile-time guardrails cannot see (exchange reuse silently fails
+# under nondeterministic exprs like collect_set).
+scan-audit:
+	python tools/scan_audit.py

@@ -3065,10 +3065,16 @@ def lm_doc_scores(
             ).alias("b"),
         )
     )
+    # lineage-truncate the ≤n_buckets-row model: it feeds both the
+    # broadcast scoring join and the c_tot total, and without the
+    # checkpoint the total's branch re-derives the model from the raw
+    # table (measured: 3 executed scans for a 2-pass query; see
+    # tools/scan_audit.py)
     model = (
         toks.where(F.col("source").isin(*target_sources))
         .groupBy("b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c_b"))
+        .localCheckpoint(eager=False)
     )
     mtot = model.agg(
         F.coalesce(F.sum("c_b"), F.lit(0)).cast("bigint").alias("c_tot")
