@@ -25,6 +25,26 @@ star query reading a dim twice under different keys). The report is
 for HUMAN disposition — record verdicts in the baseline dict below so
 re-runs only surface NEW amplification.
 
+MEASUREMENT CAVEATS (learned the hard way, round 9):
+- The text count over- AND under-states: AQE stage reuse prints reused
+  subtrees repeatedly (graph_triangle_count shows 60 textual scans but
+  reads ~1.6 passes by bytes), and lazy localCheckpoints hide their
+  one materialization scan entirely.
+- Hadoop FileSystem statistics only capture footer/open events — the
+  vectorized parquet reader's data path bypasses them.
+- Stage inputBytes (REST API) is the true read volume, but checkpoint
+  RDD reads count as input too.
+- THE DISPOSITION INSTRUMENT IS A WALL-CLOCK A/B AT sf0.1. Checkpoints
+  only pay when the truncated relation is SMALL relative to what the
+  re-scans re-derive (a ≤256-row model, doc-grain scores, gram
+  postings). Checkpointing a LARGE shared relation is usually a loss:
+  a blanket lazy localCheckpoint inside similarity._flat (the exploded
+  vector relation) ballooned ann_cosine_topk_ivf from 3.4 s to 12.6 s
+  at sf0.1 — it defeats the query-side filter pushdown into the
+  parquet scan and forces full materializations — and was reverted.
+  Cheap codegen'd re-scans of a columnar source are often FASTER than
+  materializing an exploded intermediate; flag -> measure -> then fix.
+
     python tools/scan_audit.py [--threshold 3] [--sf-dir .../sf0.001]
 """
 
