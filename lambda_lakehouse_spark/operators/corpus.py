@@ -3115,6 +3115,10 @@ def lm_doc_scores(
     "-log10 p staircase), so the score is hash-certifiable across "
     "engines; n_oov counts tokens in buckets the target never emits",
     tags=("text", "quality", "corpus", "lm"),
+    # bench takes effect at graduation (headliners come from the
+    # registry): token-stream explode + broadcast count-model is a
+    # plan shape the headline set doesn't cover yet
+    bench=True,
     staged=True,
 )
 def quality_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1348,6 +1348,11 @@ JOIN sizes nb ON nb.source = s.src_b
     "16-byte gram hashes, <=|sources|^2 pairs per posting, output "
     "bounded by the source-pair matrix",
     tags=("text", "dedup", "eval", "decontamination", "corpus"),
+    # bench takes effect at graduation: the collect_set posting build +
+    # row-local pair expansion + lazy checkpoint is a new plan shape
+    # (measured 6.0 s at sf0.1 — second-heaviest after winnowing, so it
+    # must regress loudly)
+    bench=True,
     staged=True,
 )
 def eval_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
