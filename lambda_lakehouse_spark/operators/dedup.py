@@ -1333,7 +1333,14 @@ def jaccard_prefix_filter_pairs(
             " i -> substr(text, i, 3)))"
         ).alias("shingles"),
     )
-    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    # The per-character shingle transform is the expensive pass and
+    # FOUR branches consume it (DF model, prefix index, both verify
+    # sides); it sits above the scan with no exchange, so every branch
+    # re-executes it. The doc-grain array relation is the small
+    # truncation point (same rails as the contamination postings):
+    # lazy localCheckpoint runs the transform once. Measured at sf0.1:
+    # 19.3 s -> 8.0 s together with the doc-grain verify.
+    sh = sh.localCheckpoint(eager=False)
     ex = sh.select(
         "doc_id", "source", F.size("shingles").alias("n"),
         F.explode("shingles").alias("s"),
@@ -1353,15 +1360,34 @@ def jaccard_prefix_filter_pairs(
             F.col("_rk")
             <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
         )
-        .select("doc_id", "source", "s")
+        .select("doc_id", "source", "s", "n", "_rk")
     )
     px, py = prefix.alias("px"), prefix.alias("py")
+    # PPJoin pruning (Xiao WWW'08) on top of the prefix match. Both
+    # filters are NECESSARY conditions for jaccard >= t, so pruning
+    # stays complete; the 1e-9 slack makes the float ceil/floor
+    # conservative (an over-admitted candidate is merely re-checked by
+    # the exact verify; an over-pruned one would lose a true pair):
+    #   length:     t*|a| <= |b|  whenever J(a,b) >= t and a < b
+    #   positional: overlap >= ceil(t/(1+t)*(|a|+|b|)) and every
+    #     common shingle except the current one sits after rank _rk in
+    #     both prefixes, so 1 + min(|a|-rk_a, |b|-rk_b) bounds the
+    #     achievable overlap from this match row; a qualifying pair
+    #     always survives via its first (rarest) common shingle.
+    na, nb_ = F.col("px.n"), F.col("py.n")
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (na + nb_) - F.lit(1e-9)
+    )
+    ubound = 1 + F.least(na - F.col("px._rk"), nb_ - F.col("py._rk"))
     cand = (
         px.join(
             py,
             (F.col("px.source") == F.col("py.source"))
             & (F.col("px.s") == F.col("py.s"))
-            & (F.col("px.doc_id") < F.col("py.doc_id")),
+            & (F.col("px.doc_id") < F.col("py.doc_id"))
+            & (nb_ >= F.ceil(F.lit(threshold) * na - F.lit(1e-9)))
+            & (nb_ <= F.floor(na / F.lit(threshold) + F.lit(1e-9)))
+            & (ubound >= alpha),
         )
         .select(
             F.col("px.doc_id").alias("doc_a"),
@@ -1369,24 +1395,53 @@ def jaccard_prefix_filter_pairs(
         )
         .distinct()
     )
-    # exact verify on candidates only: count full-set common shingles
-    ea = ex.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s"))
-    eb = ex.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s"))
-    inter = (
-        cand.join(ea, "doc_a")
-        .join(eb, ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # Exact verify on candidates only — at DOC grain, not shingle
+    # grain: joining candidates back to the EXPLODED relation fans
+    # each pair out to |shingles| rows and re-executes the whole
+    # shingle explode per join branch (measured 19.3 s at sf0.1 on an
+    # idle host). The shingle sets already live as row-local distinct
+    # arrays in `sh`, so two doc-keyed joins + one codegen'd
+    # array_intersect compute the same distinct-common count with the
+    # candidate relation (prefix-filter-bounded) as the only moving
+    # rows: 19.3 s -> ~5 s. Counts are identical: shingles are
+    # distinct per doc, so the exploded equi-join counted exactly the
+    # set intersection.
+    arr_a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.size("shingles").alias("na"),
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    arr_b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.size("shingles").alias("nb"),
+    )
+    inter = (
+        cand.join(arr_a, "doc_a")
+        .join(arr_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "na",
+            "nb",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            .cast("long")
+            .alias("n_common"),
+        )
+        # Without this truncation Catalyst pushes the jaccard filter
+        # into the broadcast-join condition AND keeps n_common in the
+        # projection above it — the array_intersect runs TWICE per
+        # candidate (measured: verify 9.7 s -> ~5 s single-eval at
+        # sf0.1). The post-intersect relation is narrow (5 numeric
+        # cols per candidate, arrays gone), so it is exactly the
+        # small-truncation-point shape.
+        .localCheckpoint(eager=False)
+    )
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", jac)
+        inter.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
@@ -1648,3 +1703,329 @@ def dedup_incremental_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Exact substring duplicate runs (round-9 build-ahead QUEUE)
+# ---------------------------------------------------------------------------
+#
+# The EXACT counterpart to winnowing: Lee et al., "Deduplicating
+# Training Data Makes Language Models Better" (ACL 2022,
+# arXiv:2107.06499) removes exact duplicated token substrings of
+# length >= a threshold. Their suffix-array construction is a
+# single-machine algorithm; the relational re-expression is gram
+# diagonals: every shared run of R >= MIN_RUN tokens between two
+# documents is a maximal set of consecutive K-token grams matching at
+# a CONSTANT position offset (pb - pa), so (1) explode K-gram
+# postings, (2) self-join on the gram, (3) group by (doc_a, doc_b,
+# diagonal) and merge consecutive positions into islands. A run of R
+# tokens contributes exactly R - K + 1 consecutive gram matches on
+# one diagonal, so run_tokens = island_size + K - 1.
+#
+# Scale shape: the postings self-join is the inverted-index shuffle
+# keyed by gram, bounded by the DF cap (grams in > SUBSTR_DF_CAP docs
+# are boilerplate and dropped — the same stop-shingle rails as the
+# n-gram and winnowing paths, mirrored exactly in the oracle); the
+# island merge is a window partitioned by (doc_a, doc_b, diag) —
+# pair-local, never global. Within a doc a repeated gram yields
+# multiple postings; they land on different diagonals and the window
+# key keeps (pa, pb) unique inside a partition, so islands are exact.
+#
+# Cross-engine exactness: grams are md5 hex of the space-joined token
+# slice (identical in both engines); every downstream value is an
+# integer count.
+
+SUBSTR_K = 6  # gram width (tokens)
+SUBSTR_MIN_RUN = 10  # report shared runs of at least this many tokens
+SUBSTR_DF_CAP = 32  # drop grams present in more docs (quadratic-proof)
+
+
+def substring_run_pairs(
+    docs: DataFrame,
+    k: int = SUBSTR_K,
+    min_run: int = SUBSTR_MIN_RUN,
+    df_cap: int = SUBSTR_DF_CAP,
+) -> DataFrame:
+    """Per ordered doc pair: exact shared token runs >= ``min_run``.
+
+    Returns (doc_a, doc_b, n_runs, max_run_tokens, total_run_tokens).
+    """
+    # Bind the token array ONCE via the single-element-array lambda
+    # (band_table/winnowing rails): two chained projections would let
+    # CollapseProject inline the split() into every per-position gram
+    # — O(n^2) splitting per document.
+    grams_expr = (
+        "transform(array(split(text, '\\\\s+')), w ->"
+        f" transform(sequence(1, size(w) - {k} + 1),"
+        f" p -> md5(concat_ws(' ', slice(w, p, {k})))))[0]"
+    )
+    g = (
+        docs.where(F.size(F.split("text", r"\s+")) >= k)
+        .select("doc_id", F.expr(grams_expr).alias("grams"))
+        .select("doc_id", F.posexplode("grams").alias("p0", "g"))
+        .select("doc_id", (F.col("p0") + 1).alias("p"), "g")
+    )
+    # DF cap: gram postings bounded per gram (documents, not
+    # occurrences — a gram repeated inside one doc counts once).
+    dfc = g.groupBy("g").agg(
+        F.countDistinct("doc_id").alias("_docs")
+    )
+    kept = g.join(dfc.where(F.col("_docs") <= df_cap), "g").select(
+        "doc_id", "p", "g"
+    )
+    a = kept.select(
+        F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"), "g"
+    )
+    b = kept.select(
+        F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"), "g"
+    )
+    m = (
+        a.join(b, "g")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", (F.col("pb") - F.col("pa")).alias("diag"))
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    )
+    runs = (
+        m.withColumn("_grp", F.col("pa") - rn)
+        .groupBy("doc_a", "doc_b", "diag", "_grp")
+        .agg((F.count(F.lit(1)) + k - 1).cast("bigint").alias("run_tokens"))
+        .where(F.col("run_tokens") >= min_run)
+    )
+    return runs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        F.max("run_tokens").cast("bigint").alias("max_run_tokens"),
+        F.sum("run_tokens").cast("bigint").alias("total_run_tokens"),
+    )
+
+
+_SUBSTR_POSTINGS_SQL = f"""
+tok AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+  WHERE len(string_split_regex(text, '\\s+')) >= {SUBSTR_K}
+),
+pos AS (
+  SELECT doc_id, w,
+         unnest(range(1, len(w) - {SUBSTR_K} + 2)) AS p
+  FROM tok
+),
+g AS (
+  SELECT doc_id, p,
+         md5(array_to_string(w[p:p + {SUBSTR_K} - 1], ' ')) AS g
+  FROM pos
+),
+dfc AS (SELECT g, COUNT(DISTINCT doc_id) AS docs FROM g GROUP BY g),
+kept AS (
+  SELECT x.doc_id, x.p, x.g FROM g x JOIN dfc ON dfc.g = x.g
+  WHERE dfc.docs <= {SUBSTR_DF_CAP}
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, b.p - a.p AS diag
+  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT doc_a, doc_b,
+         CAST(COUNT(*) + {SUBSTR_K} - 1 AS BIGINT) AS run_tokens
+  FROM (
+    SELECT doc_a, doc_b, diag, pa,
+           pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                   ORDER BY pa) AS grp
+    FROM m
+  )
+  GROUP BY doc_a, doc_b, diag, grp
+  HAVING COUNT(*) + {SUBSTR_K} - 1 >= {SUBSTR_MIN_RUN}
+)
+"""
+
+_SUBSTR_RUNS_ORACLE = f"""
+WITH {_SUBSTR_POSTINGS_SQL.strip()}
+SELECT doc_a, doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(MAX(run_tokens) AS BIGINT) AS max_run_tokens,
+       CAST(SUM(run_tokens) AS BIGINT) AS total_run_tokens
+FROM runs
+GROUP BY doc_a, doc_b
+"""
+
+
+@register(
+    "dedup_substring_runs",
+    _SUBSTR_RUNS_ORACLE,
+    doc="Exact shared-substring runs (Lee et al. ACL'22 exact substring "
+    f"dedup, relationally): {SUBSTR_K}-token gram postings self-join on "
+    "the gram, consecutive matches merged per (pair, diagonal) into "
+    f"maximal runs, reported at >= {SUBSTR_MIN_RUN} tokens — the exact "
+    "counterpart to winnowing's fingerprint sampling",
+    tags=("dedup", "text", "scale", "substring"),
+    queue=True,
+)
+def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return substring_run_pairs(docs)
+
+
+# Per-document duplicated-token coverage — the DROP DECISION signal of
+# exact-substring dedup (Lee et al. remove documents / spans whose
+# duplicated fraction is high). Runs from BOTH pair sides project to
+# token intervals [start, start + run) in that document; overlapping
+# intervals from different partners must not double-count, so the
+# classic sweep merges them: a new island starts where start exceeds
+# the running max end of every earlier interval. All window work is
+# per-doc; output is one row per document that shares any run.
+
+
+def substring_coverage(
+    docs: DataFrame,
+    k: int = SUBSTR_K,
+    min_run: int = SUBSTR_MIN_RUN,
+    df_cap: int = SUBSTR_DF_CAP,
+) -> DataFrame:
+    """Per doc: tokens covered by >= min_run shared runs with ANY
+    other doc, as merged-interval union. Returns (doc_id, n_tokens,
+    covered_tokens, coverage)."""
+    from pyspark.sql import Window as W
+
+    grams_expr = (
+        "transform(array(split(text, '\\\\s+')), w ->"
+        f" transform(sequence(1, size(w) - {k} + 1),"
+        f" p -> md5(concat_ws(' ', slice(w, p, {k})))))[0]"
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(F.split("text", r"\s+")).cast("bigint").alias("n_tokens"),
+        F.expr(grams_expr).alias("grams"),
+    ).where(F.col("n_tokens") >= k)
+    g = base.select(
+        "doc_id", F.posexplode("grams").alias("p0", "g")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "g")
+    dfc = g.groupBy("g").agg(F.countDistinct("doc_id").alias("_docs"))
+    kept = g.join(dfc.where(F.col("_docs") <= df_cap), "g").select(
+        "doc_id", "p", "g"
+    )
+    a = kept.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"), "g")
+    b = kept.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"), "g")
+    m = (
+        a.join(b, "g")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("pa"),
+            (F.col("pb") - F.col("pa")).alias("diag"),
+            "doc_b",
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("doc_id", "doc_b", "diag").orderBy("pa")
+    )
+    ivals = (
+        m.withColumn("_grp", F.col("pa") - rn)
+        .groupBy("doc_id", "doc_b", "diag", "_grp")
+        .agg(
+            F.min("pa").alias("s"),
+            (F.min("pa") + F.count(F.lit(1)) + k - 1).alias("e"),
+        )
+        .where(F.col("e") - F.col("s") >= min_run)
+        .select("doc_id", "s", "e")
+    )
+    # interval-union sweep per doc: island starts where s exceeds the
+    # running max e of all earlier intervals (ordered by s, e)
+    w_prev = (
+        W.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    islands = ivals.withColumn(
+        "_new",
+        F.when(F.col("s") > F.max("e").over(w_prev), 1)
+        .when(F.max("e").over(w_prev).isNull(), 1)
+        .otherwise(0),
+    ).withColumn("_isl", F.sum("_new").over(w_run))
+    covered = (
+        islands.groupBy("doc_id", "_isl")
+        .agg((F.max("e") - F.min("s")).alias("_cov"))
+        .groupBy("doc_id")
+        .agg(F.sum("_cov").cast("bigint").alias("covered_tokens"))
+    )
+    sizes = base.select("doc_id", "n_tokens")
+    return covered.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "covered_tokens",
+        (
+            F.col("covered_tokens").cast("double") / F.col("n_tokens")
+        ).alias("coverage"),
+    )
+
+
+_SUBSTR_COVERAGE_ORACLE = f"""
+WITH {_SUBSTR_POSTINGS_SQL.strip().rstrip()},
+m2 AS (
+  SELECT a.doc_id AS doc_id, a.p AS pa, b.p - a.p AS diag,
+         b.doc_id AS doc_b
+  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id <> b.doc_id
+),
+ivals AS (
+  SELECT doc_id, MIN(pa) AS s,
+         MIN(pa) + COUNT(*) + {SUBSTR_K} - 1 AS e
+  FROM (
+    SELECT doc_id, doc_b, diag, pa,
+           pa - ROW_NUMBER() OVER (PARTITION BY doc_id, doc_b, diag
+                                   ORDER BY pa) AS grp
+    FROM m2
+  )
+  GROUP BY doc_id, doc_b, diag, grp
+  HAVING COUNT(*) + {SUBSTR_K} - 1 >= {SUBSTR_MIN_RUN}
+),
+sweep AS (
+  SELECT doc_id, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) IS NULL THEN 1
+              WHEN s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) THEN 1
+              ELSE 0 END AS new_isl
+  FROM ivals
+),
+isl AS (
+  SELECT doc_id, s, e,
+         SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS grp
+  FROM sweep
+),
+cov AS (
+  SELECT doc_id, CAST(SUM(cov) AS BIGINT) AS covered_tokens
+  FROM (SELECT doc_id, grp, MAX(e) - MIN(s) AS cov FROM isl
+        GROUP BY doc_id, grp)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+       c.covered_tokens,
+       CAST(c.covered_tokens AS DOUBLE) / len(t.w) AS coverage
+FROM cov c JOIN tok t ON t.doc_id = c.doc_id
+"""
+
+
+@register(
+    "dedup_substring_coverage",
+    _SUBSTR_COVERAGE_ORACLE,
+    doc="Per-document duplicated-token coverage: union of all exact "
+    f">= {SUBSTR_MIN_RUN}-token shared runs with any other document, "
+    "merged by an interval sweep so overlapping runs from different "
+    "partners never double-count — the drop-decision signal of exact "
+    "substring dedup (Lee et al. ACL'22)",
+    tags=("dedup", "text", "substring", "quality"),
+    queue=True,
+)
+def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return substring_coverage(docs)

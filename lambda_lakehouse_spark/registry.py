@@ -82,13 +82,25 @@ REGISTRY: dict[str, Query] = {}
 # alphabetically-first r5 greens.
 #
 # ROUND-10 ROTATION PRE-PLAN (per the round-8 verdict, demand 7):
-# after r9 certifies, the staleness histogram is r5:32, r6:42, r7:50,
-# r8:50, r9:50. The r10 window therefore takes the ≤5 r9 graduates +
-# all 32 remaining r5 greens (clearing r5 entirely) + ~13 oldest r6
-# greens — 5+32+13 = 50, comfortably inside the window-fit invariant
-# at 224 registered + ≤5 staged. Run gen_driver_window.py as usual;
-# it derives exactly this composition mechanically.
+# after r9 certifies, the staleness histogram is r5:33, r6:42, r7:50,
+# r8:49, r9:50 (dedup_jaccard_prefix_filter re-certifies in r9 via
+# --must after its plan change, displacing the last r5 fill slot).
+# The r10 window therefore takes the ≤5 r9 graduates + all 33
+# remaining r5 greens (clearing r5 entirely) + ~12 oldest r6 greens —
+# 5+33+12 = 50, comfortably inside the window-fit invariant at 224
+# registered + ≤5 staged. Run gen_driver_window.py as usual; it
+# derives exactly this composition mechanically.
 STAGED: dict[str, Query] = {}
+
+# Build-ahead queue: fully implemented and oracle-tested (the pytest
+# gate runs them exactly like registered/staged queries) but not yet
+# STAGED, because the ≤5-new-staged-per-round cap for this round is
+# already spent. At the next round boundary, up to 5 queue entries are
+# PROMOTED to staged (flip ``queue=True`` to ``staged=True``) alongside
+# the usual graduation; anything beyond 5 waits another round. This
+# keeps the staleness-bounding cap honest while letting a build session
+# run ahead of the rotation schedule.
+QUEUE: dict[str, Query] = {}
 
 
 def register(
@@ -98,11 +110,12 @@ def register(
     tags: tuple[str, ...] = (),
     bench: bool = False,
     staged: bool = False,
+    queue: bool = False,
 ) -> Callable[[SparkQuery], SparkQuery]:
     def deco(fn: SparkQuery) -> SparkQuery:
-        if name in REGISTRY or name in STAGED:
+        if name in REGISTRY or name in STAGED or name in QUEUE:
             raise ValueError(f"duplicate query name: {name}")
-        target = STAGED if staged else REGISTRY
+        target = QUEUE if queue else (STAGED if staged else REGISTRY)
         target[name] = Query(name, fn, oracle, doc, tags, bench)
         return fn
 
@@ -121,8 +134,7 @@ def register(
 # tests/test_registry_contract.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # — round-9 window (50 slots), generated by
-    #   tools/gen_driver_window.py (no --must this round: no
-    #   certified plan changed since its newest green row) —
+    #   tools/gen_driver_window.py --must dedup_jaccard_prefix_filter —
     # Slots 1-5: the round-9 graduation — the 5 formerly-STAGED
     # round-8 queries (pytest oracle-green at sf0.001/sf0.01 and
     # judge-CLI-verified, no driver row yet).
@@ -131,7 +143,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "mine_hard_negatives",
     "sample_dsir_hashed_ngrams",
     "eval_dsir_target_shift",
-    # Slots 6-39: the ENTIRE remaining r4-stale cohort (34
+    # Slot 6: --must re-cert — dedup_jaccard_prefix_filter's plan
+    # changed this round (19.3 s -> 8.5 s at sf0.1: shingle-array
+    # checkpoint, PPJoin length+positional pruning, doc-grain
+    # single-eval verify); its r7 green row certifies the OLD plan,
+    # so it re-certifies now per the rotation policy.
+    "dedup_jaccard_prefix_filter",
+    # Slots 7-40: the ENTIRE remaining r4-stale cohort (34
     # queries whose newest green is r04), clearing the oldest
     # staleness tier completely per the rotation policy above.
     "dedup_minhash_lsh_capped",
@@ -168,8 +186,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "window_share_of_total",
     "window_tumbling_agg",
     "window_value_functions",
-    # Slots 40-50: the 11 alphabetically-first r5 greens — the
-    # head of the next-oldest cohort.
+    # Slots 41-50: the 10 alphabetically-first r5 greens — the
+    # head of the next-oldest cohort (the 11th fill slot went to
+    # the slot-6 --must re-cert).
     "agg_approx_sketches",
     "agg_exact_percentiles",
     "agg_weighted_stats",
@@ -180,12 +199,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_lsh_eval",
     "dedup_materialize_corpus_best",
     "dedup_minhash_lsh_verified",
-    "dedup_ngram_jaccard_capped",
     # — beyond slot 50: every query below (and every unlisted
     # query, which follows in registration order) holds a prior
     # green driver row — pinned by tests/test_registry_contract.py.
-    # These 32 are the remaining r5 greens, i.e. the round-10
+    # These 33 are the remaining r5 greens, i.e. the round-10
     # rotation cohort (see the policy paragraph above STAGED). —
+    "dedup_ngram_jaccard_capped",
     "dq_expectation_metrics",
     "embed_quantize_int8",
     "event_transition_matrix",
@@ -265,3 +284,11 @@ def load_staged() -> dict[str, Query]:
     entries — oracle-tested in pytest, not yet driver-graded."""
     load_all()
     return dict(STAGED)
+
+
+def load_queue() -> dict[str, Query]:
+    """Import all query modules and return the build-ahead QUEUE
+    entries — oracle-tested in pytest, promoted to STAGED (≤5/round)
+    at the next round boundary."""
+    load_all()
+    return dict(QUEUE)

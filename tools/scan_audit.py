@@ -57,11 +57,112 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Dispositioned scan counts (query -> max scans of any one table in the
-# executed plan, verdict in the comment). Entries here are EXPECTED;
-# the audit flags only queries above threshold that are absent or
-# exceed their recorded count.
-BASELINE: dict[str, int] = {}
+# Dispositioned scan counts (query -> max textual scans of any one
+# table in the executed plan, verdict in the comment). Entries here are
+# EXPECTED; the audit flags only queries above threshold that are
+# absent or exceed their recorded count.
+#
+# Populated round 9 (full sweep at sf0.001, 58 flagged). Verdict codes:
+#   [reprint]  AQE stage reuse reprints a reused subtree in the plan
+#              text; the work executes once. Evidence where cited is a
+#              checkpoint A/B at sf0.1 showing NO wall-clock change
+#              (if the subtree really re-executed, truncating it would
+#              show up) or stage inputBytes.
+#   [branches] declared composition of k independent branches over the
+#              same small columnar source (eval harnesses, truth-vs-
+#              serve comparisons, per-stage funnel filters). Each
+#              branch keeps its own pushed filters/schema; a shared
+#              checkpoint defeats pushdown and loses (the
+#              similarity._flat lesson: ann_ivf 3.4 s -> 12.6 s).
+#   [passes]   bounded constant multi-pass by algorithm design
+#              (model-then-score, two-pass rank, prefix curves,
+#              iterative refinement). Pass count is a plan-shape
+#              constant — it does not grow with data scale.
+#   [fixed]    real amplification found and fixed; value is the
+#              post-fix residual count.
+BASELINE: dict[str, int] = {
+    "agg_approx_sketches": 3,  # [branches] sketch vs exact twin reads
+    "agg_exact_percentiles": 3,  # [passes] rank model + assign + count
+    "agg_percentile_cont_global": 3,  # [passes] two-pass global rank
+    "ann_cosine_topk_brute": 4,  # [branches] query/corpus sides + norms
+    "ann_cosine_topk_hyperlsh": 5,  # [passes] plane model + bucket + verify
+    "ann_cosine_topk_ivf": 6,  # [passes] k-means train + assign + probe;
+    #   blanket checkpoint A/B'd r9 and REJECTED (3.4 s -> 12.6 s)
+    "ann_cosine_topk_ivf_pretrained": 6,  # [passes] same family
+    "ann_cosine_topk_ivfpq": 6,  # [passes] same family + PQ residuals
+    "bloom_semijoin_prune": 5,  # [branches] build + probe + truth compare
+    "cdc_table_diff": 3,  # [branches] old/new snapshots + diff
+    "corpus_cross_source_overlap": 4,  # [branches] per-side gram sets
+    "corpus_heaps_vocab_growth": 10,  # [passes] cumulative prefix curve:
+    #   one bounded pass per corpus-prefix point by definition
+    "corpus_tfidf_topterms": 3,  # [passes] DF model + score
+    "corpus_token_spectrum": 3,  # [passes] spectrum model + Good-Turing
+    "dedup_embedding_cosine": 4,  # [branches] pair sides + norms
+    "dedup_incremental_batch": 3,  # [passes] one read per arrival batch
+    "dedup_jaccard_prefix_filter": 0,  # [fixed] was 8 textual + 19.3 s at
+    #   sf0.1: shingle transform re-run per branch and array_intersect
+    #   double-evaluated (filter pushed into join condition). r9 fix:
+    #   doc-grain shingle checkpoint + PPJoin length/positional pruning
+    #   + narrow post-intersect checkpoint -> 8.5 s, oracle MATCH at
+    #   sf0.001/sf0.01, --must re-cert in the r9 window
+    "dedup_lsh_eval": 6,  # [branches] LSH candidates vs exact truth
+    "dedup_minhash_lsh_verified": 6,  # [branches] candidates + verify
+    "dedup_ngram_jaccard": 4,  # [branches] shingle sets + sizes + pairs
+    "dedup_paragraph_scrub": 3,  # [passes] fingerprint model + scrub
+    "dedup_semdedup_cells": 21,  # [reprint] k-means iteration subtrees
+    #   reprinted; within-cell pairs bounded; sf0.1 oracle sweep green
+    "dedup_source_survival": 4,  # [branches] before/after survival sides
+    "dedup_winnowing_pairs": 8,  # [reprint] A/B'd r9: lazy checkpoint of
+    #   the fingerprint relation changed nothing (6.54 vs 6.48 s idle,
+    #   control 0.24/0.29) -> the per-char hash pass already executes
+    #   once; the 8 textual scans are AQE reprints
+    "dq_referential_integrity": 12,  # [branches] six FK checks x two
+    #   sides, each scan pushes only its own key columns
+    "embed_label_separation": 4,  # [branches] within/between label sides
+    "eval_cosine_calibration": 6,  # [branches] score + calibration bins
+    "eval_decile_lift": 6,  # [branches] model deciles + outcome join
+    "eval_dsir_target_shift": 26,  # [reprint] tiny hashed-bucket models
+    #   (<=B rows) cross-compared; exact integer cross-products, 1-row
+    #   output; 26 textual scans of a 584 KB source, wall-clock trivial
+    "eval_ivf_recall": 20,  # [branches+reprint] brute-force truth branch
+    #   + IVF serve branch + train iteration reprints
+    "eval_knn_label_accuracy": 6,  # [branches] neighbor vote vs truth
+    "eval_langid_confusion": 3,  # [branches] predicted x actual cells
+    "eval_langid_kappa": 4,  # [branches] agreement + marginals
+    "eval_matryoshka_prefix_recall": 8,  # [passes] one recall point per
+    #   prefix length by definition of the curve
+    "events_cusum_changepoint": 4,  # [passes] mean model + cusum scan
+    "funnel_conversion": 6,  # [branches] per-stage pushed filters — each
+    #   scan reads a stage-pruned subset, cheaper than one full scan
+    "funnel_time_to_convert": 6,  # [branches] same funnel family
+    "graph_supplier_overlap": 8,  # [reprint] banded self-join subtrees
+    "graph_triangle_count": 60,  # [reprint] canonical case: 60 textual
+    #   scans, ~1.6 real passes by stage inputBytes (tool docstring)
+    "interval_open_orders_sweep": 4,  # [passes] boundary events + sweep
+    "mine_hard_negatives": 8,  # [branches] two bounded cosine_topk
+    #   branches (4 scans each, brute family); 780 KB source
+    "multimodal_frame_overlap": 6,  # [branches] frame pairs + metadata
+    "profile_histogram_equidepth": 3,  # [passes] quantile model + assign
+    "q21_waiting_supplier": 3,  # [branches] TPC-H Q21's EXISTS + NOT
+    #   EXISTS correlated branches — textbook shape
+    "sample_dsir_hashed_ngrams": 10,  # [branches] bucket model totals +
+    #   broadcast ratio + score; 2.59 s at sf0.1 idle (r9 measurement)
+    "sample_target_mix_weights": 4,  # [passes] weight model + apply
+    "sample_temperature_mixture": 3,  # [passes] source mass model + apply
+    "search_bm25_topk": 6,  # [passes] DF/doclen models + postings score;
+    #   branch-head checkpoint A/B'd r8 and rejected (exchange reuse)
+    "search_hybrid_rrf": 12,  # [branches] BM25 branch (6) + dense branch
+    #   + fusion; checkpoint A/B'd r8 and rejected
+    "search_phrase_positional": 4,  # [passes] postings + adjacency join
+    "setops_intersect_except": 4,  # [branches] intersect + except twins
+    "skyline_pareto_parts": 3,  # [branches] dominance self-comparison
+    "snapshot_merge_changelog": 3,  # [passes] base + changelog + merge
+    "snapshot_time_travel": 4,  # [branches] two snapshot reads + diff
+    "stats_chi2_lang_source": 4,  # [branches] observed + two marginals
+    "stats_ks_drift_sources": 3,  # [branches] per-source ECDF sides
+    "ts_similarity_topk": 4,  # [branches] query/corpus series + norms
+    "window_global_pctrank": 3,  # [passes] range-partitioned two-pass rank
+}
 
 
 def main() -> int:
