@@ -5,7 +5,7 @@ queue) is runnable, explainable, and oracle-verifiable from the shell
 — the same three surfaces the grading driver exercises through
 ``__spark_entry__``:
 
-    python -m lambda_lakehouse_spark list [--tag dedup] [--staged]
+    python -m lambda_lakehouse_spark list [--tag dedup] [--staged] [--queue]
     python -m lambda_lakehouse_spark run q1_pricing_summary [--limit 20]
     python -m lambda_lakehouse_spark explain dedup_minhash_lsh
     python -m lambda_lakehouse_spark oracle q1_pricing_summary
@@ -33,12 +33,18 @@ TABLES = (
 ).split()
 
 
-def _registry(include_staged: bool):
-    from lambda_lakehouse_spark.registry import load_all, load_staged
+def _registry(include_staged: bool, include_queue: bool = False):
+    from lambda_lakehouse_spark.registry import (
+        load_all,
+        load_queue,
+        load_staged,
+    )
 
     reg = dict(load_all())
     if include_staged:
         reg.update(load_staged())
+    if include_queue:
+        reg.update(load_queue())
     return reg
 
 
@@ -68,7 +74,7 @@ def _canon_rows(cols, rows):
 
 
 def cmd_list(args) -> int:
-    reg = _registry(args.staged)
+    reg = _registry(args.staged, getattr(args, "queue", False))
     for name, q in sorted(reg.items()):
         if args.tag and args.tag not in q.tags:
             continue
@@ -79,7 +85,7 @@ def cmd_list(args) -> int:
 
 
 def _get_query(args):
-    reg = _registry(True)
+    reg = _registry(True, True)
     if args.query not in reg:
         near = [n for n in sorted(reg) if args.query in n]
         hint = f" (did you mean: {', '.join(near[:5])}?)" if near else ""
@@ -168,6 +174,9 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("list", help="list queries (* = bench headline)")
     sp.add_argument("--tag", help="filter by tag")
     sp.add_argument("--staged", action="store_true", help="include staged")
+    sp.add_argument(
+        "--queue", action="store_true", help="include the build-ahead queue"
+    )
     sp.set_defaults(fn=cmd_list)
 
     for name, fn, hlp in (

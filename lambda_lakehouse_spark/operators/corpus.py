@@ -3184,3 +3184,109 @@ def quality_ccnet_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_tokens").cast("bigint")
         ).alias("avg_digits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-pair unigram cosine similarity (round-9 build-ahead QUEUE)
+# ---------------------------------------------------------------------------
+#
+# The stylometric companion to the n-gram containment contamination
+# matrix: cosine similarity between per-source unigram COUNT vectors.
+# Containment asks "does source A literally contain source B's
+# shingles"; unigram cosine asks "do A and B draw from the same word
+# distribution" — the signal used to group near-duplicate crawls /
+# mirrored sources before assigning mixing weights (and the cheap
+# first pass before embedding-level comparison). Related corpora score
+# high here even when no passage is shared.
+#
+# Cross-engine exactness: dot products and norms are exact BIGINT
+# sums of count products (counts bounded by corpus token counts; the
+# product sum stays inside 2^63 up to ~3e9 tokens per (source, word)
+# histogram cell — far beyond any per-word count at sane vocab
+# sizes); cosine is one double expression over those integers, and
+# IEEE-754 sqrt is correctly rounded, so both engines agree
+# bit-for-bit.
+#
+# Scale: the histogram is the word-keyed inverted-index shuffle
+# (map-side combined); the pair join is keyed by word with bounded
+# fan-out |sources|^2 per word; output is |sources|^2 / 2 rows at any
+# corpus size.
+
+
+@register(
+    "corpus_source_unigram_cosine",
+    """
+WITH cnt AS (
+  SELECT source, w AS word, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(string_split_regex(text, '\\s+')) AS w
+        FROM documents)
+  GROUP BY source, w
+),
+norms AS (
+  SELECT source, CAST(SUM(c * c) AS BIGINT) AS n2 FROM cnt GROUP BY source
+),
+dots AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+  FROM cnt a JOIN cnt b ON a.word = b.word AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT d.source_a, d.source_b, d.dot,
+       CAST(d.dot AS DOUBLE) / (SQRT(CAST(na.n2 AS DOUBLE))
+                                * SQRT(CAST(nb.n2 AS DOUBLE))) AS cosine
+FROM dots d
+JOIN norms na ON na.source = d.source_a
+JOIN norms nb ON nb.source = d.source_b
+""",
+    doc="Source-pair cosine similarity over unigram count vectors — "
+    "the stylometric near-mirror detector read before mixing weights; "
+    "exact BIGINT dot products + correctly-rounded IEEE sqrt, "
+    "|sources|^2/2 output rows at any corpus size",
+    tags=("corpus", "stats", "dedup", "scale"),
+    queue=True,
+)
+def corpus_source_unigram_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("source", "text")
+    return source_unigram_cosine(docs)
+
+
+def source_unigram_cosine(docs: DataFrame) -> DataFrame:
+    """Ordered source-pair unigram-count cosine over (source, text)."""
+    cnt = (
+        docs.select("source", F.explode(F.split("text", r"\s+")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    norms = cnt.groupBy("source").agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("n2")
+    )
+    a = cnt.select(
+        F.col("source").alias("source_a"), "word", F.col("c").alias("ca")
+    )
+    b = cnt.select(
+        F.col("source").alias("source_b"), "word", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, "word")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("dot"))
+    )
+    na = norms.select(F.col("source").alias("source_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("source").alias("source_b"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "dot",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )

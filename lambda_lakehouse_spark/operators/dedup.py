@@ -1314,6 +1314,12 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Because the filter is complete, the ORACLE is the plain brute-force
 # Jaccard SQL (_ngram_oracle()) — the driver certifies that the
 # prefix plan returns EXACTLY the full-join answer.
+#
+# Benched since round 9: this was the registry's slowest query (19.3 s
+# at sf0.1) and nobody noticed because it wasn't a headliner — the
+# round-9 rewrite (shingle checkpoint + PPJoin pruning + single-eval
+# doc-grain verify) brought it to 8.5 s, and the bench flag keeps any
+# regression loud.
 
 
 def jaccard_prefix_filter_pairs(
@@ -1457,6 +1463,7 @@ def jaccard_prefix_filter_pairs(
     "brute-force SQL — then exact per-candidate verification. The "
     "lossless counterpart to the DF-cap heuristic.",
     tags=("dedup", "join", "scale", "prefix-filter"),
+    bench=True,
 )
 def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
@@ -1929,6 +1936,16 @@ def substring_coverage(
         )
         .where(F.col("e") - F.col("s") >= min_run)
         .select("doc_id", "s", "e")
+        # DISTINCT is load-bearing, not just semantic tidiness: two
+        # partners contributing the IDENTICAL span yield tied (s, e)
+        # rows, and with ties the sweep's max-e window and the
+        # island-numbering running sum may order the tied rows
+        # DIFFERENTLY — the island-starter flag lands on the "wrong"
+        # row and the span double-counts (observed: coverage 2.0 from
+        # DuckDB on the same SQL). After dedup every row in a doc
+        # partition differs in (s, e), so the window order is total on
+        # both engines.
+        .distinct()
     )
     # interval-union sweep per doc: island starts where s exceeds the
     # running max e of all earlier intervals (ordered by s, e)
@@ -1984,6 +2001,7 @@ ivals AS (
   GROUP BY doc_id, doc_b, diag, grp
   HAVING COUNT(*) + {SUBSTR_K} - 1 >= {SUBSTR_MIN_RUN}
 ),
+di AS (SELECT DISTINCT doc_id, s, e FROM ivals),
 sweep AS (
   SELECT doc_id, s, e,
          CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
@@ -1993,7 +2011,7 @@ sweep AS (
                                     ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND 1 PRECEDING) THEN 1
               ELSE 0 END AS new_isl
-  FROM ivals
+  FROM di
 ),
 isl AS (
   SELECT doc_id, s, e,

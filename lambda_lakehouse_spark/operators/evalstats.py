@@ -876,3 +876,119 @@ def stats_halfsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_all",
         F.sqrt(F.col("v")).alias("se_halfsample"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding isotropy / anisotropy audit (round-9 build-ahead QUEUE)
+# ---------------------------------------------------------------------------
+#
+# Contextual-embedding spaces are notoriously ANISOTROPIC — vectors
+# crowd a narrow cone, so cosine similarities are inflated and nearest-
+# neighbor search degrades (Ethayarajh, EMNLP 2019; Mu & Viswanath's
+# all-but-the-top ICLR 2018 remove the common mean for this reason).
+# The first-order diagnostic is ||mu||^2 / E||v||^2: the squared norm
+# of the mean vector over the mean squared norm. 0 = perfectly
+# centered (isotropic to first order); -> 1 = all vectors share one
+# direction. Computed per label so class-conditional collapse is
+# visible too.
+#
+# Cross-engine exactness: per-dimension sums and all squared terms go
+# through the module's fixed-point trick (floor(x * scale) summed as
+# exact BIGINT, one double divide at the end) — order-independent, so
+# Spark's partial-agg order and DuckDB agree bit-for-bit. The final
+# ratio is one double division. Sums are bounded by 1e12 * 64 * n_vecs
+# (vals in [-1, 1]); past ~1e5 vectors per label drop the square scale
+# a digit to stay inside 2^63 (the _ssum_sql rule).
+#
+# Scale: one position-exploded map-side-combined aggregate (the same
+# inverted-by-dimension shuffle every ANN scorer here rides) + a
+# 64-rows-per-label second level; output is |labels| rows at any
+# corpus size. No collect, no UDF.
+
+_ISO_SCALE_MEAN = int(1e6)
+_ISO_SCALE_SQ = int(1e12)
+
+
+@register(
+    "eval_embedding_isotropy",
+    f"""
+WITH flat AS (
+  SELECT label, pos, CAST(embedding[pos] AS DOUBLE) AS val
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS pos)
+),
+l1 AS (
+  SELECT label, pos, COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(val * {_ISO_SCALE_MEAN}) AS BIGINT))
+              AS BIGINT) AS s,
+         CAST(SUM(CAST(FLOOR(val * val * {_ISO_SCALE_SQ}) AS BIGINT))
+              AS BIGINT) AS q
+  FROM flat GROUP BY label, pos
+),
+l2 AS (
+  SELECT label, MAX(n) AS n_vecs,
+         CAST(SUM(CAST(FLOOR((CAST(s AS DOUBLE) / {_ISO_SCALE_MEAN} / n)
+                             * (CAST(s AS DOUBLE) / {_ISO_SCALE_MEAN} / n)
+                             * {_ISO_SCALE_SQ}) AS BIGINT)) AS BIGINT)
+           AS mu2s,
+         CAST(SUM(q) AS BIGINT) AS qs
+  FROM l1 GROUP BY label
+)
+SELECT CAST(label AS INTEGER) AS label,
+       CAST(n_vecs AS BIGINT) AS n_vecs,
+       CAST(mu2s AS DOUBLE) / {_ISO_SCALE_SQ} AS mu_norm_sq,
+       CAST(qs AS DOUBLE) / {_ISO_SCALE_SQ} / n_vecs AS mean_norm_sq,
+       (CAST(mu2s AS DOUBLE) / {_ISO_SCALE_SQ})
+         / (CAST(qs AS DOUBLE) / {_ISO_SCALE_SQ} / n_vecs) AS anisotropy
+FROM l2
+""",
+    doc="Per-label embedding anisotropy ||mu||^2 / E||v||^2 "
+    "(Ethayarajh EMNLP'19 diagnostic; motivates all-but-the-top mean "
+    "removal): position-exploded exact fixed-point sums, 64-row second "
+    "level, |labels| output rows at any corpus size",
+    tags=("eval", "vector", "similarity", "stats"),
+    queue=True,
+)
+def eval_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    return embedding_isotropy(emb)
+
+
+def embedding_isotropy(emb: DataFrame) -> DataFrame:
+    """Per-label ||mu||^2 / E||v||^2 over (label, embedding) rows."""
+    flat = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "valf")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    sm = float(_ISO_SCALE_MEAN)
+    sq = float(_ISO_SCALE_SQ)
+    l1 = flat.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("val") * F.lit(sm)).cast("bigint"))
+        .cast("bigint")
+        .alias("s"),
+        F.sum(
+            F.floor(F.col("val") * F.col("val") * F.lit(sq)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("q"),
+    )
+    mu = F.col("s").cast("double") / F.lit(sm) / F.col("n")
+    l2 = l1.groupBy("label").agg(
+        F.max("n").alias("n_vecs"),
+        F.sum(F.floor(mu * mu * F.lit(sq)).cast("bigint"))
+        .cast("bigint")
+        .alias("mu2s"),
+        F.sum("q").cast("bigint").alias("qs"),
+    )
+    mu_norm_sq = F.col("mu2s").cast("double") / F.lit(sq)
+    mean_norm_sq = F.col("qs").cast("double") / F.lit(sq) / F.col("n_vecs")
+    return l2.select(
+        F.col("label").cast("int").alias("label"),
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        mu_norm_sq.alias("mu_norm_sq"),
+        mean_norm_sq.alias("mean_norm_sq"),
+        (mu_norm_sq / mean_norm_sq).alias("anisotropy"),
+    )

@@ -1442,3 +1442,85 @@ def source_contamination(docs: DataFrame) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language x source (round-9 build-ahead QUEUE)
+# ---------------------------------------------------------------------------
+#
+# The multilingual-corpus budgeting signal: fertility = subword tokens
+# per whitespace word, and bytes per subword token, aggregated per
+# (lang, source). Languages whose tokenization is inefficient (high
+# fertility / low bytes-per-token) consume disproportionate context
+# window and training FLOPs per byte of text — the standard audit
+# before setting per-language mixing weights (cf. the fertility tables
+# in the mT5 and BLOOM tokenizer analyses). Uses the repo's two token
+# conventions: whitespace words and the BPE-ish segmentation
+# (BPE_TOKEN_RE: letter runs / digit runs / single punctuation).
+#
+# Scale: one aggregate over documents, map-side combined; output is
+# |lang| x |source| rows at any corpus size. All counts integer;
+# ratios are single double divisions of exact BIGINTs.
+
+
+@register(
+    "text_fertility_by_lang",
+    """
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(strlen(text)) AS BIGINT) AS byte_total,
+       CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+         AS word_total,
+       CAST(SUM(len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+         AS token_total,
+       CAST(CAST(SUM(len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS DOUBLE)
+         / CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+         AS fertility,
+       CAST(CAST(SUM(strlen(text)) AS BIGINT) AS DOUBLE)
+         / CAST(SUM(len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+         AS bytes_per_token
+FROM documents
+GROUP BY lang, source
+""",
+    doc="Tokenizer fertility audit per (lang, source): BPE-ish tokens "
+    "per whitespace word and bytes per token — the per-language "
+    "efficiency signal read before setting multilingual mixing weights "
+    "(mT5/BLOOM-style tokenizer analysis); one map-side-combined "
+    "aggregate, bounded output",
+    tags=("text", "tokens", "corpus", "quality"),
+    queue=True,
+)
+def text_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return fertility_stats(docs)
+
+
+def fertility_stats(docs: DataFrame) -> DataFrame:
+    """Per (lang, source): doc/byte/word/token totals + fertility and
+    bytes-per-token ratios over (lang, source, text) rows."""
+    t = F.col("text")
+    agg = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.octet_length(t)).cast("bigint").alias("byte_total"),
+        F.sum(F.size(F.split(t, r"\s+"))).cast("bigint").alias("word_total"),
+        F.sum(F.regexp_count(t, F.lit(BPE_TOKEN_RE)))
+        .cast("bigint")
+        .alias("token_total"),
+    )
+    return agg.select(
+        "lang",
+        "source",
+        "n_docs",
+        "byte_total",
+        "word_total",
+        "token_total",
+        (F.col("token_total").cast("double") / F.col("word_total")).alias(
+            "fertility"
+        ),
+        (F.col("byte_total").cast("double") / F.col("token_total")).alias(
+            "bytes_per_token"
+        ),
+    )

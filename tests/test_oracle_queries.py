@@ -7,11 +7,12 @@ from __future__ import annotations
 
 import pytest
 
-from lambda_lakehouse_spark.registry import load_all, load_staged
+from lambda_lakehouse_spark.registry import load_all, load_queue, load_staged
 from tests.conftest import SF_DIR, assert_query_matches_oracle
 
 REGISTRY = load_all()
 STAGED = load_staged()
+QUEUE = load_queue()
 WITH_ORACLE = sorted(name for name, q in REGISTRY.items() if q.oracle is not None)
 NO_ORACLE = sorted(name for name, q in REGISTRY.items() if q.oracle is None)
 
@@ -26,6 +27,18 @@ def test_staged_query_matches_oracle(spark, ducks, name):
     """Round-6 queue: staged queries pass the identical oracle gate
     before they are ever exposed to the grading driver."""
     q = STAGED[name]
+    if q.oracle is None:
+        df = q.spark(spark, SF_DIR)
+        assert df.count() >= 0
+    else:
+        assert_query_matches_oracle(spark, ducks, q)
+
+
+@pytest.mark.parametrize("name", sorted(QUEUE))
+def test_queue_query_matches_oracle(spark, ducks, name):
+    """Build-ahead queue: queue queries pass the identical oracle gate
+    before they are ever promoted to STAGED."""
+    q = QUEUE[name]
     if q.oracle is None:
         df = q.spark(spark, SF_DIR)
         assert df.count() >= 0

@@ -1,0 +1,135 @@
+"""Crafted-fixture semantics tests for the round-9 build-ahead QUEUE
+operators (the full DuckDB-oracle compare runs in
+test_oracle_queries.py::test_queue_query_matches_oracle; these pin the
+operator semantics on inputs with known closed-form answers)."""
+
+from __future__ import annotations
+
+import math
+
+
+def _doc_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_substring_runs_single_shared_run(spark):
+    """Two docs embedding the same 12-token passage at different
+    offsets report exactly one >= 10-token run of 12 tokens; an
+    unrelated doc pairs with neither."""
+    from lambda_lakehouse_spark.operators.dedup import substring_run_pairs
+
+    base = " ".join(f"c{i}" for i in range(12))
+    docs = _doc_df(
+        spark,
+        [
+            (1, f"a1 a2 {base} a3"),
+            (2, f"b1 {base} b4 b5"),
+            (3, " ".join(f"z{i}" for i in range(16))),
+        ],
+    )
+    rows = substring_run_pairs(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.n_runs == 1
+    assert r.max_run_tokens == 12
+    assert r.total_run_tokens == 12
+
+
+def test_substring_runs_two_separate_runs(spark):
+    """Two shared passages separated by differing filler merge into
+    two distinct runs (different diagonals), counted separately."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from lambda_lakehouse_spark.operators.dedup import substring_run_pairs
+
+    r1 = " ".join(f"p{i}" for i in range(10))
+    r2 = " ".join(f"q{i}" for i in range(11))
+    docs = _doc_df(
+        spark,
+        [
+            (1, f"{r1} x1 {r2}"),
+            (2, f"{r1} y1 y2 {r2}"),
+        ],
+    )
+    rows = substring_run_pairs(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_runs == 2
+    assert r.max_run_tokens == 11
+    assert r.total_run_tokens == 21
+
+
+def test_substring_coverage_merges_overlapping_partners(spark):
+    """Doc 1 shares tokens 1-12 with doc 2 and tokens 7-18 with doc 3;
+    the interval union must count 18 covered tokens, not 24."""
+    from lambda_lakehouse_spark.operators.dedup import substring_coverage
+
+    t = [f"t{i}" for i in range(18)]
+    docs = _doc_df(
+        spark,
+        [
+            (1, " ".join(t) + " a9"),
+            (2, "b1 b2 " + " ".join(t[:12]) + " b3"),
+            (3, "c1 " + " ".join(t[6:]) + " c2 c3"),
+        ],
+    )
+    cov = {r.doc_id: r for r in substring_coverage(docs).collect()}
+    assert cov[1].n_tokens == 19
+    assert cov[1].covered_tokens == 18
+    assert math.isclose(cov[1].coverage, 18 / 19)
+    # partners cover exactly their embedded copy
+    assert cov[2].covered_tokens == 12
+    assert cov[3].covered_tokens == 12
+
+
+def test_isotropy_degenerate_and_centered(spark):
+    """All-identical vectors -> anisotropy ~= 1; an exactly symmetric
+    +v/-v cloud -> mean vector 0 -> anisotropy 0."""
+    from lambda_lakehouse_spark.operators.evalstats import embedding_isotropy
+
+    v = [0.25 if i % 2 == 0 else -0.125 for i in range(64)]
+    neg = [-x for x in v]
+    rows = [(0, v)] * 4 + [(1, v), (1, neg), (1, v), (1, neg)]
+    emb = spark.createDataFrame(rows, "label int, embedding array<float>")
+    got = {r.label: r for r in embedding_isotropy(emb).collect()}
+    assert got[0].n_vecs == 4 and got[1].n_vecs == 4
+    assert math.isclose(got[0].anisotropy, 1.0, abs_tol=1e-4)
+    assert got[1].anisotropy == 0.0
+    # mean squared norm matches the closed form ||v||^2 (quantized)
+    norm_sq = sum(x * x for x in v)
+    assert math.isclose(got[0].mean_norm_sq, norm_sq, abs_tol=1e-4)
+
+
+def test_fertility_closed_form(spark):
+    """Two tiny docs with hand-countable bytes/words/BPE tokens."""
+    from lambda_lakehouse_spark.operators.text import fertility_stats
+
+    docs = spark.createDataFrame(
+        [("en", "s1", "ab cd"), ("en", "s1", "a,b")],
+        "lang string, source string, text string",
+    )
+    r = fertility_stats(docs).collect()[0]
+    assert (r.lang, r.source) == ("en", "s1")
+    assert r.n_docs == 2
+    assert r.byte_total == 8  # "ab cd" = 5 + "a,b" = 3
+    assert r.word_total == 3  # [ab, cd] + [a,b]
+    assert r.token_total == 5  # [ab, cd] + [a][,][b]
+    assert math.isclose(r.fertility, 5 / 3)
+    assert math.isclose(r.bytes_per_token, 8 / 5)
+
+
+def test_unigram_cosine_closed_form(spark):
+    """cnt(s1)={a:2,b:1}, cnt(s2)={a:1,b:2} -> cos = 4/5; a source
+    sharing no word with the others produces no pair row."""
+    from lambda_lakehouse_spark.operators.corpus import source_unigram_cosine
+
+    docs = spark.createDataFrame(
+        [("s1", "a a b"), ("s2", "a b b"), ("s3", "c")],
+        "source string, text string",
+    )
+    rows = source_unigram_cosine(docs).collect()
+    assert {(r.source_a, r.source_b) for r in rows} == {("s1", "s2")}
+    r = rows[0]
+    assert r.dot == 4
+    assert math.isclose(r.cosine, 4 / 5)

@@ -70,10 +70,10 @@ def test_every_query_has_unique_output_columns(spark):
     construction itself requires)."""
     from tests.conftest import SF_DIR
 
-    from lambda_lakehouse_spark.registry import load_staged
+    from lambda_lakehouse_spark.registry import load_queue, load_staged
 
     offenders = []
-    for name, q in {**load_all(), **load_staged()}.items():
+    for name, q in {**load_all(), **load_staged(), **load_queue()}.items():
         cols = q.spark(spark, SF_DIR).columns
         if len(set(cols)) != len(cols):
             offenders.append((name, cols))

@@ -238,7 +238,7 @@ def test_no_pathological_join_plans(spark):
     BroadcastNestedLoopJoin is allowed only where a deliberate 1-row
     broadcast cross join exists (simhash's reference-signature join).
     Catches accidental non-equi joins before they reach a cluster."""
-    from lambda_lakehouse_spark.registry import load_all, load_staged
+    from lambda_lakehouse_spark.registry import load_all, load_queue, load_staged
 
     # both entries join a deliberate 1-row broadcast side (simhash's
     # reference signature; the sketch query's merge-identity flag) —
@@ -294,7 +294,7 @@ def test_no_pathological_join_plans(spark):
         "formatted"
     )
     offenders = []
-    for name, q in sorted({**load_all(), **load_staged()}.items()):
+    for name, q in sorted({**load_all(), **load_staged(), **load_queue()}.items()):
         plan = q.spark(spark, SF_DIR)._jdf.queryExecution().explainString(mode)
         if "CartesianProduct" in plan:
             offenders.append((name, "CartesianProduct"))
@@ -315,7 +315,7 @@ def test_no_unpartitioned_window_over_unbounded_input(spark):
     (operators/ranking.py holds the sanctioned replacements)."""
     import re
 
-    from lambda_lakehouse_spark.registry import load_all, load_staged
+    from lambda_lakehouse_spark.registry import load_all, load_queue, load_staged
 
     # Unpartitioned windows whose input relation is bounded by an
     # AGGREGATE on a fixed-cardinality key (a limit would be visible to
@@ -380,7 +380,7 @@ def test_no_unpartitioned_window_over_unbounded_input(spark):
         return hits
 
     offenders, allowlist_hits = [], set()
-    for name, q in sorted({**load_all(), **load_staged()}.items()):
+    for name, q in sorted({**load_all(), **load_staged(), **load_queue()}.items()):
         for order, bounded in unpartitioned_global_windows(
             q.spark(spark, SF_DIR)
         ):
@@ -408,7 +408,7 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
     lookups, probe sets) may stay hinted."""
     import re
 
-    from lambda_lakehouse_spark.registry import load_all, load_staged
+    from lambda_lakehouse_spark.registry import load_all, load_queue, load_staged
 
     big = (
         "lineitem.parquet",
@@ -602,7 +602,7 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
         # out of FileScan lines under a long SPARK_GRAFT_TEST_SF_DIR →
         # silent false negatives in the filename match above
         spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
-        for name, q in sorted({**load_all(), **load_staged()}.items()):
+        for name, q in sorted({**load_all(), **load_staged(), **load_queue()}.items()):
             allowed = bounded_by_construction.get(name, set())
             for t, bounded in forced_big_broadcasts(q.spark(spark, SF_DIR)):
                 if t not in allowed:

@@ -56,6 +56,32 @@ def main() -> None:
             "| Query | Oracle | Tags | Description |\n|---|---|---|---|\n"
             + "\n".join(staged_rows) + "\n"
         )
+    from lambda_lakehouse_spark.registry import load_queue
+
+    queue = load_queue()
+    queue_rows = []
+    for name in sorted(queue):
+        q = queue[name]
+        oracle = "yes" if q.oracle else "rows-only"
+        doc = " ".join(q.doc.split())
+        if len(doc) > 110:
+            doc = doc[:107] + "..."
+        doc = doc.replace("|", "\\|")
+        queue_rows.append(
+            f"| `{name}` | {oracle} | {', '.join(q.tags)} | {doc} |"
+        )
+    queue_section = ""
+    if queue_rows:
+        queue_section = (
+            f"\n### Build-ahead queue (promotes to staged, <=5/round)\n\n"
+            f"{len(queue_rows)} queries fully implemented and passing the "
+            "identical DuckDB-oracle gate in pytest "
+            "(tests/test_oracle_queries.py::test_queue_query_matches_oracle) "
+            "but built ahead of the staging cap — up to 5 promote to "
+            "STAGED at the next round boundary.\n\n"
+            "| Query | Oracle | Tags | Description |\n|---|---|---|---|\n"
+            + "\n".join(queue_rows) + "\n"
+        )
     appendix = (
         MARKER + "\n\n"
         + f"{len(reg)} registered queries (generated — run "
@@ -63,6 +89,7 @@ def main() -> None:
         "| Query | Oracle | Tags | Description |\n|---|---|---|---|\n"
         + "\n".join(rows) + "\n"
         + staged_section
+        + queue_section
     )
     open("COVERAGE.md", "w").write(head + appendix)
     print(
