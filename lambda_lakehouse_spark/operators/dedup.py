@@ -441,14 +441,36 @@ def _hexval(expr: str) -> str:
     )
 
 
+# Signature geometry. Round 9 widened 16 -> 32 bits: at sf0.1 the
+# 16-bit signature SATURATES — word-soup documents drawing on one
+# shared vocabulary land within hamming <= 3 of each other so often
+# that ~30% of ALL doc pairs qualified (38,003 pairs at sf0.01,
+# ~3.8M projected at sf0.1, 138 s measured), which is both useless as
+# a near-dup signal and quadratic in output. 32 bits keeps the
+# md5-nibble vote construction (one nibble per bit position) and the
+# pigeonhole-complete 4-band blocking (8-bit bands -> 256 bucket
+# values, so band buckets are 16x finer as well).
+SIMHASH_BITS = 32  # one md5 hex nibble per bit; md5 has 32 nibbles
+SIMHASH_BANDS = 4  # pigeonhole-complete for hamming <= SIMHASH_BANDS - 1
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+
+
 def _simhash_expr() -> str:
-    """16-bit simhash over whitespace tokens via md5-nibble votes."""
-    bit = _hexval("substr(md5(t), p, 1)")
+    """SIMHASH_BITS-bit simhash over whitespace tokens via md5-nibble
+    votes.
+
+    md5(t) is bound ONCE per token through the single-element-array
+    lambda (band_table/winnowing rails) and every bit position reads
+    its nibble from the bound hash array — the naive form recomputed
+    md5 per (token, bit): 32x the hashing, measured 15.7 s for the
+    signature pass alone at sf0.1 (now ~1 s)."""
+    bit = _hexval("substr(m, p, 1)")
     vote = f"CASE WHEN ({bit}) >= 8 THEN 1 ELSE -1 END"
     return (
-        "concat_ws('', transform(sequence(1, 16), p -> "
-        f"CASE WHEN aggregate(transform(toks, t -> {vote}), 0, (acc, v) -> acc + v) >= 0 "
-        "THEN '1' ELSE '0' END))"
+        "transform(array(transform(toks, t -> md5(t))), ms -> "
+        f"concat_ws('', transform(sequence(1, {SIMHASH_BITS}), p -> "
+        f"CASE WHEN aggregate(ms, 0, (acc, m) -> acc + {vote}) >= 0 "
+        "THEN '1' ELSE '0' END)))[0]"
     )
 
 
@@ -463,11 +485,11 @@ sigs AS (
                                 THEN 1 ELSE -1 END
                                 FOR t IN toks]) >= 0
                  THEN '1' ELSE '0' END
-            FOR p IN range(1, 17)], 'string_agg', '') AS simhash
+            FOR p IN range(1, {SIMHASH_BITS + 1})], 'string_agg', '') AS simhash
   FROM tok
 )
 SELECT s.doc_id, s.simhash,
-       CAST(len(list_filter(range(1, 17),
+       CAST(len(list_filter(range(1, {SIMHASH_BITS + 1}),
                  p -> s.simhash[p] <> r.simhash[p])) AS INTEGER) AS hamming_to_doc0
 FROM sigs s, (SELECT simhash FROM sigs WHERE doc_id = 0) r
 """
@@ -478,11 +500,12 @@ def simhash_hamming(
     ref_doc_id: int = 0,
     out_col: str = "hamming_to_ref",
 ) -> DataFrame:
-    """16-bit simhash per doc + hamming distance to the signature of
-    ``ref_doc_id``. Raises if the reference doc is absent (a silent
-    empty result was the old failure mode). The reference signature is
-    resolved with a one-row control-plane collect (filter-pushed scan),
-    then distance is a pure projection — no join in the data path.
+    """SIMHASH_BITS-bit simhash per doc + hamming distance to the
+    signature of ``ref_doc_id``. Raises if the reference doc is absent
+    (a silent empty result was the old failure mode). The reference
+    signature is resolved with a one-row control-plane collect
+    (filter-pushed scan), then distance is a pure projection — no join
+    in the data path.
     """
     sigs = docs.select(
         "doc_id", F.split(F.col("text"), r"\s+").alias("toks")
@@ -494,7 +517,7 @@ def simhash_hamming(
         )
     ref_sig = ref_rows[0].simhash
     ham = (
-        "size(filter(sequence(1, 16),"
+        f"size(filter(sequence(1, {SIMHASH_BITS}),"
         f" p -> substr(simhash, p, 1) <> substr('{ref_sig}', p, 1)))"
     )
     return sigs.select("doc_id", "simhash", F.expr(ham).alias(out_col))
@@ -503,9 +526,11 @@ def simhash_hamming(
 @register(
     "dedup_simhash",
     _SIMHASH_ORACLE,
-    doc="SimHash: 16-bit signatures from integer-summed md5-nibble votes "
-    "(order-independent, no shuffle) + hamming distance to a reference doc "
-    "(parameterized via simhash_hamming; doc 0 here to match the oracle)",
+    doc=f"SimHash: {SIMHASH_BITS}-bit signatures from integer-summed "
+    "md5-nibble votes (order-independent, no shuffle) + hamming distance "
+    "to a reference doc (parameterized via simhash_hamming; doc 0 here "
+    "to match the oracle). Widened from 16 bits in round 9: the shorter "
+    "signature saturated at corpus scale",
     tags=("dedup", "hash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -806,22 +831,66 @@ _EVAL_THRESHOLD = 0.5
 _EVAL_SHINGLE_LEN = 5
 
 
-def _shingle_sets(docs: DataFrame, shingle_len: int):
-    """(sizes, ex): distinct-shingle set sizes and the exploded
-    (doc_id, s) inverted index — the ONE definition of the exact-
-    Jaccard shingle machinery, shared by ``exact_jaccard_pairs`` and
+def _shingle_arrays(docs: DataFrame, shingle_len: int) -> DataFrame:
+    """Doc-grain (doc_id, shingles, n) distinct-shingle arrays, lazily
+    checkpointed — the ONE definition of the exact-Jaccard shingle
+    machinery, shared by ``exact_jaccard_pairs`` and
     ``minhash_lsh_verified_pairs`` so the verified⊆exact property
-    holds by construction, not by keeping two copies in sync."""
+    holds by construction, not by keeping two copies in sync. The
+    checkpoint is load-bearing: the per-character transform is the
+    expensive pass and several branches (DF model, prefix/candidate
+    index, both verify sides) consume it."""
     sh = docs.select(
         "doc_id",
         F.expr(
             f"array_distinct(transform(sequence(1, greatest(length(text)-{shingle_len - 1}, 1)),"
             f" i -> substr(text, i, {shingle_len})))"
         ).alias("shingles"),
+    ).withColumn("n", F.size("shingles"))
+    return sh.localCheckpoint(eager=False)
+
+
+def _doc_grain_jaccard(
+    cand: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact jaccard per candidate (doc_a, doc_b) pair via row-local
+    ``array_intersect`` over the doc-grain shingle arrays; candidates
+    are the only moving rows. The narrow post-intersect checkpoint
+    stops Catalyst pushing the jaccard filter into the join condition
+    (which re-evaluates array_intersect per candidate — the
+    prefix-filter find)."""
+    arr_a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n").alias("na"),
     )
-    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    return sizes, ex
+    arr_b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n").alias("nb"),
+    )
+    inter = (
+        cand.join(arr_a, "doc_a")
+        .join(arr_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "na",
+            "nb",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            .cast("long")
+            .alias("n_common"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def exact_jaccard_pairs(
@@ -829,32 +898,58 @@ def exact_jaccard_pairs(
     shingle_len: int = _EVAL_SHINGLE_LEN,
     threshold: float = _EVAL_THRESHOLD,
 ) -> DataFrame:
-    """Corpus-wide exact shingle-Jaccard pairs >= threshold via the
-    inverted-index formulation (shuffle key = shingle). Ground truth
-    for the LSH eval; quadratic only inside shared-shingle groups."""
-    sizes, ex = _shingle_sets(docs, shingle_len)
-    x, y = ex.alias("x"), ex.alias("y")
-    inter = (
-        x.join(
-            y,
-            (F.col("x.s") == F.col("y.s"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+    """Corpus-wide exact shingle-Jaccard pairs >= threshold.
+
+    Round-9 rewrite: the original inverted-index self-join
+    (candidates = every pair sharing ANY shingle, counted at shingle
+    grain) is Σ_s df(s)^2 — on a shared-vocabulary corpus that is
+    effectively all-pairs at shingle grain and measured **455 s at
+    sf0.1**. Ground truth must stay EXACT, so the fix is the AllPairs
+    prefix filter (Bayardo WWW'07) applied GLOBALLY: every pair with
+    jaccard >= t shares a shingle inside both rarest-first prefixes
+    (pigeonhole-COMPLETE — no qualifying pair can be missed), plus the
+    PPJoin length/positional prunes (necessary conditions only,
+    epsilon-conservative float bounds), then the exact doc-grain
+    array_intersect verify. Same output, provably — completeness of
+    the filter is the theorem, and the oracle stays the plain
+    brute-force SQL. 455 s -> ~11 s."""
+    from pyspark.sql import Window as W
+
+    sh = _shingle_arrays(docs, shingle_len)
+    ex = sh.select("doc_id", "n", F.explode("shingles").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+    rk = F.row_number().over(W.partitionBy("doc_id").orderBy("_df", "s"))
+    prefix = (
+        ex.join(dfreq, "s")
+        .withColumn("_rk", rk)
+        .where(
+            F.col("_rk")
+            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
         )
-        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select("doc_id", "s", "n", "_rk")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("n_common").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_common")
+    px, py = prefix.alias("px"), prefix.alias("py")
+    na, nb_ = F.col("px.n"), F.col("py.n")
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (na + nb_) - F.lit(1e-9)
     )
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", jac)
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+    ubound = 1 + F.least(na - F.col("px._rk"), nb_ - F.col("py._rk"))
+    cand = (
+        px.join(
+            py,
+            (F.col("px.s") == F.col("py.s"))
+            & (F.col("px.doc_id") < F.col("py.doc_id"))
+            & (nb_ >= F.ceil(F.lit(threshold) * na - F.lit(1e-9)))
+            & (nb_ <= F.floor(na / F.lit(threshold) + F.lit(1e-9)))
+            & (ubound >= alpha),
+        )
+        .select(
+            F.col("px.doc_id").alias("doc_a"),
+            F.col("py.doc_id").alias("doc_b"),
+        )
+        .distinct()
     )
+    return _doc_grain_jaccard(cand, sh, threshold)
 
 
 def _minhash_oracle_cte(cte_name: str = "mh", shingle_len: int = 5) -> str:
@@ -930,9 +1025,12 @@ FROM j
     "precision/recall in one certified row; recall folds in both "
     "banding misses and estimation error (the honest end-to-end "
     "number). AUDIT query: the ground-truth side is deliberately "
-    "all-pairs within its slice (quadratic — 5s at sf0.01, minutes at "
-    "sf0.1); at scale run it on a sampled slice, never the corpus — "
-    "the production path is dedup_minhash_lsh_verified",
+    "all-pairs within its slice (the r9 rewrite routes ground truth "
+    "through the pigeonhole-complete global prefix filter: 455 s -> "
+    "~63 s at sf0.1, still ~n^2 verifies on a shared-vocab corpus "
+    "where half of all pairs genuinely collide); at scale run it on a "
+    "sampled slice, never the corpus — the production path is "
+    "dedup_minhash_lsh_verified",
     tags=("dedup", "lsh", "eval"),
 )
 def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -992,32 +1090,10 @@ def minhash_lsh_verified_pairs(
     cand = minhash_lsh_pairs(docs, shingle_len=shingle_len).select(
         "doc_a", "doc_b"
     )
-    sizes, ex = _shingle_sets(docs, shingle_len)
-    exa = ex.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    exb = ex.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
-    # fan candidates out over doc_a's shingles, keep rows where doc_b
-    # holds the same shingle — intersection counted per candidate pair
-    fanned = cand.join(exa, "doc_a")
-    inter = (
-        fanned.join(
-            exb,
-            (fanned["doc_b"] == exb["doc_b"]) & (fanned["sa"] == exb["sb"]),
-        )
-        .groupBy(fanned["doc_a"], fanned["doc_b"])
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("n_common").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_common")
-    )
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", jac)
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    # Exact verification at DOC grain (round-9 rewrite, same rails as
+    # exact_jaccard_pairs): the old fan-out re-exploded doc_a's full
+    # shingle set per candidate and re-joined at shingle grain.
+    return _doc_grain_jaccard(cand, _shingle_arrays(docs, shingle_len), threshold)
 
 
 def _lsh_verified_oracle(
@@ -1185,36 +1261,48 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash banded pairing (round-6 staged)
 # ---------------------------------------------------------------------------
 
-_SIMHASH_MAX_HAMMING = 3  # 4 bands of 4 bits: pigeonhole-complete for <= 3
+_SIMHASH_MAX_HAMMING = 3  # SIMHASH_BANDS bands: pigeonhole-complete for <= 3
 
 
 def simhash_hamming_pairs(
     docs: DataFrame, max_hamming: int = _SIMHASH_MAX_HAMMING
 ) -> DataFrame:
     """All doc pairs within ``max_hamming`` bit flips of each other on
-    the 16-bit simhash, via banded blocking: split each signature into
-    4 non-overlapping 4-bit bands; pairs within hamming ≤ 3 MUST agree
-    on at least one band (pigeonhole — 3 flips cannot touch 4 bands),
-    so an equi self-join on (band_idx, band_bits) generates every
-    candidate and the exact per-bit count filters. The Manku et al.
-    (WWW'07) near-duplicate table-split scheme as one declarative
-    plan; candidates are bounded by band-bucket density, never
-    all-pairs."""
-    sigs = docs.select(
-        "doc_id", F.split(F.col("text"), r"\s+").alias("toks")
-    ).select("doc_id", F.expr(_simhash_expr()).alias("simhash"))
+    the SIMHASH_BITS-bit simhash, via banded blocking: split each
+    signature into SIMHASH_BANDS non-overlapping SIMHASH_BAND_BITS-bit
+    bands; pairs within hamming ≤ SIMHASH_BANDS - 1 MUST agree on at
+    least one band (pigeonhole — 3 flips cannot touch 4 bands), so an
+    equi self-join on (band_idx, band_bits) generates every candidate
+    and the exact per-bit count filters. The Manku et al. (WWW'07)
+    near-duplicate table-split scheme as one declarative plan;
+    candidates are bounded by band-bucket density, never all-pairs."""
+    # The signature relation is doc-grain and tiny (one 32-char string
+    # per doc) but expensive to derive — and FOUR consumers reference
+    # it (two band-join sides, two verify sides). Lazy localCheckpoint
+    # runs the hashing once; the textbook small-truncation-point shape.
+    sigs = (
+        docs.select("doc_id", F.split(F.col("text"), r"\s+").alias("toks"))
+        .select("doc_id", F.expr(_simhash_expr()).alias("simhash"))
+        .localCheckpoint(eager=False)
+    )
     bands = sigs.select(
         "doc_id",
-        "simhash",
         F.explode(
             F.expr(
-                "transform(sequence(0, 3),"
+                f"transform(sequence(0, {SIMHASH_BANDS - 1}),"
                 " b -> struct(b AS band_idx,"
-                "             substr(simhash, b * 4 + 1, 4) AS band_bits))"
+                f"             substr(simhash, b * {SIMHASH_BAND_BITS} + 1,"
+                f" {SIMHASH_BAND_BITS}) AS band_bits))"
             )
         ).alias("band"),
-    ).select("doc_id", "simhash", "band.band_idx", "band.band_bits")
+    ).select("doc_id", "band.band_idx", "band.band_bits")
     a, b = bands.alias("a"), bands.alias("b")
+    # Candidates move as BARE id pairs: a homogeneous corpus makes
+    # band buckets skew hard (one 8-bit band value held 3,239 of 5,000
+    # docs at sf0.1 -> 7.5M pre-distinct candidates), so the join
+    # output must not carry the signature strings — they re-attach
+    # after the distinct via two doc-keyed joins against the
+    # checkpointed doc-grain sigs (AQE broadcasts them unhinted).
     cand = (
         a.join(
             b,
@@ -1225,17 +1313,22 @@ def simhash_hamming_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
         )
         .distinct()  # pairs agreeing on >1 band collapse to one row
     )
+    withsigs = cand.join(
+        sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a")),
+        "doc_a",
+    ).join(
+        sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b")),
+        "doc_b",
+    )
     ham = F.expr(
-        "size(filter(sequence(1, 16),"
+        f"size(filter(sequence(1, {SIMHASH_BITS}),"
         " p -> substr(sig_a, p, 1) <> substr(sig_b, p, 1)))"
     )
     return (
-        cand.withColumn("hamming", ham.cast("int"))
+        withsigs.withColumn("hamming", ham.cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
@@ -1252,13 +1345,14 @@ sigs AS (
                                 THEN 1 ELSE -1 END
                                 FOR t IN toks]) >= 0
                  THEN '1' ELSE '0' END
-            FOR p IN range(1, 17)], 'string_agg', '') AS simhash
+            FOR p IN range(1, {SIMHASH_BITS + 1})], 'string_agg', '') AS simhash
   FROM tok
 ),
 bands AS (
   SELECT doc_id, simhash, b AS band_idx,
-         substr(simhash, b * 4 + 1, 4) AS band_bits
-  FROM sigs, (SELECT unnest(range(0, 4)) AS b)
+         substr(simhash, b * {SIMHASH_BAND_BITS} + 1, {SIMHASH_BAND_BITS})
+           AS band_bits
+  FROM sigs, (SELECT unnest(range(0, {SIMHASH_BANDS})) AS b)
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1269,10 +1363,10 @@ cand AS (
               AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b,
-       CAST(len(list_filter(range(1, 17),
+       CAST(len(list_filter(range(1, {SIMHASH_BITS + 1}),
                  p -> sig_a[p] <> sig_b[p])) AS INTEGER) AS hamming
 FROM cand
-WHERE len(list_filter(range(1, 17), p -> sig_a[p] <> sig_b[p]))
+WHERE len(list_filter(range(1, {SIMHASH_BITS + 1}), p -> sig_a[p] <> sig_b[p]))
         <= {_SIMHASH_MAX_HAMMING}
 """
 
@@ -1280,10 +1374,12 @@ WHERE len(list_filter(range(1, 17), p -> sig_a[p] <> sig_b[p]))
 @register(
     "dedup_simhash_hamming_pairs",
     _SIMHASH_PAIRS_ORACLE,
-    doc="SimHash near-dup PAIRS (Manku WWW'07 banded scheme): 4x4-bit "
-    "band equi self-join — pigeonhole-complete for hamming <= 3 — "
-    "then exact bit-count verify; bucket-density-bounded candidates, "
-    "never all-pairs",
+    doc="SimHash near-dup PAIRS (Manku WWW'07 banded scheme): "
+    f"{SIMHASH_BANDS}x{SIMHASH_BAND_BITS}-bit band equi self-join — "
+    "pigeonhole-complete for hamming <= 3 — then exact bit-count "
+    "verify; bucket-density-bounded candidates, never all-pairs. "
+    "Widened from 16-bit signatures in round 9 (saturation: ~30% of "
+    "all pairs qualified at sf0.01)",
     tags=("dedup", "hash", "join", "scale"),
 )
 def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

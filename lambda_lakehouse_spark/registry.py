@@ -82,14 +82,16 @@ REGISTRY: dict[str, Query] = {}
 # alphabetically-first r5 greens.
 #
 # ROUND-10 ROTATION PRE-PLAN (per the round-8 verdict, demand 7):
-# after r9 certifies, the staleness histogram is r5:33, r6:42, r7:50,
-# r8:49, r9:50 (dedup_jaccard_prefix_filter re-certifies in r9 via
-# --must after its plan change, displacing the last r5 fill slot).
-# The r10 window therefore takes the ≤5 r9 graduates + all 33
-# remaining r5 greens (clearing r5 entirely) + ~12 oldest r6 greens —
-# 5+33+12 = 50, comfortably inside the window-fit invariant at 224
-# registered + ≤5 staged. Run gen_driver_window.py as usual; it
-# derives exactly this composition mechanically.
+# after r9 certifies, 34 r5 greens remain the oldest tier (the four
+# r9 --must re-certs consumed fill slots but also pulled two r5
+# members — dedup_lsh_eval, dedup_minhash_lsh_verified — forward to
+# r9-green). The r10 window therefore takes the ≤5 r9 graduates (the
+# STAGED cohort; QUEUE promotion to staged happens separately and
+# costs no r10 slots) + all 34 remaining r5 greens (clearing r5
+# entirely) + ~11 oldest r6 greens — 5+34+11 = 50, inside the
+# window-fit invariant at 224 registered + ≤5 staged. Run
+# gen_driver_window.py as usual; it derives exactly this composition
+# mechanically.
 STAGED: dict[str, Query] = {}
 
 # Build-ahead queue: fully implemented and oracle-tested (the pytest
@@ -134,7 +136,9 @@ def register(
 # tests/test_registry_contract.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # — round-9 window (50 slots), generated by
-    #   tools/gen_driver_window.py --must dedup_jaccard_prefix_filter —
+    #   tools/gen_driver_window.py --must dedup_jaccard_prefix_filter
+    #   dedup_simhash_hamming_pairs dedup_lsh_eval
+    #   dedup_minhash_lsh_verified —
     # Slots 1-5: the round-9 graduation — the 5 formerly-STAGED
     # round-8 queries (pytest oracle-green at sf0.001/sf0.01 and
     # judge-CLI-verified, no driver row yet).
@@ -143,13 +147,23 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "mine_hard_negatives",
     "sample_dsir_hashed_ngrams",
     "eval_dsir_target_shift",
-    # Slot 6: --must re-cert — dedup_jaccard_prefix_filter's plan
-    # changed this round (19.3 s -> 8.5 s at sf0.1: shingle-array
-    # checkpoint, PPJoin length+positional pruning, doc-grain
-    # single-eval verify); its r7 green row certifies the OLD plan,
-    # so it re-certifies now per the rotation policy.
+    # Slots 6-9: --must re-certs — the round-9 hidden-hotspot sweep
+    # (time EVERY query at sf0.1, not just the headliners) changed
+    # these plans, so their old green rows certify superseded plans:
+    #   dedup_jaccard_prefix_filter 19.3 -> 8.5 s (shingle-array
+    #     checkpoint + PPJoin pruning + doc-grain single-eval verify);
+    #   dedup_simhash_hamming_pairs 138 -> 11.3 s AND output changed
+    #     (signature widened 16 -> 32 bits: the short signature
+    #     saturated — ~30% of all pairs within hamming 3);
+    #   dedup_lsh_eval 455 -> ~63 s (exact ground truth via the
+    #     pigeonhole-complete global prefix filter instead of the
+    #     shingle-grain Sigma-df^2 self-join);
+    #   dedup_minhash_lsh_verified 8.0 -> 3.2 s (doc-grain verify).
     "dedup_jaccard_prefix_filter",
-    # Slots 7-40: the ENTIRE remaining r4-stale cohort (34
+    "dedup_simhash_hamming_pairs",
+    "dedup_lsh_eval",
+    "dedup_minhash_lsh_verified",
+    # Slots 10-43: the ENTIRE remaining r4-stale cohort (34
     # queries whose newest green is r04), clearing the oldest
     # staleness tier completely per the rotation policy above.
     "dedup_minhash_lsh_capped",
@@ -186,9 +200,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "window_share_of_total",
     "window_tumbling_agg",
     "window_value_functions",
-    # Slots 41-50: the 10 alphabetically-first r5 greens — the
-    # head of the next-oldest cohort (the 11th fill slot went to
-    # the slot-6 --must re-cert).
+    # Slots 44-50: the 7 alphabetically-first r5 greens — the head
+    # of the next-oldest cohort (four fill slots went to the
+    # slot-6..9 --must re-certs).
     "agg_approx_sketches",
     "agg_exact_percentiles",
     "agg_weighted_stats",
@@ -196,14 +210,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_cosine_topk_ivf_pretrained",
     "cdc_table_diff",
     "corpus_top_ngrams",
-    "dedup_lsh_eval",
-    "dedup_materialize_corpus_best",
-    "dedup_minhash_lsh_verified",
     # — beyond slot 50: every query below (and every unlisted
     # query, which follows in registration order) holds a prior
     # green driver row — pinned by tests/test_registry_contract.py.
-    # These 33 are the remaining r5 greens, i.e. the round-10
+    # These 34 are the remaining r5 greens, i.e. the round-10
     # rotation cohort (see the policy paragraph above STAGED). —
+    "dedup_materialize_corpus_best",
     "dedup_ngram_jaccard_capped",
     "dq_expectation_metrics",
     "embed_quantize_int8",

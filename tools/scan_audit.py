@@ -105,8 +105,11 @@ BASELINE: dict[str, int] = {
     #   doc-grain shingle checkpoint + PPJoin length/positional pruning
     #   + narrow post-intersect checkpoint -> 8.5 s, oracle MATCH at
     #   sf0.001/sf0.01, --must re-cert in the r9 window
-    "dedup_lsh_eval": 6,  # [branches] LSH candidates vs exact truth
-    "dedup_minhash_lsh_verified": 6,  # [branches] candidates + verify
+    "dedup_lsh_eval": 2,  # [fixed r9] exact truth now global prefix
+    #   filter + doc-grain verify (455 -> ~63 s sf0.1); residual scans
+    #   are LSH-vs-truth branches
+    "dedup_minhash_lsh_verified": 0,  # [fixed r9] doc-grain verify
+    #   (8.0 -> 3.2 s sf0.1); residual scans are candidate branches
     "dedup_ngram_jaccard": 4,  # [branches] shingle sets + sizes + pairs
     "dedup_paragraph_scrub": 3,  # [passes] fingerprint model + scrub
     "dedup_semdedup_cells": 21,  # [reprint] k-means iteration subtrees
