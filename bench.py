@@ -53,7 +53,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from lambda_lakehouse_spark.registry import load_all  # noqa: E402
+from lambda_lakehouse_spark.registry import (  # noqa: E402
+    load_all,
+    load_queue,
+    load_staged,
+)
 from lambda_lakehouse_spark.session import get_spark  # noqa: E402
 
 # Queries whose timing includes one-time model TRAINING (k-means Lloyd
@@ -126,7 +130,9 @@ def run_single(name: str, sf_dir: str) -> None:
                 )
         q = _ControlQ
     else:
-        q = load_all()[name]
+        # --single resolves staged/queue names too: isolated timing is
+        # the disposition instrument for not-yet-graduated work as well
+        q = {**load_all(), **load_staged(), **load_queue()}[name]
     samples = time_query(spark, q, sf_dir)
     print(json.dumps(
         {"query": name, "sec": min(samples), "samples": samples}

@@ -895,3 +895,133 @@ def eval_cluster_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ess_balanced"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset selection (round-9 build-ahead QUEUE)
+# ---------------------------------------------------------------------------
+#
+# The diversity-first data-selection primitive: Gonzalez's greedy
+# 2-approximation for the k-center problem (Gonzalez, TCS 1985),
+# used for coreset selection / active-learning batch picking
+# (Sener & Savarese, ICLR 2018 "Core-Set"): start from a deterministic
+# seed, then k-1 times add the point FARTHEST from the selected set.
+# The distance of each accepted point to the prior set is the
+# (monotonically shrinking) covering radius — the output doubles as
+# the coverage-vs-k curve.
+#
+# Spark shape: the running min-distance relation (vec_id, embedding,
+# mind) is corpus-sized but NARROW and is lazily checkpointed per
+# iteration (lineage would otherwise grow linearly in k); each
+# iteration is one broadcast of the single new center + one bounded
+# TakeOrdered(1) — no global sort, no collect in the data path, no
+# unpartitioned window. k is a constant: k more passes at any corpus
+# size, the same posture as pagerank/PCA iterations.
+#
+# Cross-engine exactness: squared L2 distances are exact BIGINT sums
+# of floor((x-y)^2 * 1e12) per dimension — float inputs promote to
+# double identically on both engines, the subtract/multiply are IEEE
+# double ops, and the floor/sum are integer-exact — so the argmax,
+# its (DESC, vec_id) tie-break, and every output cell hash-certify.
+
+KC_CENTERS = 8
+_KC_SCALE = int(1e12)
+
+_KC_D2_SPARK = (
+    "aggregate(zip_with(embedding, c, (x, y) -> "
+    "CAST(FLOOR((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+    " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+    f" * {_KC_SCALE}) AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+
+
+def kcenter_coreset(emb: DataFrame, k: int = KC_CENTERS) -> DataFrame:
+    """Greedy k-center selection over (vec_id, embedding) rows.
+
+    Returns (step, vec_id, d2_scaled): the selection order, the chosen
+    vector, and its exact scaled squared distance to the previously
+    selected set (0 for the seed) — the covering-radius curve."""
+    d2 = F.expr(_KC_D2_SPARK)
+    seed = emb.orderBy("vec_id").limit(1)
+    out = seed.select(
+        F.lit(0).cast("int").alias("step"),
+        "vec_id",
+        F.lit(0).cast("bigint").alias("d2_scaled"),
+    )
+    mind = (
+        emb.crossJoin(F.broadcast(seed.select(F.col("embedding").alias("c"))))
+        .select("vec_id", "embedding", d2.alias("mind"))
+        .localCheckpoint(eager=False)
+    )
+    for step in range(1, k):
+        nxt = mind.orderBy(F.desc("mind"), "vec_id").limit(1)
+        out = out.unionByName(
+            nxt.select(
+                F.lit(step).cast("int").alias("step"),
+                "vec_id",
+                F.col("mind").cast("bigint").alias("d2_scaled"),
+            )
+        )
+        if step < k - 1:
+            mind = (
+                mind.crossJoin(
+                    F.broadcast(nxt.select(F.col("embedding").alias("c")))
+                )
+                .select(
+                    "vec_id",
+                    "embedding",
+                    F.least("mind", d2).alias("mind"),
+                )
+                .localCheckpoint(eager=False)
+            )
+    return out
+
+
+def _kc_oracle(k: int = KC_CENTERS, dims: int = 64) -> str:
+    """Unrolled Gonzalez greedy selection in DuckDB — one (m_i, s_i)
+    CTE pair per iteration, each m_i a 1-row cross join against the
+    previous selection."""
+    d2 = (
+        "list_sum([CAST(FLOOR((CAST(m.embedding[i] AS DOUBLE)"
+        " - CAST(c.embedding[i] AS DOUBLE))"
+        " * (CAST(m.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))"
+        f" * {_KC_SCALE}) AS BIGINT) FOR i IN range(1, {dims + 1})])"
+    )
+    ctes = [
+        "s0 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1)",
+        f"m1 AS (SELECT m.vec_id, m.embedding, CAST({d2} AS BIGINT) AS mind\n"
+        "       FROM embeddings m, s0 c)",
+    ]
+    selects = ["SELECT CAST(0 AS INTEGER) AS step, vec_id, "
+               "CAST(0 AS BIGINT) AS d2_scaled FROM s0"]
+    for i in range(1, k):
+        ctes.append(
+            f"s{i} AS (SELECT vec_id, embedding, mind FROM m{i} "
+            f"ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        selects.append(
+            f"SELECT CAST({i} AS INTEGER), vec_id, CAST(mind AS BIGINT) FROM s{i}"
+        )
+        if i < k - 1:
+            ctes.append(
+                f"m{i + 1} AS (SELECT m.vec_id, m.embedding, "
+                f"LEAST(m.mind, CAST({d2} AS BIGINT)) AS mind "
+                f"FROM m{i} m, s{i} c)"
+            )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@register(
+    "sample_kcenter_coreset",
+    _kc_oracle(),
+    doc=f"Greedy k-center coreset selection (Gonzalez'85 farthest-point "
+    f"2-approximation; Sener & Savarese ICLR'18 Core-Set): {KC_CENTERS} "
+    "diversity-maximizing vectors with the exact covering-radius curve; "
+    "k bounded passes, per-pass one 1-row broadcast + TakeOrdered(1), "
+    "fixed-point integer distances so every cell hash-certifies",
+    tags=("sample", "vector", "iterative", "scale"),
+    queue=True,
+)
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return kcenter_coreset(emb)

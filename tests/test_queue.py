@@ -133,3 +133,27 @@ def test_unigram_cosine_closed_form(spark):
     r = rows[0]
     assert r.dot == 4
     assert math.isclose(r.cosine, 4 / 5)
+
+
+def test_kcenter_known_geometry(spark):
+    """4 points in a 3-4-5 rectangle: seed = min vec_id, then the
+    greedy picks follow the exact farthest-point order with the
+    documented (DESC dist, vec_id) tie-break."""
+    from lambda_lakehouse_spark.operators.semantic import kcenter_coreset
+
+    S = int(1e12)
+    rows = [
+        (0, [0.0, 0.0] + [0.0] * 6),
+        (1, [3.0, 0.0] + [0.0] * 6),
+        (2, [0.0, 4.0] + [0.0] * 6),
+        (3, [3.0, 4.0] + [0.0] * 6),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = [(r.step, r.vec_id, r.d2_scaled)
+           for r in kcenter_coreset(emb, k=4).orderBy("step").collect()]
+    assert got == [
+        (0, 0, 0),        # seed: min vec_id
+        (1, 3, 25 * S),   # farthest from v0 is the opposite corner
+        (2, 1, 9 * S),    # v1 and v2 tie at 9; vec_id breaks the tie
+        (3, 2, 9 * S),
+    ]

@@ -289,6 +289,7 @@ def test_no_pathological_join_plans(spark):
         "text_bpe_compression",  # bpe_train's 1-row merge-rule per round
         "quality_lm_surprisal",  # 1-row LM-model-total (c_tot) broadcast
         "quality_ccnet_terciles",  # same c_tot broadcast + ntile totals
+        "sample_kcenter_coreset",  # k 1-row new-center broadcasts
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
@@ -563,6 +564,10 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
         # |sources|-row gram-vocabulary-size aggregates broadcast onto
         # the bounded source-pair matrix (the gram relation never ships)
         "eval_source_contamination": {"documents.parquet"},
+        # the seed / per-step new-center broadcasts are LIMIT-1-bounded
+        # relations over the embeddings scan (or the checkpointed
+        # min-distance relation)
+        "sample_kcenter_coreset": {"embeddings.parquet"},
     }
     bounding_ops = (
         "Filter", "HashAggregate", "SortAggregate", "ObjectHashAggregate",
