@@ -1,6 +1,6 @@
 SF ?= /root/testdata/sf0.001
 
-.PHONY: test verify bench audit scan-audit oracle-bench-scale
+.PHONY: test verify bench audit scan-audit oracle-bench-scale rank-sweep
 
 test:
 	SPARK_GRAFT_TEST_SF_DIR=$(SF) python -m pytest tests/ -q
@@ -26,3 +26,10 @@ oracle-bench-scale:
 # under nondeterministic exprs like collect_set).
 scan-audit:
 	python tools/scan_audit.py
+
+# Full-registry wall-clock ranking at sf0.1 (tools/rank_sweep.py):
+# finds the hidden hotspots the bench headline set cannot (round 9:
+# dedup_lsh_eval 455 s, dedup_simhash_hamming_pairs 138 s, both
+# driver-green). Ranking only — disposition via bench.py --single.
+rank-sweep:
+	python tools/rank_sweep.py
