@@ -3256,6 +3256,10 @@ def source_unigram_cosine(docs: DataFrame) -> DataFrame:
         docs.select("source", F.explode(F.split("text", r"\s+")).alias("word"))
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        # NOT checkpointed: A/B'd at sf0.1 (0.99 vs 1.06 s) — the
+        # histogram's aggregate exchange is already reused across the
+        # norms and both dot-product branches, so truncation buys
+        # nothing; the 4 textual scans are reprints
     )
     norms = cnt.groupBy("source").agg(
         F.sum(F.col("c") * F.col("c")).cast("bigint").alias("n2")
@@ -3289,4 +3293,144 @@ def source_unigram_cosine(docs: DataFrame) -> DataFrame:
                 )
             ).alias("cosine"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square distinctive keywords per source (round-9 build-ahead QUEUE)
+# ---------------------------------------------------------------------------
+#
+# The classic corpus-comparison tool (Kilgarriff 2001, "Comparing
+# Corpora"): for every (source, word), the 2x2 contingency chi-square
+# against the rest of the corpus, keeping each source's top
+# over-represented words — "what characterizes this source" read
+# before mixing/reweighting decisions, and the cheap interpretable
+# sibling of the unigram-cosine mirror detector.
+#
+# Cross-engine exactness: the contingency cells a,b,c,d are exact
+# BIGINTs; a*d - b*c is computed in BIGINT (exact up to corpora of
+# ~3e9 tokens — beyond that, run per shard; the 2^63 note pattern),
+# cast ONCE to double, and the chi-square is a single identical double
+# expression on both engines. Ranking tie-breaks on (chi2 DESC, word).
+#
+# Scale: one word-keyed histogram shuffle (map-side combined), two
+# bounded model joins (|words|-row totals keyed by word; |sources|-row
+# totals AQE-broadcast unhinted), one deliberate 1-row N broadcast,
+# and a per-source top-K window — partitioned, never global.
+
+_CHI2_MIN_COUNT = 5
+_CHI2_TOP_K = 5
+
+
+@register(
+    "corpus_chi2_keywords",
+    f"""
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(text, '\\s+')) AS word
+  FROM documents
+),
+cnt AS (
+  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS a
+  FROM tok GROUP BY source, word
+),
+wtot AS (SELECT word, CAST(SUM(a) AS BIGINT) AS w_tot FROM cnt GROUP BY word),
+stot AS (SELECT source, CAST(SUM(a) AS BIGINT) AS s_tot FROM cnt GROUP BY source),
+ntot AS (SELECT CAST(SUM(a) AS BIGINT) AS n_tot FROM cnt),
+cells AS (
+  SELECT c.source, c.word, c.a,
+         w.w_tot - c.a AS b,
+         s.s_tot - c.a AS c2,
+         n.n_tot - w.w_tot - s.s_tot + c.a AS d
+  FROM cnt c
+  JOIN wtot w ON w.word = c.word
+  JOIN stot s ON s.source = c.source
+  CROSS JOIN ntot n
+  WHERE c.a >= {_CHI2_MIN_COUNT}
+),
+scored AS (
+  SELECT source, word, a,
+         CAST(a + b + c2 + d AS DOUBLE)
+           * CAST(a * d - b * c2 AS DOUBLE)
+           * CAST(a * d - b * c2 AS DOUBLE)
+           / (CAST(a + b AS DOUBLE) * (c2 + d) * (a + c2) * (b + d))
+           AS chi2
+  FROM cells
+  WHERE a * d - b * c2 > 0
+)
+SELECT source, word, a, chi2
+FROM (
+  SELECT source, word, a, chi2,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY chi2 DESC, word) AS rk
+  FROM scored
+)
+WHERE rk <= {_CHI2_TOP_K}
+""",
+    doc="Per-source distinctive keywords via 2x2 contingency chi-square "
+    "vs the rest of the corpus (Kilgarriff'01 corpus comparison): "
+    f"top-{_CHI2_TOP_K} over-represented words (count >= "
+    f"{_CHI2_MIN_COUNT}) per source; exact BIGINT cells, one identical "
+    "double chi-square expression, per-source partitioned ranking",
+    tags=("corpus", "stats", "text", "quality"),
+    queue=True,
+)
+def corpus_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("source", "text")
+    return chi2_keywords(docs)
+
+
+def chi2_keywords(
+    docs: DataFrame,
+    min_count: int = _CHI2_MIN_COUNT,
+    top_k: int = _CHI2_TOP_K,
+) -> DataFrame:
+    """Top over-represented words per source by 2x2 chi-square."""
+    from pyspark.sql import Window as W
+
+    cnt = (
+        docs.select("source", F.explode(F.split("text", r"\s+")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+    )
+    wtot = cnt.groupBy("word").agg(F.sum("a").cast("bigint").alias("w_tot"))
+    stot = cnt.groupBy("source").agg(F.sum("a").cast("bigint").alias("s_tot"))
+    ntot = cnt.agg(F.sum("a").cast("bigint").alias("n_tot"))
+    cells = (
+        cnt.where(F.col("a") >= min_count)
+        .join(wtot, "word")
+        .join(stot, "source")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "source",
+            "word",
+            "a",
+            (F.col("w_tot") - F.col("a")).alias("b"),
+            (F.col("s_tot") - F.col("a")).alias("c2"),
+            (
+                F.col("n_tot") - F.col("w_tot") - F.col("s_tot") + F.col("a")
+            ).alias("d"),
+        )
+    )
+    d1 = (F.col("a") * F.col("d") - F.col("b") * F.col("c2")).cast("double")
+    chi2 = (
+        (F.col("a") + F.col("b") + F.col("c2") + F.col("d")).cast("double")
+        * d1
+        * d1
+        / (
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("c2") + F.col("d"))
+            * (F.col("a") + F.col("c2"))
+            * (F.col("b") + F.col("d"))
+        )
+    )
+    scored = cells.where(
+        F.col("a") * F.col("d") - F.col("b") * F.col("c2") > 0
+    ).select("source", "word", "a", chi2.alias("chi2"))
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(F.desc("chi2"), "word")
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .where(F.col("rk") <= top_k)
+        .select("source", "word", "a", "chi2")
     )

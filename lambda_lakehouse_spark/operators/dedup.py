@@ -1867,6 +1867,11 @@ def substring_run_pairs(
         .select("doc_id", F.expr(grams_expr).alias("grams"))
         .select("doc_id", F.posexplode("grams").alias("p0", "g"))
         .select("doc_id", (F.col("p0") + 1).alias("p"), "g")
+        # gram postings are the small truncation point (narrow rows,
+        # ~n_tokens per doc) and THREE consumers re-derive the per-
+        # position md5 pass otherwise (DF model + both join sides) —
+        # the same shape the contamination matrix fixed (4 -> 1 scans)
+        .localCheckpoint(eager=False)
     )
     # DF cap: gram postings bounded per gram (documents, not
     # occurrences — a gram repeated inside one doc counts once).
@@ -2001,9 +2006,12 @@ def substring_coverage(
         F.size(F.split("text", r"\s+")).cast("bigint").alias("n_tokens"),
         F.expr(grams_expr).alias("grams"),
     ).where(F.col("n_tokens") >= k)
-    g = base.select(
-        "doc_id", F.posexplode("grams").alias("p0", "g")
-    ).select("doc_id", (F.col("p0") + 1).alias("p"), "g")
+    g = (
+        base.select("doc_id", F.posexplode("grams").alias("p0", "g"))
+        .select("doc_id", (F.col("p0") + 1).alias("p"), "g")
+        # same gram-postings truncation as substring_run_pairs
+        .localCheckpoint(eager=False)
+    )
     dfc = g.groupBy("g").agg(F.countDistinct("doc_id").alias("_docs"))
     kept = g.join(dfc.where(F.col("_docs") <= df_cap), "g").select(
         "doc_id", "p", "g"

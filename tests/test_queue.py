@@ -157,3 +157,23 @@ def test_kcenter_known_geometry(spark):
         (2, 1, 9 * S),    # v1 and v2 tie at 9; vec_id breaks the tie
         (3, 2, 9 * S),
     ]
+
+
+def test_chi2_keywords_closed_form(spark):
+    """Two hand-countable sources: each one's over-represented word
+    wins with the exact textbook chi-square; sub-min-count and
+    under-represented cells are filtered."""
+    from lambda_lakehouse_spark.operators.corpus import chi2_keywords
+
+    docs = spark.createDataFrame(
+        [("s1", " ".join(["x"] * 6 + ["y"] * 4)), ("s2", " ".join(["y"] * 10))],
+        "source string, text string",
+    )
+    rows = {(r.source, r.word): r for r in chi2_keywords(docs).collect()}
+    # s1: x has a=6,b=0,c=4,d=10 -> chi2 = 20*60^2/(6*14*10*10)
+    # s2: y has a=10,b=4,c=0,d=6 -> same value by symmetry
+    want = 20 * 60 * 60 / (6 * 14 * 10 * 10)
+    assert set(rows) == {("s1", "x"), ("s2", "y")}
+    assert rows[("s1", "x")].a == 6 and rows[("s2", "y")].a == 10
+    assert math.isclose(rows[("s1", "x")].chi2, want)
+    assert math.isclose(rows[("s2", "y")].chi2, want)

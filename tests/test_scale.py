@@ -290,6 +290,7 @@ def test_no_pathological_join_plans(spark):
         "quality_lm_surprisal",  # 1-row LM-model-total (c_tot) broadcast
         "quality_ccnet_terciles",  # same c_tot broadcast + ntile totals
         "sample_kcenter_coreset",  # k 1-row new-center broadcasts
+        "corpus_chi2_keywords",  # 1-row corpus-total (N) broadcast
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
@@ -568,6 +569,8 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
         # relations over the embeddings scan (or the checkpointed
         # min-distance relation)
         "sample_kcenter_coreset": {"embeddings.parquet"},
+        # the 1-row corpus-total broadcast is aggregate-bounded
+        "corpus_chi2_keywords": {"documents.parquet"},
     }
     bounding_ops = (
         "Filter", "HashAggregate", "SortAggregate", "ObjectHashAggregate",

@@ -93,6 +93,12 @@ BASELINE: dict[str, int] = {
     "bloom_semijoin_prune": 5,  # [branches] build + probe + truth compare
     "cdc_table_diff": 3,  # [branches] old/new snapshots + diff
     "corpus_cross_source_overlap": 4,  # [branches] per-side gram sets
+    "corpus_source_unigram_cosine": 4,  # [reprint] A/B'd r9: histogram
+    #   checkpoint changed nothing (0.99 vs 1.06 s sf0.1) — the agg
+    #   exchange is already reused across norms + both dot sides
+    "dedup_substring_runs": 1,  # [fixed r9] gram-postings checkpoint,
+    #   4.1 -> 2.6 s sf0.1 (three consumers re-derived the md5 pass)
+    "dedup_substring_coverage": 1,  # [fixed r9] same shape, 3.8 -> 3.0 s
     "corpus_heaps_vocab_growth": 10,  # [passes] cumulative prefix curve:
     #   one bounded pass per corpus-prefix point by definition
     "corpus_tfidf_topterms": 3,  # [passes] DF model + score
