@@ -948,8 +948,15 @@ def kcenter_coreset(emb: DataFrame, k: int = KC_CENTERS) -> DataFrame:
         "vec_id",
         F.lit(0).cast("bigint").alias("d2_scaled"),
     )
+    # Selected points leave the candidate pool (1-row anti joins):
+    # without this, a fully-degenerate input (every remaining distance
+    # 0 — e.g. all-identical vectors) re-picks the seed forever
+    # instead of enumerating distinct points — found by the hypothesis
+    # model test. With k > n the pool empties and the output simply
+    # carries n rows.
     mind = (
-        emb.crossJoin(F.broadcast(seed.select(F.col("embedding").alias("c"))))
+        emb.join(F.broadcast(seed.select("vec_id")), "vec_id", "left_anti")
+        .crossJoin(F.broadcast(seed.select(F.col("embedding").alias("c"))))
         .select("vec_id", "embedding", d2.alias("mind"))
         .localCheckpoint(eager=False)
     )
@@ -964,7 +971,10 @@ def kcenter_coreset(emb: DataFrame, k: int = KC_CENTERS) -> DataFrame:
         )
         if step < k - 1:
             mind = (
-                mind.crossJoin(
+                mind.join(
+                    F.broadcast(nxt.select("vec_id")), "vec_id", "left_anti"
+                )
+                .crossJoin(
                     F.broadcast(nxt.select(F.col("embedding").alias("c")))
                 )
                 .select(
@@ -990,7 +1000,7 @@ def _kc_oracle(k: int = KC_CENTERS, dims: int = 64) -> str:
     ctes = [
         "s0 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1)",
         f"m1 AS (SELECT m.vec_id, m.embedding, CAST({d2} AS BIGINT) AS mind\n"
-        "       FROM embeddings m, s0 c)",
+        "       FROM embeddings m, s0 c WHERE m.vec_id <> c.vec_id)",
     ]
     selects = ["SELECT CAST(0 AS INTEGER) AS step, vec_id, "
                "CAST(0 AS BIGINT) AS d2_scaled FROM s0"]
@@ -1006,7 +1016,7 @@ def _kc_oracle(k: int = KC_CENTERS, dims: int = 64) -> str:
             ctes.append(
                 f"m{i + 1} AS (SELECT m.vec_id, m.embedding, "
                 f"LEAST(m.mind, CAST({d2} AS BIGINT)) AS mind "
-                f"FROM m{i} m, s{i} c)"
+                f"FROM m{i} m, s{i} c WHERE m.vec_id <> c.vec_id)"
             )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
 

@@ -915,3 +915,101 @@ def test_rrf_fuse_invariants(spark, perm_a, perm_b, k):
     top = max(fused.items(), key=lambda kv: kv[1])
     assert top[0] == 0, "rank-1-everywhere doc must be the fused maximum"
     assert sum(1 for s in fused.values() if s == top[1]) == 1
+
+
+# ---------------------------------------------------------------------------
+# Round-9 queue operators: planted-run completeness and greedy k-center
+# invariants
+# ---------------------------------------------------------------------------
+
+_substr_strategy = st.tuples(
+    st.integers(min_value=10, max_value=16),  # planted shared run length
+    st.integers(min_value=0, max_value=4),    # doc-1 prefix length
+    st.integers(min_value=0, max_value=4),    # doc-2 prefix length
+    st.randoms(use_true_random=False),
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_substr_strategy)
+def test_substring_runs_planted_run_is_found(spark, params):
+    """COMPLETENESS (the gram-diagonal analogue of the winnowing
+    guarantee): plant a shared token run of length L >= MIN_RUN at
+    arbitrary offsets inside two docs whose other tokens are unique to
+    each doc; the pair MUST be reported with max_run_tokens >= L (>=,
+    not ==: random flanks can extend the planted run by chance — with
+    disjoint flank alphabets they cannot, so equality is also pinned).
+    Only two docs exist, so the DF cap can never suppress the run."""
+    from lambda_lakehouse_spark.operators.dedup import (
+        SUBSTR_MIN_RUN,
+        substring_run_pairs,
+    )
+
+    run_len, p1, p2, rnd = params
+    assert run_len >= SUBSTR_MIN_RUN
+    shared = [f"s{i}" for i in range(run_len)]
+    d1 = [f"a{i}" for i in range(p1)] + shared + ["a_tail"]
+    d2 = [f"b{i}" for i in range(p2)] + shared + ["b_tail", "b_tail2"]
+    docs = spark.createDataFrame(
+        [(1, " ".join(d1)), (2, " ".join(d2))], "doc_id long, text string"
+    )
+    rows = substring_run_pairs(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.max_run_tokens == run_len  # disjoint flanks: exactly L
+
+
+_kcenter_strategy = st.lists(
+    st.lists(
+        st.integers(min_value=-4, max_value=4).map(float),
+        min_size=4,
+        max_size=4,
+    ),
+    min_size=3,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_kcenter_strategy)
+def test_kcenter_matches_python_greedy_model(spark, vecs):
+    """The Spark greedy k-center equals a pure-Python model with the
+    same fixed-point distances and (farthest, then min vec_id)
+    tie-break, and the selection radii are non-increasing."""
+    from lambda_lakehouse_spark.operators.semantic import kcenter_coreset
+
+    k = min(4, len(vecs))
+    emb = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<float>"
+    )
+    got = [
+        (r.step, r.vec_id, r.d2_scaled)
+        for r in kcenter_coreset(emb, k=k).orderBy("step").collect()
+    ]
+
+    S = 10**12
+
+    def d2(a, b):
+        return sum(int((x - y) * (x - y) * S) for x, y in zip(a, b))
+
+    mind = {i: d2(vecs[i], vecs[0]) for i in range(1, len(vecs))}
+    want = [(0, 0, 0)]
+    for step in range(1, k):
+        nxt = max(mind, key=lambda i: (mind[i], -i))
+        want.append((step, nxt, mind[nxt]))
+        del mind[nxt]  # selected points leave the candidate pool
+        for i in mind:
+            mind[i] = min(mind[i], d2(vecs[i], vecs[nxt]))
+    assert got == want
+    radii = [r for _, _, r in got[1:]]
+    assert radii == sorted(radii, reverse=True)
+    assert len({v for _, v, _ in got}) == len(got)  # distinct picks
