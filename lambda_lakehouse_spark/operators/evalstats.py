@@ -937,8 +937,10 @@ SELECT CAST(label AS INTEGER) AS label,
        CAST(n_vecs AS BIGINT) AS n_vecs,
        CAST(mu2s AS DOUBLE) / {_ISO_SCALE_SQ} AS mu_norm_sq,
        CAST(qs AS DOUBLE) / {_ISO_SCALE_SQ} / n_vecs AS mean_norm_sq,
-       (CAST(mu2s AS DOUBLE) / {_ISO_SCALE_SQ})
-         / (CAST(qs AS DOUBLE) / {_ISO_SCALE_SQ} / n_vecs) AS anisotropy
+       CASE WHEN qs = 0 THEN CAST(0 AS DOUBLE)
+            ELSE (CAST(mu2s AS DOUBLE) / {_ISO_SCALE_SQ})
+                   / (CAST(qs AS DOUBLE) / {_ISO_SCALE_SQ} / n_vecs)
+       END AS anisotropy
 FROM l2
 """,
     doc="Per-label embedding anisotropy ||mu||^2 / E||v||^2 "
@@ -985,10 +987,17 @@ def embedding_isotropy(emb: DataFrame) -> DataFrame:
     )
     mu_norm_sq = F.col("mu2s").cast("double") / F.lit(sq)
     mean_norm_sq = F.col("qs").cast("double") / F.lit(sq) / F.col("n_vecs")
+    # zero-guarded identically on both engines (the eval_dsir_target_
+    # shift t_tot pattern): an all-zero cloud has qs = 0 and the ratio
+    # is defined as 0 rather than ANSI divide-by-zero — found by the
+    # hypothesis fixed-point model test
+    anis = F.when(F.col("qs") == 0, F.lit(0.0)).otherwise(
+        mu_norm_sq / mean_norm_sq
+    )
     return l2.select(
         F.col("label").cast("int").alias("label"),
         F.col("n_vecs").cast("bigint").alias("n_vecs"),
         mu_norm_sq.alias("mu_norm_sq"),
         mean_norm_sq.alias("mean_norm_sq"),
-        (mu_norm_sq / mean_norm_sq).alias("anisotropy"),
+        anis.alias("anisotropy"),
     )

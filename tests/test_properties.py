@@ -1013,3 +1013,105 @@ def test_kcenter_matches_python_greedy_model(spark, vecs):
     radii = [r for _, _, r in got[1:]]
     assert radii == sorted(radii, reverse=True)
     assert len({v for _, v, _ in got}) == len(got)  # distinct picks
+
+
+_iso_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),  # label
+        st.lists(
+            st.integers(min_value=-100, max_value=100).map(lambda v: v / 64.0),
+            min_size=8,
+            max_size=8,
+        ),
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_iso_strategy)
+def test_isotropy_matches_fixed_point_model(spark, rows):
+    """embedding_isotropy equals a pure-Python replay of the same
+    fixed-point quantization (floor at 1e6 for means, 1e12 for
+    squares) on random labeled vectors."""
+    import math as m
+
+    from lambda_lakehouse_spark.operators.evalstats import (
+        _ISO_SCALE_MEAN,
+        _ISO_SCALE_SQ,
+        embedding_isotropy,
+    )
+
+    dims = 8
+    emb = spark.createDataFrame(rows, "label int, embedding array<float>")
+    got = {r.label: r for r in embedding_isotropy(emb).collect()}
+
+    by_label: dict[int, list[list[float]]] = {}
+    for lab, v in rows:
+        by_label.setdefault(lab, []).append(v)
+    for lab, vs in by_label.items():
+        n = len(vs)
+        mu2s = qs = 0
+        for d in range(dims):
+            s = sum(m.floor(v[d] * _ISO_SCALE_MEAN) for v in vs)
+            mu = s / _ISO_SCALE_MEAN / n
+            mu2s += m.floor(mu * mu * _ISO_SCALE_SQ)
+            qs += sum(m.floor(v[d] * v[d] * _ISO_SCALE_SQ) for v in vs)
+        r = got[lab]
+        assert r.n_vecs == n
+        assert m.isclose(r.mu_norm_sq, mu2s / _ISO_SCALE_SQ, rel_tol=0, abs_tol=1e-12)
+        assert m.isclose(
+            r.mean_norm_sq, qs / _ISO_SCALE_SQ / n, rel_tol=0, abs_tol=1e-12
+        )
+
+
+_cos_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["s1", "s2", "s3"]),
+        st.lists(st.sampled_from(list("abcde")), min_size=1, max_size=8),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_cos_strategy)
+def test_unigram_cosine_matches_counter_model(spark, rows):
+    """source_unigram_cosine equals the Counter-based closed form on
+    random tiny corpora (exact integer dots; IEEE sqrt)."""
+    import math as m
+    from collections import Counter
+
+    from lambda_lakehouse_spark.operators.corpus import source_unigram_cosine
+
+    docs = spark.createDataFrame(
+        [(s, " ".join(ws)) for s, ws in rows], "source string, text string"
+    )
+    got = {(r.source_a, r.source_b): r for r in source_unigram_cosine(docs).collect()}
+
+    cnt: dict[str, Counter] = {}
+    for s, ws in rows:
+        cnt.setdefault(s, Counter()).update(ws)
+    srcs = sorted(cnt)
+    want = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            dot = sum(cnt[a][w] * cnt[b][w] for w in cnt[a].keys() & cnt[b].keys())
+            if dot > 0:
+                na = sum(c * c for c in cnt[a].values())
+                nb = sum(c * c for c in cnt[b].values())
+                want[(a, b)] = (dot, dot / (m.sqrt(na) * m.sqrt(nb)))
+    assert set(got) == set(want)
+    for k, (dot, cos) in want.items():
+        assert got[k].dot == dot
+        assert m.isclose(got[k].cosine, cos, rel_tol=0, abs_tol=1e-15)
