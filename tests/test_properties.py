@@ -1115,3 +1115,62 @@ def test_unigram_cosine_matches_counter_model(spark, rows):
     for k, (dot, cos) in want.items():
         assert got[k].dot == dot
         assert m.isclose(got[k].cosine, cos, rel_tol=0, abs_tol=1e-15)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_cos_strategy)
+def test_chi2_keywords_matches_counter_model(spark, rows):
+    """chi2_keywords equals the Counter-based 2x2 contingency closed
+    form (min-count filter, enrichment direction, (chi2 DESC, word)
+    top-k per source) on random tiny corpora."""
+    import math as m
+    from collections import Counter
+
+    from lambda_lakehouse_spark.operators.corpus import chi2_keywords
+
+    docs = spark.createDataFrame(
+        [(s, " ".join(ws)) for s, ws in rows], "source string, text string"
+    )
+    min_count, top_k = 2, 3
+    got = {
+        (r.source, r.word): r
+        for r in chi2_keywords(docs, min_count=min_count, top_k=top_k).collect()
+    }
+
+    cnt: dict[str, Counter] = {}
+    for s, ws in rows:
+        cnt.setdefault(s, Counter()).update(ws)
+    n_tot = sum(sum(c.values()) for c in cnt.values())
+    w_tot = Counter()
+    for c in cnt.values():
+        w_tot.update(c)
+    want = {}
+    for s, c in cnt.items():
+        s_tot = sum(c.values())
+        scored = []
+        for w, a in c.items():
+            if a < min_count:
+                continue
+            b = w_tot[w] - a
+            c2 = s_tot - a
+            d = n_tot - w_tot[w] - s_tot + a
+            if a * d - b * c2 <= 0:
+                continue
+            chi2 = (
+                float(a + b + c2 + d)
+                * float(a * d - b * c2)
+                * float(a * d - b * c2)
+                / (float(a + b) * (c2 + d) * (a + c2) * (b + d))
+            )
+            scored.append((chi2, w, a))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for chi2, w, a in scored[:top_k]:
+            want[(s, w)] = (a, chi2)
+    assert set(got) == set(want)
+    for k, (a, chi2) in want.items():
+        assert got[k].a == a
+        assert m.isclose(got[k].chi2, chi2, rel_tol=0, abs_tol=1e-12)
