@@ -1001,3 +1001,157 @@ def embedding_isotropy(emb: DataFrame) -> DataFrame:
         mean_norm_sq.alias("mean_norm_sq"),
         anis.alias("anisotropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation between two per-document quality signals,
+# with exact tie correction.
+#
+# Data-selection pipelines routinely rank the corpus by several cheap
+# signals (length, token counts, LM surprisal, quality score) and need
+# to know whether two signals ORDER the corpus the same way before one
+# is substituted for the other (Spearman's rho is the standard
+# agreement statistic; Pearson on average ranks is its exact
+# tie-corrected form — what scipy.stats.spearmanr computes). The
+# registered query correlates the whitespace token count with the
+# BPE-ish regex token count: the "can the cheap tokenizer budget the
+# corpus" question, over signals with heavy ties so the tie correction
+# is actually exercised.
+#
+# Exactness: ranks come from ranking.exact_global_rank (identical to
+# row_number() OVER (ORDER BY signal, doc_id) by contract — never an
+# unpartitioned window). The tie-group average rank is (min_rn +
+# max_rn) / 2; both engines compute DOUBLED average ranks rx2 =
+# min_rn + max_rn, which are exact BIGINTs, so ties are corrected with
+# zero float error. Every Pearson component is an exact
+# decimal(38,0) sum of bigint products (rx2 <= 2n, products <= 4n^2 —
+# bigint-safe to n ~ 1e9 rows, decimal sums exact to 1e38), cast to
+# double once (correctly rounded on both engines — the DECIMAL route,
+# see _ssum_sql's HUGEINT note), and the rho formula is one fixed
+# sequence of double ops, identical on both engines. Degenerate
+# constant signals (zero variance) define rho = 0 on both sides.
+#
+# Scale: two exact_global_rank passes (range exchange + local sort
+# each), two tie-group aggregates keyed by the signal values, two
+# joins back on those values, one scalar aggregate. No window over an
+# unbounded relation, no collect; 1 output row at any corpus size.
+# ---------------------------------------------------------------------------
+
+
+def spearman_rho(df: DataFrame, xcol: str, ycol: str) -> DataFrame:
+    """1-row (n_docs, n_distinct_x, n_distinct_y, spearman_rho) for the
+    two signal columns of ``df`` (any orderable type; one row per
+    document, keyed by ``doc_id`` for the rank tiebreak)."""
+    from lambda_lakehouse_spark.operators.ranking import exact_global_rank
+
+    base = df.select("doc_id", xcol, ycol)
+    rx = exact_global_rank(base, [xcol, "doc_id"], rank_col="_rnx")
+    gx = rx.groupBy(xcol).agg(
+        (F.min("_rnx") + F.max("_rnx")).cast("bigint").alias("rx2")
+    )
+    ry = exact_global_rank(base, [ycol, "doc_id"], rank_col="_rny")
+    gy = ry.groupBy(ycol).agg(
+        (F.min("_rny") + F.max("_rny")).cast("bigint").alias("ry2")
+    )
+    d = base.join(gx, xcol).join(gy, ycol)
+    comp = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("rx2").cast(_DEC)).alias("sx"),
+        F.sum(F.col("ry2").cast(_DEC)).alias("sy"),
+        F.sum((F.col("rx2") * F.col("ry2")).cast(_DEC)).alias("sxy"),
+        F.sum((F.col("rx2") * F.col("rx2")).cast(_DEC)).alias("sxx"),
+        F.sum((F.col("ry2") * F.col("ry2")).cast(_DEC)).alias("syy"),
+        F.countDistinct(xcol).cast("bigint").alias("n_distinct_x"),
+        F.countDistinct(ycol).cast("bigint").alias("n_distinct_y"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    vx = nd * F.col("sxx").cast("double") - sx * sx
+    vy = nd * F.col("syy").cast("double") - sy * sy
+    num = nd * F.col("sxy").cast("double") - sx * sy
+    rho = F.when((vx <= 0) | (vy <= 0), F.lit(0.0)).otherwise(
+        num / F.sqrt(vx * vy)
+    )
+    return comp.select(
+        F.col("n").alias("n_docs"),
+        "n_distinct_x",
+        "n_distinct_y",
+        rho.alias("spearman_rho"),
+    )
+
+
+_SPEARMAN_ORACLE = """
+WITH sig AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS x,
+         CAST(len(regexp_extract_all(text,
+              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS y
+  FROM documents
+),
+rnx AS (
+  SELECT doc_id, x, y,
+         ROW_NUMBER() OVER (ORDER BY x, doc_id) AS rn
+  FROM sig
+),
+gx AS (SELECT x, CAST(MIN(rn) + MAX(rn) AS BIGINT) AS rx2 FROM rnx GROUP BY x),
+rny AS (
+  SELECT doc_id, x, y,
+         ROW_NUMBER() OVER (ORDER BY y, doc_id) AS rn
+  FROM sig
+),
+gy AS (SELECT y, CAST(MIN(rn) + MAX(rn) AS BIGINT) AS ry2 FROM rny GROUP BY y),
+comp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(rx2 AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(ry2 AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(rx2 * ry2 AS DECIMAL(38,0))) AS sxy,
+         SUM(CAST(rx2 * rx2 AS DECIMAL(38,0))) AS sxx,
+         SUM(CAST(ry2 * ry2 AS DECIMAL(38,0))) AS syy,
+         CAST(COUNT(DISTINCT s.x) AS BIGINT) AS n_distinct_x,
+         CAST(COUNT(DISTINCT s.y) AS BIGINT) AS n_distinct_y
+  FROM sig s JOIN gx USING (x) JOIN gy USING (y)
+)
+SELECT n AS n_docs, n_distinct_x, n_distinct_y,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <= 0
+              OR (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0
+            THEN CAST(0 AS DOUBLE)
+            ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END AS spearman_rho
+FROM comp
+"""
+
+
+@register(
+    "eval_signal_spearman",
+    _SPEARMAN_ORACLE,
+    doc="Tie-corrected Spearman rho between the whitespace and BPE-ish "
+    "token counts (do two tokenizers rank the corpus identically — "
+    "the cheap-budget-signal substitution audit): exact doubled "
+    "average ranks from the range-partitioned two-pass rank, "
+    "decimal(38,0) Pearson components, one double formula; 1 output "
+    "row at any corpus size",
+    tags=("eval", "stats", "text", "curation"),
+    queue=True,
+)
+def eval_signal_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lambda_lakehouse_spark.operators.text import BPE_TOKEN_RE
+
+    t = F.col("text")
+    sig = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(t, r"\s+")).cast("bigint").alias("x"),
+        F.regexp_count(t, F.lit(BPE_TOKEN_RE)).cast("bigint").alias("y"),
+    )
+    # doc-grain signal relation feeds both rank passes AND the final
+    # join — without truncation the regex tokenization executes 5x
+    # (the quality_ccnet_terciles shape; scan audit flagged it, sf0.1
+    # A/B confirmed: 5.2 -> 1.7 s best-of-3, same-load host)
+    return spearman_rho(sig.localCheckpoint(eager=False), "x", "y")

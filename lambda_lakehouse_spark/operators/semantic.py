@@ -1035,3 +1035,168 @@ def _kc_oracle(k: int = KC_CENTERS, dims: int = 64) -> str:
 def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return kcenter_coreset(emb)
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette over the trained IVF cells (cluster-quality
+# audit for every consumer of the k-means coarse quantizer: IVF / PQ
+# serving, SemDeDup cells, cluster-balanced sampling).
+#
+# The classic silhouette needs all pairwise distances (O(n^2)); the
+# simplified/centroid silhouette (Vendramin et al., Stat. Anal. Data
+# Mining 2010 — what sklearn-scale systems actually audit with) uses
+# distances to CENTROIDS: a(i) = d(i, own centroid), b(i) = min
+# distance to any other centroid, s(i) = (b-a)/max(a,b). Here both are
+# SQUARED L2 distances (a monotone reparametrization that keeps every
+# term rational — no per-row sqrt — documented in the column names).
+#
+# Everything derives from relations the IVF path already certifies:
+# _assign_cells scores every (vector, cell) with cn2 - 2*dot (squared
+# distance minus the rank-constant |x|^2), so a = n2 + score@rk1 and
+# b = n2 + score@rk2 — no new distance machinery, and the oracle
+# replays the identical arithmetic off the shared k-means CTEs.
+#
+# Exactness: scores/norms are floor-scaled-integer sums (identical
+# doubles cross-engine), s is one fixed double expression with the
+# degenerate guard max(a,b) <= 0 -> 0, and the per-cell means are
+# 1e9-fixed-point BIGINT sums (|s| <= 1, squared distances <= ~4 on
+# unit-norm embeddings: safe past 2e9 members/cell — the _ssum_sql
+# bound rule).
+#
+# Scale: one corpus x 8-centroid broadcast join (the IVF assign
+# shape), one per-vector 2-row conditional pivot, one per-cell
+# aggregate; N_CELLS output rows at any corpus size. No collect, no
+# window beyond the per-vector rank the IVF path already carries.
+# ---------------------------------------------------------------------------
+
+_SIL_SCALE = 1_000_000_000  # 1e9
+
+
+def cluster_silhouette(
+    emb: DataFrame, centroids: DataFrame | None = None
+) -> DataFrame:
+    """(cell, n_vecs, mean_sil, mean_a2, mean_b2): per-cell simplified
+    silhouette on squared distances over the trained IVF cells (or an
+    explicit ``(cell, pos, cval)`` centroid table — the
+    ``ivf_cosine_topk`` convention, used by the crafted-geometry
+    tests). Because cells come from the rk=1 assignment against these
+    same centroids, a <= b per vector by construction, so s is in
+    [0, 1] here (the simplified silhouette computed on a consistent
+    assignment cannot go negative)."""
+    flat = _flat(emb).select("vec_id", "pos", "val")
+    if centroids is None:
+        centroids = train_ivf_cells(emb)
+    asg = _assign_cells(flat, centroids)
+    norms = flat.groupBy("vec_id").agg(
+        _scaled_sum(F.col("val") * F.col("val")).alias("n2")
+    )
+    two = (
+        asg.where(F.col("rk") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("cell"))).alias("cell"),
+            F.max(F.when(F.col("rk") == 1, F.col("score"))).alias("s1"),
+            F.max(F.when(F.col("rk") == 2, F.col("score"))).alias("s2"),
+        )
+        .where(F.col("s2").isNotNull())
+    )
+    j = two.join(norms, "vec_id")
+    a2 = F.col("n2") + F.col("s1")
+    b2 = F.col("n2") + F.col("s2")
+    denom = F.greatest(a2, b2)
+    sil = F.when(denom <= 0, F.lit(0.0)).otherwise((b2 - a2) / denom)
+    sc = float(_SIL_SCALE)
+
+    def _fsum(e):
+        return (
+            F.sum(F.floor(e * F.lit(sc)).cast("bigint"))
+            .cast("bigint")
+            .cast("double")
+            / F.lit(sc)
+        )
+
+    per = j.select(F.col("cell"), sil.alias("sil"), a2.alias("a2"), b2.alias("b2"))
+    out = per.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        _fsum(F.col("sil")).alias("_ss"),
+        _fsum(F.col("a2")).alias("_sa"),
+        _fsum(F.col("b2")).alias("_sb"),
+    )
+    return out.select(
+        F.col("cell").cast("int").alias("cell"),
+        "n_vecs",
+        (F.col("_ss") / F.col("n_vecs")).alias("mean_sil"),
+        (F.col("_sa") / F.col("n_vecs")).alias("mean_a2"),
+        (F.col("_sb") / F.col("n_vecs")).alias("mean_b2"),
+    )
+
+
+def _silhouette_oracle() -> str:
+    from lambda_lakehouse_spark.operators.similarity import KMEANS_ITERS
+
+    i = KMEANS_ITERS
+    s = _SIL_SCALE
+
+    def fsum(e: str) -> str:
+        return (
+            f"CAST(CAST(SUM(CAST(FLOOR(({e}) * {s}) AS BIGINT)) AS BIGINT)"
+            f" AS DOUBLE) / {s}"
+        )
+
+    ctes = _kmeans_replay_ctes() + [
+        f"norms AS (SELECT vec_id, {_ssum_sql('val * val')} AS n2"
+        " FROM flat GROUP BY vec_id)",
+        f"""sc AS (
+  SELECT vec_id, cell, score,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS rk
+  FROM (SELECT d.vec_id, d.cell, c.cn2 - 2.0 * d.dot AS score
+        FROM dots{i} d JOIN cn{i} c USING (cell))
+)""",
+        """two AS (
+  SELECT vec_id,
+         MAX(CASE WHEN rk = 1 THEN cell END) AS cell,
+         MAX(CASE WHEN rk = 1 THEN score END) AS s1,
+         MAX(CASE WHEN rk = 2 THEN score END) AS s2
+  FROM sc WHERE rk <= 2 GROUP BY vec_id
+)""",
+        """per AS (
+  SELECT t.cell, n.n2 + t.s1 AS a2, n.n2 + t.s2 AS b2
+  FROM two t JOIN norms n USING (vec_id)
+  WHERE t.s2 IS NOT NULL
+)""",
+        """sil AS (
+  SELECT cell, a2, b2,
+         CASE WHEN GREATEST(a2, b2) <= 0 THEN CAST(0 AS DOUBLE)
+              ELSE (b2 - a2) / GREATEST(a2, b2) END AS sil
+  FROM per
+)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(cell AS INTEGER) AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ({fsum('sil')}) / COUNT(*) AS mean_sil,
+       ({fsum('a2')}) / COUNT(*) AS mean_a2,
+       ({fsum('b2')}) / COUNT(*) AS mean_b2
+FROM sil GROUP BY cell
+"""
+    )
+
+
+@register(
+    "eval_cluster_silhouette",
+    _silhouette_oracle(),
+    doc="Per-cell simplified silhouette (centroid-based, squared-L2 "
+    "variant) over the trained IVF cells — the cluster-quality audit "
+    "for the quantizer behind IVF/PQ serving, SemDeDup, and cluster-"
+    "balanced sampling; derives a and b from the certified assignment "
+    "scores (a = n2 + score@rk1, b = n2 + score@rk2), fixed-point "
+    "per-cell means, N_CELLS output rows at any corpus size",
+    tags=("eval", "vector", "similarity", "stats"),
+    queue=True,
+)
+def eval_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cluster_silhouette(emb)

@@ -1895,3 +1895,211 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos_sim",
         (F.col("pos_sim") - F.col("cos_sim")).alias("margin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Margin-based bitext/pair mining (Artetxe & Schwenk ACL'19, the
+# CCMatrix/LASER mining rule; same family as CSLS, Conneau et al.
+# ICLR'18): raw cosine over-selects "hub" vectors whose similarity to
+# EVERYTHING is high, so each candidate pair (x, y) is scored by its
+# cosine RELATIVE to the neighborhood similarity of both endpoints —
+# margin(x, y) = cos(x, y) / ((best(x) + best(y)) / 2), here with the
+# k=1 neighborhood (best(x) is x's top-1 on the other side, so the
+# forward direction's own best IS cos(x, y)), plus the mutual-top-1
+# flag that CCMatrix thresholds on.
+#
+# The two "sides" are the even/odd vec_id shards of the embeddings
+# table (standing in for the two languages/crawls that share an
+# aligned embedding space). Queries are the bounded even-side set
+# (vec_id < BITEXT_Q); the forward pass scores them against the whole
+# odd side, the backward pass scores the <= BITEXT_Q/2 matched odd
+# vectors against the whole even side. Sides are disjoint by parity,
+# so no self-pair filter is needed.
+#
+# Exactness: floor-scaled integer dots (_scaled_sum), one double
+# cosine per pair, top-1 by (cos DESC, id) — a total order; the margin
+# is one fixed double expression with the <= 0 denominator guarded to
+# 0 identically on both engines.
+#
+# Scale: both passes are bounded-query-side broadcasts over a single
+# corpus scan each — linear. Full-corpus mining (every x a query)
+# swaps the dense candidate side for the IVF cell generator
+# (ivf_cosine_topk's qcells/cells join) exactly like the ANN serve
+# path; the margin/mutual tail is unchanged.
+# ---------------------------------------------------------------------------
+
+BITEXT_Q = 48  # queries: even vec_id < BITEXT_Q (24 vectors)
+
+
+def _dir_top1(flat: DataFrame, norms: DataFrame, q: DataFrame, cand_filter):
+    """Top-1 neighbor per bounded exploded query side ``q`` =
+    (query_id, q_pos, qval) among ``flat`` rows passing
+    ``cand_filter``: (query_id, neighbor_id, cos_sim)."""
+    cand = flat.where(cand_filter)
+    dots = (
+        cand.join(F.broadcast(q), F.col("pos") == F.col("q_pos"))
+        .groupBy("query_id", "vec_id")
+        .agg(_scaled_sum(F.col("qval") * F.col("val")).alias("dot"))
+    )
+    nq = q.groupBy("query_id").agg(
+        _scaled_sum(F.col("qval") * F.col("qval")).alias("qn2")
+    )
+    nc = norms.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("n2").alias("cn2")
+    )
+    scored = (
+        dots.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(nq), "query_id")
+        .join(nc, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("dot") / F.sqrt(F.col("qn2") * F.col("cn2"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
+def bitext_margin_top1(emb: DataFrame, n_queries: int = BITEXT_Q) -> DataFrame:
+    """(query_id, match_id, cos_xy, cos_y_best, margin, mutual): the
+    ratio-margin-scored mutual-top-1 mining table for the bounded
+    even-side query set."""
+    flat = _flat(emb).select("vec_id", "pos", "val")
+    norms = flat.groupBy("vec_id").agg(
+        _scaled_sum(F.col("val") * F.col("val")).alias("n2")
+    ).localCheckpoint(eager=False)
+    even = F.col("vec_id") % 2 == 0
+    fq = flat.where(even & (F.col("vec_id") < n_queries)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("pos").alias("q_pos"),
+        F.col("val").alias("qval"),
+    )
+    # <=n_queries/2-row forward result feeds the matched-id set, the
+    # backward pass, AND the final join — truncate so the whole
+    # forward corpus pass executes once. Together with the vec-grain
+    # norms truncation above (narrow (vec_id, n2) rows — NOT the
+    # exploded _flat relation the scan-audit docstring warns about),
+    # the sf0.1 A/B chain was 3.11 -> 2.32 -> 1.77 s best-of-3 and
+    # the executed-plan scan count dropped 16 -> 4 -> 3 (the residual
+    # 3 are real passes: the pruned query-side read and one candidate
+    # scan per direction — dispositioned in tools/scan_audit.py).
+    fwd = (
+        _dir_top1(flat, norms, fq, ~even)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("match_id"),
+            F.col("cos_sim").alias("cos_xy"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ys = fwd.select(F.col("match_id").alias("vec_id")).distinct()
+    bq = flat.join(F.broadcast(ys), "vec_id").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("pos").alias("q_pos"),
+        F.col("val").alias("qval"),
+    )
+    bwd = _dir_top1(flat, norms, bq, even).select(
+        F.col("query_id").alias("match_id"),
+        F.col("neighbor_id").alias("back_id"),
+        F.col("cos_sim").alias("cos_y_best"),
+    )
+    j = fwd.join(F.broadcast(bwd), "match_id")
+    denom = F.col("cos_xy") + F.col("cos_y_best")
+    margin = F.when(denom <= 0, F.lit(0.0)).otherwise(
+        F.lit(2.0) * F.col("cos_xy") / denom
+    )
+    return j.select(
+        "query_id",
+        "match_id",
+        "cos_xy",
+        "cos_y_best",
+        margin.alias("margin"),
+        F.when(F.col("back_id") == F.col("query_id"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("mutual"),
+    )
+
+
+_BITEXT_ORACLE = f"""
+WITH flat AS (
+  SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS val
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS pos)
+),
+norms AS (
+  SELECT vec_id, {_ssum_sql("val * val")} AS n2 FROM flat GROUP BY vec_id
+),
+fdots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_ssum_sql("q.val * c.val")} AS dot
+  FROM flat q
+  JOIN flat c ON q.pos = c.pos AND c.vec_id % 2 = 1
+  WHERE q.vec_id % 2 = 0 AND q.vec_id < {BITEXT_Q}
+  GROUP BY 1, 2
+),
+fwd AS (
+  SELECT query_id, neighbor_id AS match_id, cos_sim AS cos_xy FROM (
+    SELECT query_id, neighbor_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rk
+    FROM (
+      SELECT query_id, neighbor_id, dot / sqrt(nq.n2 * nc.n2) AS cos_sim
+      FROM fdots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nc ON nc.vec_id = neighbor_id
+    )
+  ) WHERE rk = 1
+),
+ys AS (SELECT DISTINCT match_id AS vec_id FROM fwd),
+bdots AS (
+  SELECT q.vec_id AS match_id, c.vec_id AS back_id,
+         {_ssum_sql("q.val * c.val")} AS dot
+  FROM flat q
+  JOIN ys USING (vec_id)
+  JOIN flat c ON q.pos = c.pos AND c.vec_id % 2 = 0
+  GROUP BY 1, 2
+),
+bwd AS (
+  SELECT match_id, back_id, cos_sim AS cos_y_best FROM (
+    SELECT match_id, back_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY match_id
+                ORDER BY cos_sim DESC, back_id) AS rk
+    FROM (
+      SELECT match_id, back_id, dot / sqrt(nq.n2 * nc.n2) AS cos_sim
+      FROM bdots
+      JOIN norms nq ON nq.vec_id = match_id
+      JOIN norms nc ON nc.vec_id = back_id
+    )
+  ) WHERE rk = 1
+)
+SELECT f.query_id, f.match_id, f.cos_xy, b.cos_y_best,
+       CASE WHEN f.cos_xy + b.cos_y_best <= 0 THEN CAST(0 AS DOUBLE)
+            ELSE 2.0 * f.cos_xy / (f.cos_xy + b.cos_y_best) END AS margin,
+       CAST(CASE WHEN b.back_id = f.query_id THEN 1 ELSE 0 END
+            AS INTEGER) AS mutual
+FROM fwd f JOIN bwd b USING (match_id)
+"""
+
+
+@register(
+    "mine_bitext_margin",
+    _BITEXT_ORACLE,
+    doc="Margin-based bitext/pair mining (Artetxe & Schwenk ACL'19; "
+    "the CCMatrix rule): mutual-top-1 candidates across the even/odd "
+    "embedding shards, scored by ratio margin 2*cos(x,y)/(cos(x,y) + "
+    "best(y)) so hub vectors stop over-matching — two bounded-query "
+    "broadcast passes, one corpus scan each, margin and mutual flags "
+    "exact by construction",
+    tags=("similarity", "vector", "mining", "curation"),
+    queue=True,
+)
+def mine_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return bitext_margin_top1(emb)

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import math
 
+from tests.conftest import SF_DIR
+
 
 def _doc_df(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
@@ -177,3 +179,155 @@ def test_chi2_keywords_closed_form(spark):
     assert rows[("s1", "x")].a == 6 and rows[("s2", "y")].a == 10
     assert math.isclose(rows[("s1", "x")].chi2, want)
     assert math.isclose(rows[("s2", "y")].chi2, want)
+
+
+def _sig_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, x long, y long")
+
+
+def _spearman_closed_form(pairs):
+    """Exact tie-corrected Spearman via Pearson on average ranks,
+    computed with Fractions (the textbook definition, independent of
+    the operator's decimal/rank machinery)."""
+    from fractions import Fraction
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: (vals[i], i))
+        rn = {i: p + 1 for p, i in enumerate(order)}
+        out = []
+        for i, v in enumerate(vals):
+            grp = [rn[j] for j in range(len(vals)) if vals[j] == v]
+            out.append(Fraction(min(grp) + max(grp), 2))
+        return out
+
+    xs = avg_ranks([p[0] for p in pairs])
+    ys = avg_ranks([p[1] for p in pairs])
+    n = len(pairs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    if vx <= 0 or vy <= 0:
+        return 0.0
+    num = n * sxy - sx * sy
+    return float(num) / math.sqrt(float(vx) * float(vy))
+
+
+def test_spearman_tie_correction_matches_closed_form(spark):
+    from lambda_lakehouse_spark.operators.evalstats import spearman_rho
+
+    pairs = [(1, 2), (1, 1), (2, 3), (3, 3), (3, 5)]
+    df = _sig_df(
+        spark, [(i + 1, x, y) for i, (x, y) in enumerate(pairs)]
+    )
+    r = spearman_rho(df, "x", "y").collect()[0]
+    assert r.n_docs == 5
+    assert (r.n_distinct_x, r.n_distinct_y) == (3, 4)
+    assert math.isclose(r.spearman_rho, _spearman_closed_form(pairs))
+
+
+def test_spearman_monotone_and_reversed_and_constant(spark):
+    from lambda_lakehouse_spark.operators.evalstats import spearman_rho
+
+    mono = _sig_df(spark, [(i, i, 10 * i + 3) for i in range(1, 9)])
+    assert math.isclose(
+        spearman_rho(mono, "x", "y").collect()[0].spearman_rho, 1.0
+    )
+    rev = _sig_df(spark, [(i, i, -i) for i in range(1, 9)])
+    assert math.isclose(
+        spearman_rho(rev, "x", "y").collect()[0].spearman_rho, -1.0
+    )
+    # zero-variance signal: guarded to rho = 0 on both engines
+    const = _sig_df(spark, [(i, i, 7) for i in range(1, 9)])
+    assert spearman_rho(const, "x", "y").collect()[0].spearman_rho == 0.0
+
+
+def test_cluster_silhouette_crafted_geometry(spark):
+    """Two explicit orthogonal centroids, four vectors with hand-
+    computed squared distances: s = (b2-a2)/b2 per vector, per-cell
+    means exact up to the 1e9 fixed-point floor."""
+    from lambda_lakehouse_spark.operators.semantic import cluster_silhouette
+
+    def vec(**pos_val):
+        v = [0.0] * 64
+        for p, x in pos_val.items():
+            v[int(p[1:]) - 1] = x
+        return v
+
+    emb = spark.createDataFrame(
+        [
+            (1, vec(p1=1.0), 0),          # at c0: a2=0, b2=2   -> s=1
+            (2, vec(p1=0.5), 0),          # a2=0.25, b2=1.25    -> s=0.8
+            (3, vec(p2=1.0), 0),          # at c1: a2=0, b2=2   -> s=1
+            (4, vec(p1=0.6, p2=0.8), 0),  # c1: a2=0.4, b2=0.8  -> s=0.5
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    cents = spark.createDataFrame(
+        [(c, p + 1, 1.0 if (c, p) in {(0, 0), (1, 1)} else 0.0)
+         for c in (0, 1) for p in range(64)],
+        "cell int, pos int, cval double",
+    )
+    rows = {r.cell: r for r in cluster_silhouette(emb, cents).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0].n_vecs == 2 and rows[1].n_vecs == 2
+    assert math.isclose(rows[0].mean_sil, 0.9, abs_tol=1e-8)
+    assert math.isclose(rows[0].mean_a2, 0.125, abs_tol=1e-8)
+    assert math.isclose(rows[0].mean_b2, 1.625, abs_tol=1e-8)
+    assert math.isclose(rows[1].mean_sil, 0.75, abs_tol=1e-8)
+    assert math.isclose(rows[1].mean_a2, 0.2, abs_tol=1e-8)
+    assert math.isclose(rows[1].mean_b2, 1.4, abs_tol=1e-8)
+
+
+def test_cluster_silhouette_trained_cells_properties(spark):
+    """On the real table with the trained quantizer: every cell's mean
+    silhouette is in [0, 1] (assignment-consistent clustering cannot
+    go negative), b >= a in the means, and the memberships cover the
+    corpus."""
+    from lambda_lakehouse_spark.operators.semantic import cluster_silhouette
+    from lambda_lakehouse_spark.sources.readers import read_table
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    rows = cluster_silhouette(emb).collect()
+    assert sum(r.n_vecs for r in rows) == emb.count()
+    for r in rows:
+        assert 0.0 <= r.mean_sil <= 1.0
+        assert r.mean_b2 >= r.mean_a2 >= 0.0
+
+
+def test_bitext_margin_hub_breaks_mutuality(spark):
+    """Even side {0: e1, 2: e2, 4: .6e2+.8e3}, odd side {1: e1,
+    3: (e2+e3)/sqrt2}. Query 2 matches 3 but 3's best even partner is
+    the hub 4, so 2 is non-mutual with the exact ratio margin
+    2*(1/sqrt2) / (1/sqrt2 + 1.4/sqrt2) = 5/6; 0 and 4 are mutual
+    with margin 1."""
+    from lambda_lakehouse_spark.operators.similarity import bitext_margin_top1
+
+    s = 1.0 / math.sqrt(2.0)
+
+    def vec(**pos_val):
+        v = [0.0] * 64
+        for p, x in pos_val.items():
+            v[int(p[1:]) - 1] = x
+        return v
+
+    emb = spark.createDataFrame(
+        [
+            (0, vec(p1=1.0), 0),
+            (1, vec(p1=1.0), 0),
+            (2, vec(p2=1.0), 0),
+            (3, vec(p2=s, p3=s), 0),
+            (4, vec(p2=0.6, p3=0.8), 0),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    rows = {r.query_id: r for r in bitext_margin_top1(emb).collect()}
+    assert set(rows) == {0, 2, 4}
+    assert (rows[0].match_id, rows[0].mutual) == (1, 1)
+    assert math.isclose(rows[0].margin, 1.0, rel_tol=1e-9)
+    assert (rows[2].match_id, rows[2].mutual) == (3, 0)
+    assert math.isclose(rows[2].cos_xy, s, rel_tol=1e-9)
+    assert math.isclose(rows[2].margin, 5.0 / 6.0, rel_tol=1e-9)
+    assert (rows[4].match_id, rows[4].mutual) == (3, 1)
+    assert math.isclose(rows[4].margin, 1.0, rel_tol=1e-9)

@@ -571,6 +571,14 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
         "sample_kcenter_coreset": {"embeddings.parquet"},
         # the 1-row corpus-total broadcast is aggregate-bounded
         "corpus_chi2_keywords": {"documents.parquet"},
+        # exact_global_rank's prefix-sum offsets (aggregate-bounded),
+        # one per rank pass — the doc relation itself never ships
+        "eval_signal_spearman": {"documents.parquet"},
+        # filter-bounded query sides (even vec_id < BITEXT_Q, then the
+        # <=Q distinct top-1 matches), their 1-row-per-query norm
+        # aggregates, and the top-1 backward relation — every hinted
+        # side is filter/aggregate/top-1 bounded
+        "mine_bitext_margin": {"embeddings.parquet"},
     }
     bounding_ops = (
         "Filter", "HashAggregate", "SortAggregate", "ObjectHashAggregate",

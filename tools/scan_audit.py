@@ -91,6 +91,9 @@ BASELINE: dict[str, int] = {
     "ann_cosine_topk_ivf_pretrained": 6,  # [passes] same family
     "ann_cosine_topk_ivfpq": 6,  # [passes] same family + PQ residuals
     "bloom_semijoin_prune": 5,  # [branches] build + probe + truth compare
+    "mine_bitext_margin": 3,  # [fixed r9 at birth] 16 -> 3 via fwd-top1
+    #   + narrow norms checkpoints (3.11 -> 1.77 s sf0.1); residual 3 =
+    #   pruned query side + one candidate scan per mining direction
     "cdc_table_diff": 3,  # [branches] old/new snapshots + diff
     "corpus_cross_source_overlap": 4,  # [branches] per-side gram sets
     "corpus_source_unigram_cosine": 4,  # [reprint] A/B'd r9: histogram
