@@ -475,3 +475,136 @@ def graph_supplier_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_topk(
         scored, [F.col("jaccard").desc(), "s1", "s2"], OVERLAP_TOP_K, "rank"
     ).select("rank", "s1", "s2", "common", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# k-core coreness by fixed-step h-index refinement.
+#
+# Coreness (the largest k such that a node survives iterated removal of
+# all degree<k nodes) is the standard graph signal for "how deep in a
+# dense community a node sits" — the peeling definition is inherently
+# sequential, but Lü et al. (Nature Communications 2016) proved the
+# h-index iteration converges to it: start from degree, repeatedly
+# replace each node's value with the h-index of its neighbors' values
+# (the largest h with >= h neighbors valued >= h). Each round is a
+# pure join + per-node ranked window + aggregate — exactly this
+# module's PageRank layout, so the same fixed-iteration certification
+# form applies (open-ended convergence with checkpointed lineage is
+# the dedup.doc_clusters pattern; the oracle unrolls the same
+# KCORE_ITERS rounds as CTEs).
+#
+# Graph: supplier co-part pairs from the part-capped bipartite edge
+# set (the graph_supplier_overlap projection with a tighter cap so the
+# pair fan-out is bounded by KCORE_DEG_CAP^2 per part), symmetrized by
+# generating both directions of each pair.
+#
+# Exactness: all-integer arithmetic end to end (degrees, ranks,
+# least(rank, value), max) — nothing to quantize; the per-node window
+# is partitioned (guardrail-clean) and ordered totally by
+# (value DESC, neighbor).
+#
+# Scale: per round one shuffle on the neighbor join key and one on the
+# node aggregate — the distributed h-index layout; the edge relation
+# is checkpointed once so rounds do not re-derive the pair self-join,
+# and values are lineage-truncated per round like PageRank's ranks.
+# Output is the |distinct coreness| histogram — tens of rows at any
+# scale.
+# ---------------------------------------------------------------------------
+
+KCORE_ITERS = 4
+KCORE_DEG_CAP = 16
+
+
+def kcore_coreness(edges: DataFrame, iters: int = KCORE_ITERS) -> DataFrame:
+    """(u, h): the h-index refinement of degree after ``iters`` rounds
+    over the symmetric distinct edge relation ``edges`` = (u, v) —
+    equal to coreness once converged (monotone non-increasing toward
+    it from above)."""
+    from pyspark.sql import Window as W
+
+    edges = edges.localCheckpoint(eager=False)
+    vals = edges.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("h")
+    )
+    for _ in range(iters):
+        nb = edges.join(
+            vals.select(F.col("u").alias("v"), F.col("h").alias("nh")), "v"
+        ).select("u", "v", "nh")
+        w = W.partitionBy("u").orderBy(F.col("nh").desc(), "v")
+        vals = (
+            nb.withColumn("r", F.row_number().over(w))
+            .groupBy("u")
+            .agg(
+                F.max(F.least(F.col("r").cast("bigint"), F.col("nh")))
+                .cast("bigint")
+                .alias("h")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return vals
+
+
+def _kcore_oracle(iters: int = KCORE_ITERS, cap: int = KCORE_DEG_CAP) -> str:
+    ctes = [
+        "e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem)",
+        "pd AS (SELECT p, COUNT(*) AS dp FROM e GROUP BY 1)",
+        f"capped AS (SELECT e.p, e.s FROM e JOIN pd USING (p) WHERE pd.dp <= {cap})",
+        "ed AS (SELECT DISTINCT a.s AS u, b.s AS v"
+        " FROM capped a JOIN capped b ON a.p = b.p AND a.s <> b.s)",
+        "h0 AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS h FROM ed GROUP BY 1)",
+    ]
+    for i in range(1, iters + 1):
+        ctes += [
+            f"nb{i} AS (SELECT ed.u, ed.v, p.h AS nh"
+            f" FROM ed JOIN h{i - 1} p ON ed.v = p.u)",
+            f"r{i} AS (SELECT u, nh, ROW_NUMBER() OVER ("
+            f"PARTITION BY u ORDER BY nh DESC, v) AS r FROM nb{i})",
+            f"h{i} AS (SELECT u, CAST(MAX(LEAST(CAST(r AS BIGINT), nh))"
+            f" AS BIGINT) AS h FROM r{i} GROUP BY u)",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT h AS coreness, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM h{iters} GROUP BY h
+"""
+    )
+
+
+@register(
+    "graph_kcore_coreness",
+    _kcore_oracle(),
+    doc=f"k-core coreness histogram of the supplier co-part graph via "
+    f"{KCORE_ITERS} rounds of the h-index refinement (Lu et al. "
+    "Nature Comm'16: converges to coreness from degree, monotone "
+    "non-increasing) — join + partitioned-window + aggregate per "
+    "round, all-integer arithmetic, checkpointed edges/values, "
+    "histogram-sized output at any scale",
+    tags=("graph", "iterative", "stats", "scale"),
+    queue=True,
+)
+def graph_kcore_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    pd_ = e.groupBy("p").agg(F.count(F.lit(1)).alias("dp"))
+    capped = (
+        e.join(pd_, "p").where(F.col("dp") <= KCORE_DEG_CAP).select("p", "s")
+    )
+    a = capped.select("p", F.col("s").alias("u"))
+    b = capped.select("p", F.col("s").alias("v"))
+    edges = (
+        a.join(b, "p")
+        .where(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return (
+        kcore_coreness(edges)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .select(F.col("h").alias("coreness"), "n_nodes")
+    )

@@ -1174,3 +1174,66 @@ def test_chi2_keywords_matches_counter_model(spark, rows):
     for k, (a, chi2) in want.items():
         assert got[k].a == a
         assert m.isclose(got[k].chi2, chi2, rel_tol=0, abs_tol=1e-12)
+
+
+# --- Spearman rho (queue: eval_signal_spearman) -----------------------
+
+spearman_pairs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=0, max_value=5),
+    ),
+    min_size=2,
+    max_size=20,
+)
+
+
+def _spearman_model(pairs):
+    """Exact tie-corrected Spearman (Pearson on average ranks) with
+    Fraction arithmetic — independent of the operator's rank/decimal
+    machinery."""
+    from fractions import Fraction
+    import math
+
+    def avg_ranks(vals):
+        # average rank of a tie group = (min rank + max rank) / 2
+        order = sorted(range(len(vals)), key=lambda i: (vals[i], i))
+        rn = [0] * len(vals)
+        for p, i in enumerate(order):
+            rn[i] = p + 1
+        out = []
+        for i, v in enumerate(vals):
+            grp = [rn[j] for j in range(len(vals)) if vals[j] == v]
+            out.append(Fraction(min(grp) + max(grp), 2))
+        return out
+
+    xs = avg_ranks([p[0] for p in pairs])
+    ys = avg_ranks([p[1] for p in pairs])
+    n = len(pairs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    if vx <= 0 or vy <= 0:
+        return 0.0
+    return float(n * sxy - sx * sy) / math.sqrt(float(vx) * float(vy))
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spearman_pairs)
+def test_spearman_matches_fraction_model(spark, pairs):
+    import math
+
+    from lambda_lakehouse_spark.operators.evalstats import spearman_rho
+
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pairs)],
+        "doc_id long, x long, y long",
+    )
+    got = spearman_rho(df, "x", "y").collect()[0].spearman_rho
+    assert math.isclose(got, _spearman_model(pairs), abs_tol=1e-9)

@@ -331,3 +331,35 @@ def test_bitext_margin_hub_breaks_mutuality(spark):
     assert math.isclose(rows[2].margin, 5.0 / 6.0, rel_tol=1e-9)
     assert (rows[4].match_id, rows[4].mutual) == (3, 1)
     assert math.isclose(rows[4].margin, 1.0, rel_tol=1e-9)
+
+
+def _sym_edges(spark, pairs):
+    both = [(u, v) for u, v in pairs] + [(v, u) for u, v in pairs]
+    return spark.createDataFrame(sorted(set(both)), "u long, v long")
+
+
+def test_kcore_clique_with_pendant_chain(spark):
+    """4-clique {1..4} with chain 4-5-6: clique coreness 3, chain 1 —
+    the h-index refinement reaches the exact peeling answer and the
+    per-round values never increase."""
+    from lambda_lakehouse_spark.operators.graph import kcore_coreness
+
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = _sym_edges(spark, clique + [(4, 5), (5, 6)])
+    got = {r.u: r.h for r in kcore_coreness(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 1, 6: 1}
+    # monotone non-increasing from degree toward coreness
+    deg = {r.u: r.h for r in kcore_coreness(edges, iters=0).collect()}
+    one = {r.u: r.h for r in kcore_coreness(edges, iters=1).collect()}
+    assert all(one[u] <= deg[u] for u in deg)
+    assert all(got[u] <= one[u] for u in got)
+
+
+def test_kcore_star_collapses_to_one(spark):
+    """A star (hub degree 5, leaves degree 1) is a 1-core everywhere:
+    the hub's h-index over five 1-valued neighbors is 1."""
+    from lambda_lakehouse_spark.operators.graph import kcore_coreness
+
+    edges = _sym_edges(spark, [(0, i) for i in range(1, 6)])
+    got = {r.u: r.h for r in kcore_coreness(edges).collect()}
+    assert got == {i: 1 for i in range(6)}
