@@ -102,6 +102,12 @@ STAGED: dict[str, Query] = {}
 # the usual graduation; anything beyond 5 waits another round. This
 # keeps the staleness-bounding cap honest while letting a build session
 # run ahead of the rotation schedule.
+#
+# Queue depth at end of round 9 is 11, so promotion drains over ~3
+# round boundaries; promote oldest-first (the first-batch substring /
+# fertility / isotropy / unigram-cosine ops, then chi2/k-center, then
+# the third-pass spearman / silhouette / bitext / kcore additions) so
+# no queue entry waits indefinitely behind newer work.
 QUEUE: dict[str, Query] = {}
 
 

@@ -1237,3 +1237,59 @@ def test_spearman_matches_fraction_model(spark, pairs):
     )
     got = spearman_rho(df, "x", "y").collect()[0].spearman_rho
     assert math.isclose(got, _spearman_model(pairs), abs_tol=1e-9)
+
+
+# --- k-core coreness (queue: graph_kcore_coreness) --------------------
+
+kcore_graphs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=0, max_value=7),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=16,
+)
+
+
+def _peel_coreness(edges):
+    """Textbook k-core peeling on an adjacency dict — the sequential
+    definition the h-index refinement must converge to."""
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    core = {}
+    k = 0
+    alive = dict(adj)
+    while alive:
+        k += 1
+        while True:
+            drop = [u for u, nbrs in alive.items() if len(nbrs) < k]
+            if not drop:
+                break
+            for u in drop:
+                core[u] = k - 1
+                for w in alive[u]:
+                    if w in alive:
+                        alive[w].discard(u)
+                del alive[u]
+    return core
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(kcore_graphs)
+def test_kcore_hindex_converges_to_peeling(spark, raw_edges):
+    """On graphs of <= 8 nodes, n rounds of the h-index refinement
+    equal the sequential peeling coreness exactly (Lu et al.'16
+    convergence), for any random edge set."""
+    from lambda_lakehouse_spark.operators.graph import kcore_coreness
+
+    sym = sorted({(u, v) for u, v in raw_edges} | {(v, u) for u, v in raw_edges})
+    nodes = {u for u, _ in sym}
+    edges = spark.createDataFrame(sym, "u long, v long")
+    got = {r.u: r.h for r in kcore_coreness(edges, iters=len(nodes)).collect()}
+    assert got == _peel_coreness(sym)
