@@ -1293,3 +1293,77 @@ def test_kcore_hindex_converges_to_peeling(spark, raw_edges):
     edges = spark.createDataFrame(sym, "u long, v long")
     got = {r.u: r.h for r in kcore_coreness(edges, iters=len(nodes)).collect()}
     assert got == _peel_coreness(sym)
+
+
+# --- bitext margin mining (queue: mine_bitext_margin) -----------------
+
+bitext_vectors = st.lists(
+    st.lists(
+        st.integers(min_value=-3, max_value=3), min_size=4, max_size=4
+    ).filter(lambda v: any(v)),
+    min_size=2,
+    max_size=8,
+)
+
+
+def _bitext_model(vecs):
+    """Pure-Python replay of the mining rule. For integer-valued
+    vectors the operator's floor-scaled dots are exact integers and
+    sqrt/division are single IEEE ops, so Python floats reproduce the
+    Spark doubles bit-for-bit — top-1 order, margin, and mutuality
+    included."""
+    import math
+
+    ids = list(range(len(vecs)))
+    n2 = {i: float(sum(x * x for x in vecs[i])) for i in ids}
+
+    def cos(a, b):
+        d = float(sum(x * y for x, y in zip(vecs[a], vecs[b])))
+        return d / math.sqrt(n2[a] * n2[b])
+
+    def top1(q, side):
+        return min(side, key=lambda c: (-cos(q, c), c))
+
+    odd = [i for i in ids if i % 2 == 1]
+    even = [i for i in ids if i % 2 == 0]
+    out = {}
+    if not odd or not even:
+        return out
+    for q in even:
+        y = top1(q, odd)
+        c_xy = cos(q, y)
+        yb = top1(y, even)
+        c_yb = cos(y, yb)
+        denom = c_xy + c_yb
+        margin = 0.0 if denom <= 0 else 2.0 * c_xy / denom
+        out[q] = (y, c_xy, c_yb, margin, 1 if yb == q else 0)
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(bitext_vectors)
+def test_bitext_margin_matches_float_model(spark, vecs):
+    import math
+
+    from lambda_lakehouse_spark.operators.similarity import bitext_margin_top1
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    got = {
+        r.query_id: (r.match_id, r.cos_xy, r.cos_y_best, r.margin, r.mutual)
+        for r in bitext_margin_top1(emb).collect()
+    }
+    want = _bitext_model(vecs)
+    assert set(got) == set(want)
+    for q, (y, c_xy, c_yb, margin, mutual) in want.items():
+        gy, gc_xy, gc_yb, gmargin, gmutual = got[q]
+        assert (gy, gmutual) == (y, mutual)
+        assert math.isclose(gc_xy, c_xy, rel_tol=0, abs_tol=1e-12)
+        assert math.isclose(gc_yb, c_yb, rel_tol=0, abs_tol=1e-12)
+        assert math.isclose(gmargin, margin, rel_tol=0, abs_tol=1e-12)
