@@ -6,7 +6,8 @@ on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": <sf>,
      "samples": {"q1": [s1, s2, s3], ...},      # all best-of-3 samples
-     "control": {"sec": s, "samples": [...]}}   # no-op host-load probe
+     "control": {"sec": s, "samples": [...]},   # no-op host-load probe
+     "control_end": {...}}                      # same probe, after the sweep
 
 ``queries`` carries the per-query minimum (the round-over-round
 headline); ``samples`` carries every timing sample so dispersion is
@@ -111,6 +112,10 @@ def time_query(spark, q, sf_dir: str, repeats: int = 3) -> list[float]:
 # its movement measures host load / scheduler overhead, calibrating
 # whether a round's sub-2s movers are noise or regression.
 CONTROL = "__control__"
+# Trailing-control sentinel: same plan as CONTROL, re-run AFTER the
+# last headline query so load arriving mid-sweep is visible in the
+# artifact (control vs control_end disagreement = contaminated sweep).
+CONTROL_END = "__control_end__"
 
 
 def run_single(name: str, sf_dir: str) -> None:
@@ -121,7 +126,7 @@ def run_single(name: str, sf_dir: str) -> None:
     executions."""
     spark = get_spark(app_name=f"lakehouse-bench-{name}")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    if name == CONTROL:
+    if name in (CONTROL, CONTROL_END):
         class _ControlQ:  # same timing path as a registry query
             @staticmethod
             def spark(spark, sf_dir):
@@ -153,8 +158,13 @@ def main() -> None:
     samples: dict[str, list[float]] = {}
 
     if os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0":
-        # control first: it calibrates the host before any headline runs
-        for name in [CONTROL] + names:
+        # control first AND last: the leading run calibrates the host
+        # before any headline runs; the trailing run catches load that
+        # arrives MID-sweep, which a clean leading control cannot (seen
+        # round 9: control 0.159 s at start, an external load spike
+        # later tripled the late-running queries — only a bracketing
+        # control makes that visible from the artifact alone)
+        for name in [CONTROL] + names + [CONTROL_END]:
             # one retry: a transient subprocess failure (host pressure,
             # torn environment) must not leave a null in the artifact
             for attempt in range(2):
@@ -201,6 +211,10 @@ def main() -> None:
         "sec": timings.pop(CONTROL, None),
         "samples": samples.pop(CONTROL, []),
     }
+    control_end = {
+        "sec": timings.pop(CONTROL_END, None),
+        "samples": samples.pop(CONTROL_END, []),
+    }
     total = round(sum(t for t in timings.values() if t is not None), 3)
     print(
         json.dumps(
@@ -212,6 +226,7 @@ def main() -> None:
                 "sf": sf,
                 "samples": samples,
                 "control": control,
+                "control_end": control_end,
                 "train_inclusive": list(TRAIN_INCLUSIVE),
                 "serve_headline": SERVE_HEADLINE,
             }
