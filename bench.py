@@ -156,6 +156,7 @@ def main() -> None:
     names = headline_names()
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
+    spans: dict[str, list[float]] = {}
 
     if os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0":
         # control first AND last: the leading run calibrates the host
@@ -165,6 +166,7 @@ def main() -> None:
         # later tripled the late-running queries — only a bracketing
         # control makes that visible from the artifact alone)
         for name in [CONTROL] + names + [CONTROL_END]:
+            t_wall = time.time()
             # one retry: a transient subprocess failure (host pressure,
             # torn environment) must not leave a null in the artifact
             for attempt in range(2):
@@ -196,6 +198,13 @@ def main() -> None:
             row = json.loads(lines[-1])
             timings[name] = row["sec"]
             samples[name] = row.get("samples", [])
+            # wall-clock span of this query's whole subprocess (epoch
+            # seconds, JVM start included): round 9 saw sweeps whose
+            # leading AND trailing controls sat at the idle floor while
+            # a bursty external load inflated only the queries that ran
+            # during its window — spans localize WHICH queries a
+            # contamination window covered, from the artifact alone
+            spans[name] = [round(t_wall, 1), round(time.time(), 1)]
     else:
         spark = get_spark(app_name="lakehouse-bench")
         registry = load_all()
@@ -225,6 +234,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "samples": samples,
+                "spans": spans,
                 "control": control,
                 "control_end": control_end,
                 "train_inclusive": list(TRAIN_INCLUSIVE),
