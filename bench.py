@@ -1,18 +1,40 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries (registry entries with
 ``bench=True``) at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1)
-on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+on ``local[$SPARK_GRAFT_CPUS]`` and prints TWO JSON lines:
+
+1. a ``"detail"`` record FIRST — per-query samples, wall-clock spans,
+   full control sample lists, loadavg readings — everything needed to
+   separate noise from regression when reading round-over-round diffs;
+2. a compact headline record LAST (kept well under the driver's
+   2000-char stdout tail window):
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": <sf>,
-     "samples": {"q1": [s1, s2, s3], ...},      # all best-of-3 samples
-     "control": {"sec": s, "samples": [...]},   # no-op host-load probe
-     "control_end": {...}}                      # same probe, after the sweep
+     "control": s, "control_end": s,          # no-op probe minima
+     "load": [l1, l5, l15], "load_end": [...]}  # /proc/loadavg brackets
 
 ``queries`` carries the per-query minimum (the round-over-round
-headline); ``samples`` carries every timing sample so dispersion is
-visible in the artifact, and ``control`` is a fixed trivial plan whose
-movement calibrates host load for the round (round-8 verdict, demand 3).
+headline); the detail record carries every timing sample so dispersion
+is visible, and ``control`` is a fixed trivial plan whose movement
+calibrates host load for the round (round-8 verdict, demand 3).
+
+WHY two lines (round-9 verdict, demand 1): the grading driver captures
+only the LAST ~2000 chars of stdout, and round 9's single inflated line
+(samples + spans ≈ 3.5 kB) pushed the front-of-object ``metric`` /
+``value`` keys out of the tail — BENCH_r09.json recorded ``parsed:
+null``. The headline record now goes LAST and stays compact so any tail
+window ≥ ~1.5 kB always contains a parseable artifact; the detail line
+precedes it and is recoverable from full stdout / local runs.
+
+Loadavg telemetry (round-9 verdict, demand 7): the control probes catch
+steady host load, but round 9's driver sweep had a floor-level LEADING
+control while bursty load inflated mid-sweep spans 5-8x. ``load`` /
+``load_end`` record /proc/loadavg at the two control points (and the
+detail record keeps a per-query reading) so a contaminated sweep is
+flagged by the host itself. Reading rule: on a 32-cpu host, loadavg-1m
+materially above the sweep's own steady-state (one saturated JVM)
+marks external load; spans localize WHICH queries it covered.
 
 Each query executes end-to-end into the noop sink (full computation,
 no driver collect). One tiny warmup query first so JVM/codegen startup
@@ -118,6 +140,17 @@ CONTROL = "__control__"
 CONTROL_END = "__control_end__"
 
 
+def read_loadavg() -> list[float] | None:
+    """Host load telemetry (1/5/15-min loadavg). Returns None where
+    /proc is unavailable so the artifact stays portable."""
+    try:
+        with open("/proc/loadavg") as f:
+            parts = f.read().split()
+        return [float(parts[0]), float(parts[1]), float(parts[2])]
+    except Exception:
+        return None
+
+
 def run_single(name: str, sf_dir: str) -> None:
     """Subprocess entry (isolate mode): time ONE query in a fresh JVM.
     One tiny JVM warmup only — the query itself runs exactly the
@@ -157,6 +190,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     spans: dict[str, list[float]] = {}
+    loads: dict[str, list[float] | None] = {}
 
     if os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0":
         # control first AND last: the leading run calibrates the host
@@ -183,7 +217,10 @@ def main() -> None:
             if out.returncode != 0 or not lines:
                 # keep the sweep alive: report the failure, emit null
                 # for this query, and preserve every timing already
-                # measured instead of losing the whole run
+                # measured instead of losing the whole run. Record the
+                # span/samples/load keys too (empty, not absent) so
+                # artifact readers iterating any one map see the same
+                # key set — round-9 advice flagged the asymmetry.
                 reason = (
                     out.stderr.strip().splitlines()[-1][:300]
                     if out.stderr.strip()
@@ -194,6 +231,9 @@ def main() -> None:
                     file=sys.stderr,
                 )
                 timings[name] = None
+                samples[name] = []
+                spans[name] = [round(t_wall, 1), round(time.time(), 1)]
+                loads[name] = read_loadavg()
                 continue
             row = json.loads(lines[-1])
             timings[name] = row["sec"]
@@ -205,6 +245,7 @@ def main() -> None:
             # during its window — spans localize WHICH queries a
             # contamination window covered, from the artifact alone
             spans[name] = [round(t_wall, 1), round(time.time(), 1)]
+            loads[name] = read_loadavg()
     else:
         spark = get_spark(app_name="lakehouse-bench")
         registry = load_all()
@@ -216,15 +257,43 @@ def main() -> None:
             samples[name] = time_query(spark, registry[name], sf_dir)
             timings[name] = min(samples[name])
 
+    # Pop the control sentinels out of every per-query map so readers
+    # iterating queries/samples/spans/loads see an identical key set
+    # (round-9 advice: spans kept the sentinels queries popped).
     control = {
         "sec": timings.pop(CONTROL, None),
         "samples": samples.pop(CONTROL, []),
+        "span": spans.pop(CONTROL, []),
+        "load": loads.pop(CONTROL, None),
     }
     control_end = {
         "sec": timings.pop(CONTROL_END, None),
         "samples": samples.pop(CONTROL_END, []),
+        "span": spans.pop(CONTROL_END, []),
+        "load": loads.pop(CONTROL_END, None),
     }
     total = round(sum(t for t in timings.values() if t is not None), 3)
+
+    # Line 1 (FIRST): full dispersion/forensics detail. May be long;
+    # the driver's stdout tail may truncate it — that is by design,
+    # the headline line below is the artifact of record.
+    print(
+        json.dumps(
+            {
+                "detail": "bench-dispersion-record",
+                "samples": samples,
+                "spans": spans,
+                "loads": loads,
+                "control": control,
+                "control_end": control_end,
+                "train_inclusive": list(TRAIN_INCLUSIVE),
+                "serve_headline": SERVE_HEADLINE,
+            }
+        )
+    )
+    # Line 2 (LAST): the compact headline artifact — metric, value,
+    # per-query minima, control minima, loadavg brackets. Kept small
+    # so the driver's 2000-char stdout tail always parses it.
     print(
         json.dumps(
             {
@@ -233,12 +302,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "samples": samples,
-                "spans": spans,
-                "control": control,
-                "control_end": control_end,
-                "train_inclusive": list(TRAIN_INCLUSIVE),
-                "serve_headline": SERVE_HEADLINE,
+                "control": control["sec"],
+                "control_end": control_end["sec"],
+                "load": control["load"],
+                "load_end": control_end["load"],
             }
         )
     )

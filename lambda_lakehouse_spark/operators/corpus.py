@@ -3119,7 +3119,6 @@ def lm_doc_scores(
     # registry): token-stream explode + broadcast count-model is a
     # plan shape the headline set doesn't cover yet
     bench=True,
-    staged=True,
 )
 def quality_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
@@ -3157,7 +3156,6 @@ FROM bucketed GROUP BY 1, 2
     "two-pass distributed ntile (operators/ranking.py), never a "
     "single-partition global sort",
     tags=("text", "quality", "corpus", "sampling"),
-    staged=True,
 )
 def quality_ccnet_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lambda_lakehouse_spark.operators.ranking import exact_global_ntile
@@ -3184,6 +3182,340 @@ def quality_ccnet_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_tokens").cast("bigint")
         ).alias("avg_digits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram backoff surprisal (round-10 build-ahead QUEUE)
+# ---------------------------------------------------------------------------
+#
+# The second rung of the CCNet ladder: a hashed-BIGRAM count model
+# with stupid-backoff to the certified unigram staircase. A unigram
+# model scores vocabulary fit; the bigram conditional p(cur|prev)
+# additionally scores local fluency — the signal CCNet's real
+# KenLM 5-gram carries that a unigram model cannot (word-salad built
+# from in-domain vocabulary scores fluent under unigrams, disfluent
+# here). All arithmetic stays in the certified log-free digit
+# staircase (quality_lm_surprisal block above):
+# - conditional surprisal digits = length of the Laplace-smoothed
+#   integer quotient (c_prev + B) div (c_bigram + 1) — the -log10 of
+#   p(cur|prev) rounded to the digit grid, exact on both engines;
+# - stupid backoff (Brants et al. EMNLP'07 uses a 0.4 multiplier —
+#   here ONE PENALTY DIGIT, i.e. a deterministic x10 probability
+#   discount, so the score stays integer/hash-certifiable): a bigram
+#   the target never emitted falls back to the unigram staircase + 1;
+# - a document's FIRST token has no history: scored on the plain
+#   unigram staircase, no penalty (the KenLM <s> convention, digit
+#   -ized).
+#
+# prev-token derivation is ROW-LOCAL: the token array transforms to
+# (bucket, prev_bucket) structs inside one higher-order transform()
+# referencing a[i-1] — no window over the token stream, no positional
+# self-join, so the only corpus-sized shuffle is the final doc-keyed
+# aggregate (map-side combinable), same as the unigram path.
+#
+# Scale shape: bigram model <= B^2 = 65,536 rows — still broadcast
+# territory (the whole point of hashing both sides); token stream
+# takes three broadcast left-joins (cur-unigram, prev-unigram,
+# bigram) + one broadcast total, then one groupBy(doc_id).
+
+BIGRAM_PENALTY_DIGITS = 1
+
+_BIGRAM_SURPRISAL_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS a
+  FROM documents WHERE text <> ''
+),
+idx AS (
+  SELECT doc_id, source, a, unnest(range(1, len(a) + 1)) AS i FROM base
+),
+tok2 AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(a[i]), 1, 8))::BIGINT % {LM_BUCKETS} AS b,
+         CASE WHEN i = 1 THEN NULL
+              ELSE ('0x' || substr(md5(a[i-1]), 1, 8))::BIGINT
+                   % {LM_BUCKETS} END AS bp
+  FROM idx
+),
+umodel AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS c_b FROM tok2
+  WHERE source IN ({_DSIR_TARGET_IN}) GROUP BY b
+),
+utot AS (
+  SELECT CAST(COALESCE(SUM(c_b), 0) AS BIGINT) AS c_tot FROM umodel
+),
+bmodel AS (
+  SELECT bp, b, CAST(COUNT(*) AS BIGINT) AS c_bb FROM tok2
+  WHERE source IN ({_DSIR_TARGET_IN}) AND bp IS NOT NULL GROUP BY bp, b
+),
+scored AS (
+  SELECT t.doc_id, t.source,
+         CASE
+           WHEN t.bp IS NULL THEN
+             length(CAST(((tt.c_tot + {LM_BUCKETS})
+                          // (COALESCE(u.c_b, 0) + 1)) AS VARCHAR))
+           WHEN bm.c_bb IS NOT NULL THEN
+             length(CAST(((COALESCE(up.c_b, 0) + {LM_BUCKETS})
+                          // (bm.c_bb + 1)) AS VARCHAR))
+           ELSE
+             {BIGRAM_PENALTY_DIGITS}
+             + length(CAST(((tt.c_tot + {LM_BUCKETS})
+                            // (COALESCE(u.c_b, 0) + 1)) AS VARCHAR))
+         END AS s,
+         CASE WHEN u.c_b IS NULL THEN 1 ELSE 0 END AS oov,
+         CASE WHEN bm.c_bb IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM tok2 t
+  LEFT JOIN umodel u ON u.b = t.b
+  LEFT JOIN umodel up ON up.b = t.bp
+  LEFT JOIN bmodel bm ON bm.bp = t.bp AND bm.b = t.b
+  CROSS JOIN utot tt
+)
+SELECT doc_id, source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(oov) AS BIGINT) AS n_oov,
+       CAST(SUM(hit) AS BIGINT) AS n_bigram_hits,
+       CAST(SUM(s) AS BIGINT) AS surprisal,
+       CAST(CAST(SUM(s) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_digits
+FROM scored GROUP BY 1, 2
+"""
+
+
+def lm_bigram_doc_scores(
+    docs: DataFrame,
+    target_sources: tuple[str, ...] = DSIR_TARGET_SOURCES,
+    n_buckets: int = LM_BUCKETS,
+    penalty_digits: int = BIGRAM_PENALTY_DIGITS,
+) -> DataFrame:
+    """(doc_id, source, n_tokens, n_oov, n_bigram_hits, surprisal,
+    avg_digits): bigram-backoff LM quality score per document (block
+    comment above). ``docs`` needs (doc_id, source, text)."""
+    bucket = (
+        lambda tok: f"cast(conv(substring(md5({tok}), 1, 8), 16, 10)"
+        f" as bigint) % {n_buckets}"
+    )
+    toks = (
+        docs.where(F.col("text") != "")
+        .select(
+            "doc_id",
+            "source",
+            F.expr("filter(split(text, ' '), x -> x <> '')").alias("a"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(a, (x, i) -> named_struct("
+                    f"'b', {bucket('x')}, "
+                    "'bp', if(i = 0, cast(null as bigint), "
+                    f"{bucket('a[i-1]')})))"
+                )
+            ).alias("t"),
+        )
+        .select("doc_id", "source", "t.b", "t.bp")
+    )
+    # both models are lineage-truncated broadcast sides (<= B and
+    # <= B^2 rows): without the checkpoints the utot branch and each
+    # join branch re-derive them from the raw token stream (same
+    # pattern as lm_doc_scores' model checkpoint, scan-audited there)
+    umodel = (
+        toks.where(F.col("source").isin(*target_sources))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_b"))
+        .localCheckpoint(eager=False)
+    )
+    utot = umodel.agg(
+        F.coalesce(F.sum("c_b"), F.lit(0)).cast("bigint").alias("c_tot")
+    )
+    bmodel = (
+        toks.where(
+            F.col("source").isin(*target_sources) & F.col("bp").isNotNull()
+        )
+        .groupBy("bp", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_bb"))
+        .localCheckpoint(eager=False)
+    )
+    up = umodel.select(
+        F.col("b").alias("bp"), F.col("c_b").alias("c_bp")
+    )
+    digits_uni = F.length(
+        F.expr(
+            f"cast((c_tot + {n_buckets}) div (coalesce(c_b, 0L) + 1)"
+            " as string)"
+        )
+    )
+    digits_big = F.length(
+        F.expr(
+            f"cast((coalesce(c_bp, 0L) + {n_buckets}) div (c_bb + 1)"
+            " as string)"
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(umodel), "b", "left")
+        .join(F.broadcast(up), "bp", "left")
+        .join(F.broadcast(bmodel), ["bp", "b"], "left")
+        .crossJoin(F.broadcast(utot))
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("bp").isNull(), digits_uni)
+            .when(
+                F.col("c_bb").isNotNull(), digits_big
+            )
+            .otherwise(F.lit(penalty_digits) + digits_uni)
+            .alias("s"),
+            F.when(F.col("c_b").isNull(), 1).otherwise(0).alias("oov"),
+            F.when(F.col("c_bb").isNotNull(), 1).otherwise(0).alias("hit"),
+        )
+    )
+    return scored.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("oov").cast("bigint").alias("n_oov"),
+        F.sum("hit").cast("bigint").alias("n_bigram_hits"),
+        F.sum("s").cast("bigint").alias("surprisal"),
+        (
+            F.sum("s").cast("bigint").cast("double") / F.count(F.lit(1))
+        ).alias("avg_digits"),
+    )
+
+
+@register(
+    "quality_bigram_surprisal",
+    _BIGRAM_SURPRISAL_ORACLE,
+    doc="Bigram-backoff LM quality score: every document scored by "
+    "average conditional surprisal under a hashed-bigram count model "
+    "of the target sources, stupid-backoff (one penalty digit = x10 "
+    "probability discount) to the certified unigram staircase for "
+    "unseen bigrams — local fluency on top of vocabulary fit, still "
+    "entirely in the log-free integer-digit grid so the score is "
+    "hash-certifiable; prev-token pairing is row-local (transform "
+    "over the token array, no window/self-join)",
+    tags=("text", "quality", "corpus", "lm"),
+    queue=True,
+)
+def quality_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    return lm_bigram_doc_scores(docs)
+
+
+# ---------------------------------------------------------------------------
+# Per-source perplexity drift audit (round-10 build-ahead QUEUE)
+# ---------------------------------------------------------------------------
+#
+# The roll-up that closes the CCNet loop: once every document carries
+# an LM surprisal, the PER-SOURCE aggregate is the drift dashboard a
+# corpus owner actually reads — "is crawl source X moving away from
+# the target domain?" Two exact signals per source: average surprisal
+# digits (vocabulary/domain fit) and OOV rate (coverage), each as one
+# double division of exact BIGINT totals, plus drift_ratio = source
+# avg over the TARGET sources' own pooled average (1.0 = looks like
+# the target; rising = drifting). Division guards follow the r8 DSIR
+# lesson: any zero denominator yields NULL, never a cross-engine
+# inf/NaN coin-flip.
+#
+# Scale: one groupBy(source) over the doc-grain scores (map-side
+# combinable, |sources| output rows), a |sources|-row checkpoint, and
+# a 1-row broadcast target baseline. Nothing here grows with the
+# corpus beyond the certified lm_doc_scores pass it composes.
+
+_PERPLEXITY_DRIFT_ORACLE = f"""
+WITH {_LM_SCORES_CTE},
+per_source AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS token_tot,
+         CAST(SUM(n_oov) AS BIGINT) AS oov_tot,
+         CAST(SUM(surprisal) AS BIGINT) AS surprisal_tot
+  FROM lm_scores GROUP BY source
+),
+target AS (
+  SELECT CAST(COALESCE(SUM(token_tot), 0) AS BIGINT) AS t_tok,
+         CAST(COALESCE(SUM(surprisal_tot), 0) AS BIGINT) AS t_sur
+  FROM per_source WHERE source IN ({_DSIR_TARGET_IN})
+)
+SELECT p.source, p.n_docs, p.token_tot, p.oov_tot, p.surprisal_tot,
+       CASE WHEN p.token_tot = 0 THEN NULL
+            ELSE CAST(p.surprisal_tot AS DOUBLE) / p.token_tot
+       END AS avg_digits,
+       CASE WHEN p.token_tot = 0 THEN NULL
+            ELSE CAST(p.oov_tot AS DOUBLE) / p.token_tot
+       END AS oov_rate,
+       CASE WHEN p.token_tot = 0 OR t.t_tok = 0 OR t.t_sur = 0 THEN NULL
+            ELSE (CAST(p.surprisal_tot AS DOUBLE) / p.token_tot)
+                 / (CAST(t.t_sur AS DOUBLE) / t.t_tok)
+       END AS drift_ratio
+FROM per_source p CROSS JOIN target t
+"""
+
+
+def lm_source_drift(
+    docs: DataFrame,
+    target_sources: tuple[str, ...] = DSIR_TARGET_SOURCES,
+) -> DataFrame:
+    """(source, n_docs, token_tot, oov_tot, surprisal_tot, avg_digits,
+    oov_rate, drift_ratio): per-source LM drift audit (block comment
+    above)."""
+    per = (
+        lm_doc_scores(docs, target_sources)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("token_tot"),
+            F.sum("n_oov").cast("bigint").alias("oov_tot"),
+            F.sum("surprisal").cast("bigint").alias("surprisal_tot"),
+        )
+        # |sources| rows feeding TWO consumers (target baseline + the
+        # final select) — without truncation each branch re-derives
+        # the whole token-explode LM pass
+        .localCheckpoint(eager=False)
+    )
+    target = per.where(F.col("source").isin(*target_sources)).agg(
+        F.coalesce(F.sum("token_tot"), F.lit(0))
+        .cast("bigint")
+        .alias("t_tok"),
+        F.coalesce(F.sum("surprisal_tot"), F.lit(0))
+        .cast("bigint")
+        .alias("t_sur"),
+    )
+    tok_d = F.col("token_tot").cast("double")
+    avg = F.col("surprisal_tot").cast("double") / tok_d
+    t_avg = F.col("t_sur").cast("double") / F.col("t_tok").cast("double")
+    zero = F.col("token_tot") == 0
+    return per.crossJoin(F.broadcast(target)).select(
+        "source", "n_docs", "token_tot", "oov_tot", "surprisal_tot",
+        F.when(zero, F.lit(None).cast("double")).otherwise(avg)
+        .alias("avg_digits"),
+        F.when(zero, F.lit(None).cast("double"))
+        .otherwise(F.col("oov_tot").cast("double") / tok_d)
+        .alias("oov_rate"),
+        F.when(
+            zero | (F.col("t_tok") == 0) | (F.col("t_sur") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(avg / t_avg)
+        .alias("drift_ratio"),
+    )
+
+
+@register(
+    "quality_perplexity_drift",
+    _PERPLEXITY_DRIFT_ORACLE,
+    doc="Per-source LM drift audit: exact per-source surprisal/OOV "
+    "totals from the certified unigram staircase, avg_digits + "
+    "oov_rate + drift_ratio (source average over the target sources' "
+    "pooled average — 1.0 = on-domain, rising = drifting); "
+    "zero-guarded divisions, |sources| output rows at any corpus "
+    "size — the dashboard row CCNet's quality filter is tuned from",
+    tags=("text", "quality", "corpus", "lm", "dq"),
+    queue=True,
+)
+def quality_perplexity_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    return lm_source_drift(docs)
 
 
 # ---------------------------------------------------------------------------
@@ -3243,7 +3575,7 @@ JOIN norms nb ON nb.source = d.source_b
     "exact BIGINT dot products + correctly-rounded IEEE sqrt, "
     "|sources|^2/2 output rows at any corpus size",
     tags=("corpus", "stats", "dedup", "scale"),
-    queue=True,
+    staged=True,
 )
 def corpus_source_unigram_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("source", "text")

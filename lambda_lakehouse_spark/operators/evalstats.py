@@ -948,7 +948,7 @@ FROM l2
     "removal): position-exploded exact fixed-point sums, 64-row second "
     "level, |labels| output rows at any corpus size",
     tags=("eval", "vector", "similarity", "stats"),
-    queue=True,
+    staged=True,
 )
 def eval_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").select("label", "embedding")
@@ -1081,13 +1081,26 @@ def spearman_rho(df: DataFrame, xcol: str, ycol: str) -> DataFrame:
     )
 
 
-_SPEARMAN_ORACLE = """
+# Cross-engine whitespace pinning (round-9 advice): Java's \s includes
+# vertical tab (\x0B) while DuckDB/RE2's does not, and a NULL text
+# would rank nulls-first in Spark's exact_global_rank but nulls-last
+# under DuckDB ROW_NUMBER, shifting every non-null rank. Both engines
+# therefore use the EXPLICIT Java-\s character class below and filter
+# NULL text up front, so the signals agree on any input — not just on
+# corpora that happen to contain neither \x0B nor NULLs. (The shared
+# BPE_TOKEN_RE keeps its \s — its certified consumers assume the
+# documented no-\x0B corpus — this query localizes the explicit form.)
+_WS_CLASS = r"[ \t\n\x0B\f\r]"
+_BPE_RE_EXPLICIT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
+
+_SPEARMAN_ORACLE = f"""
 WITH sig AS (
   SELECT doc_id,
-         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS x,
+         CAST(len(string_split_regex(text, '{_WS_CLASS}+')) AS BIGINT) AS x,
          CAST(len(regexp_extract_all(text,
-              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS y
+              '{_BPE_RE_EXPLICIT}')) AS BIGINT) AS y
   FROM documents
+  WHERE text IS NOT NULL
 ),
 rnx AS (
   SELECT doc_id, x, y,
@@ -1137,18 +1150,24 @@ FROM comp
     "the cheap-budget-signal substitution audit): exact doubled "
     "average ranks from the range-partitioned two-pass rank, "
     "decimal(38,0) Pearson components, one double formula; 1 output "
-    "row at any corpus size",
+    "row at any corpus size. NULL text filtered and whitespace pinned "
+    "to the explicit Java-\\s class on both engines (r9 advice: \\s "
+    "and NULL-rank semantics diverge cross-engine otherwise)",
     tags=("eval", "stats", "text", "curation"),
     queue=True,
 )
 def eval_signal_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lambda_lakehouse_spark.operators.text import BPE_TOKEN_RE
-
     t = F.col("text")
-    sig = read_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.size(F.split(t, r"\s+")).cast("bigint").alias("x"),
-        F.regexp_count(t, F.lit(BPE_TOKEN_RE)).cast("bigint").alias("y"),
+    sig = (
+        read_table(spark, sf_dir, "documents")
+        .where(t.isNotNull())
+        .select(
+            "doc_id",
+            F.size(F.split(t, _WS_CLASS + "+")).cast("bigint").alias("x"),
+            F.regexp_count(t, F.lit(_BPE_RE_EXPLICIT))
+            .cast("bigint")
+            .alias("y"),
+        )
     )
     # doc-grain signal relation feeds both rank passes AND the final
     # join — without truncation the regex tokenization executes 5x

@@ -575,12 +575,15 @@ FROM h{iters} GROUP BY h
 @register(
     "graph_kcore_coreness",
     _kcore_oracle(),
-    doc=f"k-core coreness histogram of the supplier co-part graph via "
-    f"{KCORE_ITERS} rounds of the h-index refinement (Lu et al. "
-    "Nature Comm'16: converges to coreness from degree, monotone "
-    "non-increasing) — join + partitioned-window + aggregate per "
-    "round, all-integer arithmetic, checkpointed edges/values, "
-    "histogram-sized output at any scale",
+    doc=f"{KCORE_ITERS}-round h-index refinement of the supplier "
+    "co-part graph (Lu et al. Nature Comm'16) — an UPPER BOUND on "
+    "coreness, equal once the monotone non-increasing iteration has "
+    "converged (graphs with longer refinement chains need more "
+    "rounds; the oracle unrolls the identical rounds, so the cert "
+    "pins the refinement, not convergence) — join + "
+    "partitioned-window + aggregate per round, all-integer "
+    "arithmetic, checkpointed edges/values, histogram-sized output "
+    "at any scale",
     tags=("graph", "iterative", "stats", "scale"),
     queue=True,
 )

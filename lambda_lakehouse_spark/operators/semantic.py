@@ -790,7 +790,6 @@ _CB_SAMPLE_ORACLE = (
     "certified k-means cells with the md5-uniform selection rule of "
     "priority_sample, ranked within cells",
     tags=("sampling", "vector", "corpus", "curation"),
-    staged=True,
 )
 def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
@@ -841,7 +840,6 @@ FROM folded
     "agree bit-for-bit; the number a curation run records to show "
     "balancing bought diversity without collapsing statistical power",
     tags=("sampling", "eval", "vector", "stats"),
-    staged=True,
 )
 def eval_cluster_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")

@@ -1353,7 +1353,6 @@ JOIN sizes nb ON nb.source = s.src_b
     # (measured 6.0 s at sf0.1 — second-heaviest after winnowing, so it
     # must regress loudly)
     bench=True,
-    staged=True,
 )
 def eval_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
@@ -1491,7 +1490,7 @@ GROUP BY lang, source
     "(mT5/BLOOM-style tokenizer analysis); one map-side-combined "
     "aggregate, bounded output",
     tags=("text", "tokens", "corpus", "quality"),
-    queue=True,
+    staged=True,
 )
 def text_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")

@@ -58,9 +58,11 @@ REGISTRY: dict[str, Query] = {}
 #      fail loudly if too many uncertified queries would queue at once.
 # The round-5 cohort (33 queries) graduated at the round-6 boundary,
 # the round-6 cohort (24) at the round-7 boundary, the round-7 cohort
-# (29) at the round-8 boundary, and the round-8 cohort (5) at the
-# round-9 boundary, each following exactly this procedure. STAGED
-# holds the round-9 cohort queued for round 10.
+# (29) at the round-8 boundary, the round-8 cohort (5) at the round-9
+# boundary, and the round-9 cohort (5) at the round-10 boundary, each
+# following exactly this procedure. STAGED holds the 5 queue entries
+# promoted oldest-first at the round-10 boundary (substring runs /
+# coverage, fertility, isotropy, unigram-cosine), queued for round 11.
 #
 # STALENESS / ROTATION POLICY (adopted round 8, per the round-7
 # verdict): at 219 registered queries and a 50-slot driver window, a
@@ -81,17 +83,19 @@ REGISTRY: dict[str, Query] = {}
 # remaining 34 r4-greens (clearing r4 entirely) + the 11
 # alphabetically-first r5 greens.
 #
-# ROUND-10 ROTATION PRE-PLAN (per the round-8 verdict, demand 7):
-# after r9 certifies, 34 r5 greens remain the oldest tier (the four
-# r9 --must re-certs consumed fill slots but also pulled two r5
-# members — dedup_lsh_eval, dedup_minhash_lsh_verified — forward to
-# r9-green). The r10 window therefore takes the ≤5 r9 graduates (the
-# STAGED cohort; QUEUE promotion to staged happens separately and
-# costs no r10 slots) + all 34 remaining r5 greens (clearing r5
-# entirely) + ~11 oldest r6 greens — 5+34+11 = 50, inside the
-# window-fit invariant at 224 registered + ≤5 staged. Run
-# gen_driver_window.py as usual; it derives exactly this composition
-# mechanically.
+# ROUND-10 ROTATION — EXECUTED (round-9 verdict, demand 2): the 5 r9
+# graduates took slots 1-5, two --must re-certs (dedup_ngram_jaccard
+# rebased onto the prefix-filter plan, dedup_lsh_eval bounded to the
+# md5 doc slice — both round-9-verdict plan changes) took slots 6-7,
+# all 34 remaining r5 greens cleared the r5 tier (slots 8-41), and
+# the 9 alphabetically-first r6 greens filled slots 42-50 (the two
+# musts consumed the other two pre-planned r6 slots). Registry 229.
+#
+# ROUND-11 ROTATION PRE-PLAN: after r10 certifies, the oldest tier is
+# the remaining ~32 r6 greens. The r11 window takes the ≤5 r10
+# graduates (the STAGED cohort below) + all remaining r6 greens +
+# oldest r7 fills to 50. gen_driver_window.py derives this
+# mechanically, as always.
 STAGED: dict[str, Query] = {}
 
 # Build-ahead queue: fully implemented and oracle-tested (the pytest
@@ -103,11 +107,12 @@ STAGED: dict[str, Query] = {}
 # keeps the staleness-bounding cap honest while letting a build session
 # run ahead of the rotation schedule.
 #
-# Queue depth at end of round 9 is 11, so promotion drains over ~3
-# round boundaries; promote oldest-first (the first-batch substring /
-# fertility / isotropy / unigram-cosine ops, then chi2/k-center, then
-# the third-pass spearman / silhouette / bitext / kcore additions) so
-# no queue entry waits indefinitely behind newer work.
+# Round-10 boundary promoted the 5 oldest (substring runs/coverage,
+# fertility, isotropy, unigram-cosine) to STAGED. Queue depth is now
+# 6 carried (bitext margin, chi2, kcore, spearman, k-center,
+# silhouette) + the round-10 build-ahead LM pair (bigram backoff
+# surprisal, per-source perplexity drift); promote oldest-first at
+# the r11 boundary so no entry waits indefinitely behind newer work.
 QUEUE: dict[str, Query] = {}
 
 
@@ -140,121 +145,75 @@ def register(
 # CORRECTNESS_r*.json files covers the full registry.  The invariant
 # (every query beyond slot 50 holds a prior green row) is pinned by
 # tests/test_registry_contract.py.
+#
+# — round-10 window (50 slots), generated by
+#   tools/gen_driver_window.py --must dedup_ngram_jaccard dedup_lsh_eval —
+# Slots 1-5: the round-10 graduation — the 5 formerly-STAGED round-9
+# queries (pytest oracle-green at sf0.001/sf0.01, no driver row yet).
+# Slots 6-7: --must re-certs, both round-9-verdict demands:
+#   dedup_ngram_jaccard rebased onto the AllPairs prefix-filter plan
+#     (same _ngram_oracle(); the uncapped Sigma-df^2 inverted-index
+#     self-join — 25 s at sf0.1, the registry's slowest non-audit
+#     query — survives as the pytest-only equivalence twin);
+#   dedup_lsh_eval default plan bounded to the deterministic
+#     md5-selected 37.5% doc slice (oracle carries the identical
+#     predicate; exact within the slice — pair-local membership,
+#     property-tested; ~63 s -> ~9 s at sf0.1).
+# Slots 8-41: the ENTIRE remaining r5-stale cohort (34 queries),
+# clearing the r5 tier completely per the rotation policy.
+# Slots 42-50: the 9 alphabetically-first r6 greens (the two --must
+# re-certs consumed the other two pre-planned r6 slots).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # — round-9 window (50 slots), generated by
-    #   tools/gen_driver_window.py --must dedup_jaccard_prefix_filter
-    #   dedup_simhash_hamming_pairs dedup_lsh_eval
-    #   dedup_minhash_lsh_verified —
-    # Slots 1-5: the round-9 graduation — the 5 formerly-STAGED
-    # round-8 queries (pytest oracle-green at sf0.001/sf0.01 and
-    # judge-CLI-verified, no driver row yet).
-    "text_bpe_compression",
-    "dedup_incremental_replay",
-    "mine_hard_negatives",
-    "sample_dsir_hashed_ngrams",
-    "eval_dsir_target_shift",
-    # Slots 6-9: --must re-certs — the round-9 hidden-hotspot sweep
-    # (time EVERY query at sf0.1, not just the headliners) changed
-    # these plans, so their old green rows certify superseded plans:
-    #   dedup_jaccard_prefix_filter 19.3 -> 8.5 s (shingle-array
-    #     checkpoint + PPJoin pruning + doc-grain single-eval verify);
-    #   dedup_simhash_hamming_pairs 138 -> 11.3 s AND output changed
-    #     (signature widened 16 -> 32 bits: the short signature
-    #     saturated — ~30% of all pairs within hamming 3);
-    #   dedup_lsh_eval 455 -> ~63 s (exact ground truth via the
-    #     pigeonhole-complete global prefix filter instead of the
-    #     shingle-grain Sigma-df^2 self-join);
-    #   dedup_minhash_lsh_verified 8.0 -> 3.2 s (doc-grain verify).
-    "dedup_jaccard_prefix_filter",
-    "dedup_simhash_hamming_pairs",
-    "dedup_lsh_eval",
-    "dedup_minhash_lsh_verified",
-    # Slots 10-43: the ENTIRE remaining r4-stale cohort (34
-    # queries whose newest green is r04), clearing the oldest
-    # staleness tier completely per the rotation policy above.
-    "dedup_minhash_lsh_capped",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_subset_keys",
-    "funnel_conversion",
-    "join_broadcast_lookup",
-    "join_left_enrich",
-    "multimodal_decode_stub",
-    "multimodal_format_sniff",
-    "multimodal_frame_sample",
-    "project_filter_flags",
-    "q10_returned_items",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q17_small_quantity",
-    "q1_pricing_summary",
-    "q21_waiting_supplier",
-    "q22_idle_balance",
-    "q3_shipping_priority",
-    "q5_nation_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "sample_mixture_weighted",
-    "schema_align_union",
-    "sessionize_events",
-    "shard_by_token_budget",
-    "sql_over_files",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_token_quality",
-    "window_cumulative_distinct",
-    "window_share_of_total",
-    "window_tumbling_agg",
-    "window_value_functions",
-    # Slots 44-50: the 7 alphabetically-first r5 greens — the head
-    # of the next-oldest cohort (four fill slots went to the
-    # slot-6..9 --must re-certs).
-    "agg_approx_sketches",
-    "agg_exact_percentiles",
-    "agg_weighted_stats",
-    "ann_cosine_topk_hyperlsh",
-    "ann_cosine_topk_ivf_pretrained",
-    "cdc_table_diff",
-    "corpus_top_ngrams",
-    # — beyond slot 50: every query below (and every unlisted
-    # query, which follows in registration order) holds a prior
-    # green driver row — pinned by tests/test_registry_contract.py.
-    # These 34 are the remaining r5 greens, i.e. the round-10
-    # rotation cohort (see the policy paragraph above STAGED). —
-    "dedup_materialize_corpus_best",
-    "dedup_ngram_jaccard_capped",
-    "dq_expectation_metrics",
-    "embed_quantize_int8",
-    "event_transition_matrix",
-    "fuzzy_pairs_edit1",
-    "hierarchy_flatten_iterative",
-    "interval_join_events",
-    "join_salted_hot_key",
-    "multimodal_patch_grid",
-    "pack_sequences_nextfit",
-    "profile_column_stats",
-    "q11_important_stock",
-    "q16_parts_supplier_count",
-    "q20_excess_inventory",
-    "q2_min_cost_supplier",
-    "retention_cohorts",
-    "rollup_incremental_merge",
-    "sample_cap_per_source",
-    "sample_stratified_exact",
-    "scd2_incremental_fold",
-    "sessionize_paths",
-    "snapshot_incremental_read",
-    "snapshot_merge_changelog",
-    "snapshot_time_travel",
-    "source_json_roundtrip",
-    "stats_group_regression",
-    "text_chunk_stride",
-    "text_pii_redact",
-    "text_repetition_score",
-    "timeseries_gap_fill",
-    "ts_similarity_topk",
-    "window_gap_islands",
-    "zorder_layout_keys",
+    "eval_source_contamination",  # slot 1: NEVER
+    "quality_lm_surprisal",  # slot 2: NEVER
+    "quality_ccnet_terciles",  # slot 3: NEVER
+    "sample_cluster_balanced",  # slot 4: NEVER
+    "eval_cluster_balance_audit",  # slot 5: NEVER
+    "dedup_ngram_jaccard",  # slot 6: re-cert
+    "dedup_lsh_eval",  # slot 7: re-cert
+    "dedup_materialize_corpus_best",  # slot 8: green r05
+    "dedup_ngram_jaccard_capped",  # slot 9: green r05
+    "dq_expectation_metrics",  # slot 10: green r05
+    "embed_quantize_int8",  # slot 11: green r05
+    "event_transition_matrix",  # slot 12: green r05
+    "fuzzy_pairs_edit1",  # slot 13: green r05
+    "hierarchy_flatten_iterative",  # slot 14: green r05
+    "interval_join_events",  # slot 15: green r05
+    "join_salted_hot_key",  # slot 16: green r05
+    "multimodal_patch_grid",  # slot 17: green r05
+    "pack_sequences_nextfit",  # slot 18: green r05
+    "profile_column_stats",  # slot 19: green r05
+    "q11_important_stock",  # slot 20: green r05
+    "q16_parts_supplier_count",  # slot 21: green r05
+    "q20_excess_inventory",  # slot 22: green r05
+    "q2_min_cost_supplier",  # slot 23: green r05
+    "retention_cohorts",  # slot 24: green r05
+    "rollup_incremental_merge",  # slot 25: green r05
+    "sample_cap_per_source",  # slot 26: green r05
+    "sample_stratified_exact",  # slot 27: green r05
+    "scd2_incremental_fold",  # slot 28: green r05
+    "sessionize_paths",  # slot 29: green r05
+    "snapshot_incremental_read",  # slot 30: green r05
+    "snapshot_merge_changelog",  # slot 31: green r05
+    "snapshot_time_travel",  # slot 32: green r05
+    "source_json_roundtrip",  # slot 33: green r05
+    "stats_group_regression",  # slot 34: green r05
+    "text_chunk_stride",  # slot 35: green r05
+    "text_pii_redact",  # slot 36: green r05
+    "text_repetition_score",  # slot 37: green r05
+    "timeseries_gap_fill",  # slot 38: green r05
+    "ts_similarity_topk",  # slot 39: green r05
+    "window_gap_islands",  # slot 40: green r05
+    "zorder_layout_keys",  # slot 41: green r05
+    "ab_arm_statistics",  # slot 42: green r06
+    "agg_count_distinct",  # slot 43: green r06
+    "agg_cube",  # slot 44: green r06
+    "agg_grouping_sets",  # slot 45: green r06
+    "agg_having_conditional",  # slot 46: green r06
+    "agg_rollup",  # slot 47: green r06
+    "array_agg_suite",  # slot 48: green r06
+    "asof_join_nearest",  # slot 49: green r06
+    "bloom_semijoin_prune",  # slot 50: green r06
 )
 
 

@@ -382,6 +382,64 @@ def test_lsh_verified_subset_of_exact_with_exact_scores(spark):
     assert set(verified) == set(exact)
 
 
+def test_lsh_eval_slice_agrees_with_full(spark):
+    """The registered dedup_lsh_eval audits a deterministic md5 doc
+    slice (round-10 plan change). Membership in both audited relations
+    is pair-local — exact jaccard depends only on the two shingle
+    sets, LSH banding only on the two signatures — so the slice
+    confusion matrix must EQUAL the full-corpus matrix restricted to
+    slice-internal pairs: exact within the slice, not a sampled
+    approximation. This pins that theorem against the implementation
+    (a corpus-dependent candidate step on either side would break it
+    loudly here)."""
+    from lambda_lakehouse_spark.operators.dedup import (
+        _EVAL_SLICE_HEX,
+        _EVAL_SLICE_SEED,
+        _EVAL_THRESHOLD,
+        _eval_slice,
+        exact_jaccard_pairs,
+        lsh_eval_confusion,
+        minhash_lsh_pairs,
+    )
+    from lambda_lakehouse_spark.sources.readers import read_table
+    from tests.conftest import SF_DIR
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    sliced_ids = {r.doc_id for r in _eval_slice(docs).select("doc_id").collect()}
+    # the slice selects a real subset (predicate neither empty nor all)
+    n_docs = docs.count()
+    assert 0 < len(sliced_ids) < n_docs
+    # python replay of the predicate: same md5, same hex-digit gate
+    import hashlib
+
+    expect_ids = {
+        r.doc_id
+        for r in docs.select("doc_id").collect()
+        if hashlib.md5(
+            f"{_EVAL_SLICE_SEED}{r.doc_id}".encode()
+        ).hexdigest()[0] in _EVAL_SLICE_HEX
+    }
+    assert sliced_ids == expect_ids
+
+    # full-corpus relations restricted to slice-internal pairs
+    full_lsh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs)
+        .where(F.col("est_jaccard") >= _EVAL_THRESHOLD)
+        .collect()
+        if r.doc_a in sliced_ids and r.doc_b in sliced_ids
+    }
+    full_exact = {
+        (r.doc_a, r.doc_b)
+        for r in exact_jaccard_pairs(docs).collect()
+        if r.doc_a in sliced_ids and r.doc_b in sliced_ids
+    }
+    row = lsh_eval_confusion(docs, sliced=True).collect()[0]
+    assert row.tp == len(full_lsh & full_exact)
+    assert row.fp == len(full_lsh - full_exact)
+    assert row.fn == len(full_exact - full_lsh)
+
+
 def test_repetition_scores_crafted(spark):
     from lambda_lakehouse_spark.operators.text import repetition_scores
 

@@ -290,6 +290,12 @@ def test_cluster_silhouette_trained_cells_properties(spark):
 
     emb = read_table(spark, SF_DIR, "embeddings")
     rows = cluster_silhouette(emb).collect()
+    # Precondition (r9 advice): the coverage invariant below only holds
+    # while the trained quantizer keeps >= 2 non-empty cells —
+    # cluster_silhouette silently drops vectors whose second-nearest
+    # cell is missing (s2 null). Assert it explicitly so a degenerate
+    # quantizer fails loudly instead of shrinking the test's coverage.
+    assert len(rows) >= 2, "trained quantizer degenerated to < 2 cells"
     assert sum(r.n_vecs for r in rows) == emb.count()
     for r in rows:
         assert 0.0 <= r.mean_sil <= 1.0
@@ -363,3 +369,165 @@ def test_kcore_star_collapses_to_one(spark):
     edges = _sym_edges(spark, [(0, i) for i in range(1, 6)])
     got = {r.u: r.h for r in kcore_coreness(edges).collect()}
     assert got == {i: 1 for i in range(6)}
+
+
+# ---------------------------------------------------------------------------
+# round-10 build-ahead: bigram backoff surprisal + perplexity drift
+# ---------------------------------------------------------------------------
+
+
+def _src_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def _bigram_replay(rows, targets=("src1", "src2"), buckets=256, penalty=1):
+    """Exact Python replay of lm_bigram_doc_scores: same md5 bucket,
+    same Laplace integer-quotient digit staircase, same stupid-backoff
+    penalty. Integer arithmetic throughout, so equality is exact."""
+    import hashlib
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % buckets
+
+    streams = {}  # doc_id -> (source, [(b, bp), ...])
+    for doc_id, source, text in rows:
+        toks = [t for t in text.split(" ") if t]
+        if text == "" or not toks:
+            if text == "":
+                continue  # WHERE text <> ''
+        bs = [bucket(t) for t in toks]
+        streams[doc_id] = (
+            source,
+            [(b, bs[i - 1] if i > 0 else None) for i, b in enumerate(bs)],
+        )
+    umodel, bmodel = {}, {}
+    for source, pairs in streams.values():
+        if source not in targets:
+            continue
+        for b, bp in pairs:
+            umodel[b] = umodel.get(b, 0) + 1
+            if bp is not None:
+                bmodel[(bp, b)] = bmodel.get((bp, b), 0) + 1
+    c_tot = sum(umodel.values())
+    out = {}
+    for doc_id, (source, pairs) in streams.items():
+        if not pairs:
+            continue
+        n = len(pairs)
+        oov = hit = sur = 0
+        for b, bp in pairs:
+            uni = len(str((c_tot + buckets) // (umodel.get(b, 0) + 1)))
+            if bp is None:
+                s = uni
+            elif (bp, b) in bmodel:
+                s = len(str((umodel.get(bp, 0) + buckets) // (bmodel[(bp, b)] + 1)))
+                hit += 1
+            else:
+                s = penalty + uni
+            if b not in umodel:
+                oov += 1
+            sur += s
+        out[doc_id] = (source, n, oov, hit, sur, sur / n)
+    return out
+
+
+def test_bigram_surprisal_matches_python_replay(spark):
+    """Model test on a mixed corpus (shared vocab, reversed word order,
+    disjoint vocab, single token, multi-space text): every per-doc row
+    equals the integer-exact Python replay bit-for-bit."""
+    from lambda_lakehouse_spark.operators.corpus import lm_bigram_doc_scores
+
+    rows = [
+        (1, "src1", "the quick brown fox jumps over the lazy dog"),
+        (2, "src1", "the quick brown fox"),
+        (3, "src2", "pack my box with five dozen jugs"),
+        (4, "other", "the quick brown fox jumps over the lazy dog"),
+        (5, "other", "dog lazy the over jumps fox brown quick the"),
+        (6, "other", "zzzqx wwwvy uuutk"),
+        (7, "other", "solo"),
+        (8, "other", "  the   quick  "),
+    ]
+    exp = _bigram_replay(rows)
+    got = {
+        r.doc_id: (
+            r.source, r.n_tokens, r.n_oov, r.n_bigram_hits, r.surprisal,
+            r.avg_digits,
+        )
+        for r in lm_bigram_doc_scores(_src_docs(spark, rows)).collect()
+    }
+    assert set(got) == set(exp)
+    for d in exp:
+        assert got[d][:5] == exp[d][:5], (d, got[d], exp[d])
+        assert math.isclose(got[d][5], exp[d][5], rel_tol=0, abs_tol=0.0), d
+
+
+def test_bigram_surprisal_structural_invariants(spark):
+    """Closed-form structure: a doc IDENTICAL to a target doc has
+    every bigram seen (hits = n-1, oov = 0, first token unigram-only);
+    hits <= n-1 always; surprisal >= n (>= 1 digit per token); the
+    backoff path scores strictly above the same doc's no-penalty
+    floor."""
+    from lambda_lakehouse_spark.operators.corpus import lm_bigram_doc_scores
+
+    rows = [
+        (1, "src1", "alpha beta gamma delta epsilon"),
+        (2, "other", "alpha beta gamma delta epsilon"),  # exact copy
+        (3, "other", "epsilon delta gamma beta alpha"),  # reversed
+    ]
+    got = {r.doc_id: r for r in lm_bigram_doc_scores(_src_docs(spark, rows)).collect()}
+    copy = got[2]
+    assert copy.n_tokens == 5
+    assert copy.n_bigram_hits == 4  # all 4 bigrams seen in target
+    assert copy.n_oov == 0
+    for r in got.values():
+        assert r.n_bigram_hits <= r.n_tokens - 1
+        assert r.surprisal >= r.n_tokens
+
+
+def test_perplexity_drift_target_is_unity(spark):
+    """With a single target source, that source's drift_ratio is
+    EXACTLY 1.0 (its average over the pooled target average — itself);
+    a source whose vocabulary is inside the target's buckets has
+    oov_rate 0; an absent-target configuration yields NULL ratios."""
+    from lambda_lakehouse_spark.operators.corpus import lm_source_drift
+
+    rows = [
+        (1, "src1", "one two three four"),
+        (2, "src1", "one two five"),
+        (3, "other", "one two three"),       # vocab subset of src1
+        (4, "weird", "qqqa qqqb qqqc qqqd"),  # disjoint vocab
+    ]
+    docs = _src_docs(spark, rows)
+    got = {r.source: r for r in lm_source_drift(docs, ("src1",)).collect()}
+    assert got["src1"].drift_ratio == 1.0
+    assert got["other"].oov_rate == 0.0
+    assert got["other"].n_docs == 1 and got["other"].token_tot == 3
+    # totals are exact integers
+    assert got["src1"].token_tot == 7 and got["src1"].n_docs == 2
+
+    absent = {r.source: r for r in lm_source_drift(docs, ("nope",)).collect()}
+    assert all(r.drift_ratio is None for r in absent.values())
+
+
+def test_perplexity_drift_consistent_with_doc_scores(spark):
+    """The per-source totals are exactly the sums of lm_doc_scores
+    rows (the audit composes the certified rails, adds no arithmetic
+    of its own beyond the divisions)."""
+    from lambda_lakehouse_spark.operators.corpus import (
+        lm_doc_scores, lm_source_drift,
+    )
+    from lambda_lakehouse_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "text"
+    )
+    doc_rows = lm_doc_scores(docs).collect()
+    exp = {}
+    for r in doc_rows:
+        n, t, o, s = exp.get(r.source, (0, 0, 0, 0))
+        exp[r.source] = (n + 1, t + r.n_tokens, o + r.n_oov, s + r.surprisal)
+    got = {r.source: r for r in lm_source_drift(docs).collect()}
+    assert set(got) == set(exp)
+    for src, (n, t, o, s) in exp.items():
+        r = got[src]
+        assert (r.n_docs, r.token_tot, r.oov_tot, r.surprisal_tot) == (n, t, o, s)
