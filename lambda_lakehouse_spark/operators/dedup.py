@@ -844,21 +844,29 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVAL_THRESHOLD = 0.5
 _EVAL_SHINGLE_LEN = 5
 
-# Audit-slice selector (round-9 verdict, demand 4). At jaccard >= 0.5
-# this corpus's ground truth holds 6.3 M of 12.5 M possible pairs —
-# the audit is OUTPUT-bound quadratic no matter the join strategy, so
-# the registered plan bounds the population, not the algorithm: keep
-# docs whose md5(seed || doc_id) first hex digit falls in the slice
-# set (6/16 = 37.5% of docs => ~14% of pairs). Membership in BOTH
-# audited relations is pair-local (exact jaccard depends only on the
-# two shingle sets; LSH banding only on the two signatures), so the
-# slice confusion matrix EQUALS the full-corpus matrix restricted to
-# slice-internal pairs — exact within the slice, not an approximation
-# of it (property-tested: test_lsh_eval_slice_agrees_with_full).
-# md5-selection, not a doc_id range: id assignment often correlates
-# with ingest time/source, hashing does not.
+# Audit-slice selector (round-9 verdict, demand 4). The full-corpus
+# audit is CANDIDATE-bound quadratic on this shared-vocabulary corpus:
+# only ~2,000 distinct 5-gram shingles exist at sf0.1, so even the
+# rarest-first prefix index is dense (Sigma prefix-df^2 ~ 1.6e8 join
+# rows; measured — the r9 "6.3 M of 12.5 M pairs" figure was the
+# CANDIDATE pair count; the true ground truth at jaccard >= 0.5 is
+# 256 pairs) and prefix filtering degenerates toward all-pairs no
+# matter the join strategy. So the registered plan bounds the
+# POPULATION, not the algorithm: keep docs whose md5(seed || doc_id)
+# first hex digit falls in the slice set (3/16 = 18.75% of docs =>
+# ~3.5% of candidate pairs; measured 104 s full -> ~6 s sliced exact
+# side at sf0.1). Membership in BOTH audited relations is pair-local
+# (exact jaccard depends only on the two shingle sets; LSH banding
+# only on the two signatures), so the slice confusion matrix EQUALS
+# the full-corpus matrix restricted to slice-internal pairs — exact
+# within the slice, not an approximation of it (property-tested:
+# test_lsh_eval_slice_agrees_with_full). md5-selection, not a doc_id
+# range: id assignment often correlates with ingest time/source,
+# hashing does not. At 100 TB the same selector with a smaller hex
+# set (or a longer prefix) holds the audited population at a fixed
+# absolute size while staying deterministic and oracle-replayable.
 _EVAL_SLICE_SEED = "lsh-eval-slice:"
-_EVAL_SLICE_HEX = ("0", "1", "2", "3", "4", "5")
+_EVAL_SLICE_HEX = ("0", "1", "2")
 
 
 def _eval_slice(docs: DataFrame) -> DataFrame:
@@ -1083,8 +1091,9 @@ def lsh_eval_confusion(docs: DataFrame, sliced: bool = True) -> DataFrame:
     ground-truth Jaccard. ``sliced=True`` (the registered default)
     audits the deterministic md5 doc slice — exact WITHIN the slice,
     see _EVAL_SLICE_HEX rationale; ``sliced=False`` is the full-corpus
-    audit (output-bound quadratic at this threshold: ~63 s at sf0.1 vs
-    ~9 s sliced — keep it off the per-round path at scale)."""
+    audit (candidate-bound quadratic on a shared-vocab corpus: exact
+    side measured 104 s at sf0.1 full vs ~6 s on the 18.75% slice —
+    keep it off the per-round path at scale)."""
     if sliced:
         docs = _eval_slice(docs)
     lsh = (
@@ -1127,14 +1136,14 @@ def lsh_eval_confusion(docs: DataFrame, sliced: bool = True) -> DataFrame:
     "precision/recall in one certified row; recall folds in both "
     "banding misses and estimation error (the honest end-to-end "
     "number). Since round 10 the registered plan audits a "
-    "deterministic md5-selected 37.5%-doc slice (oracle carries the "
-    "identical predicate): at jaccard >= 0.5 the full-corpus ground "
-    "truth is 6.3 M of 12.5 M possible pairs — output-bound quadratic "
-    "no matter the join strategy (~63 s at sf0.1) — while confusion "
-    "counts are pair-local, so the slice matrix is EXACT within the "
-    "slice (property-tested vs the full audit). Full corpus stays "
-    "available via lsh_eval_confusion(docs, sliced=False); the "
-    "production path is dedup_minhash_lsh_verified",
+    "deterministic md5-selected 18.75%-doc slice (oracle carries the "
+    "identical predicate): the shared-vocabulary corpus makes the "
+    "exact side CANDIDATE-bound quadratic (~2k distinct shingles, "
+    "prefix index ~all-pairs dense, 104 s at sf0.1 full) — while "
+    "confusion counts are pair-local, so the slice matrix is EXACT "
+    "within the slice (property-tested vs the full audit). Full "
+    "corpus stays available via lsh_eval_confusion(docs, "
+    "sliced=False); the production path is dedup_minhash_lsh_verified",
     tags=("dedup", "lsh", "eval"),
 )
 def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2103,3 +2103,160 @@ FROM fwd f JOIN bwd b USING (match_id)
 def mine_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return bitext_margin_top1(emb)
+
+
+# --- ANN recall@k audit: IVF vs exact ground truth --------------------
+#
+# The quality loop the LSH-eval query runs for MinHash, applied to the
+# vector side: how much recall does the IVF probe give up against the
+# exact brute-force top-k? This is THE acceptance number for any ANN
+# deployment (FAISS reports it per index type; every probe-count knob
+# is tuned against it), and both sides already exist certified in this
+# module — the audit composes cosine_topk (exact, certified as
+# ann_cosine_topk_brute) and ivf_cosine_topk (certified as
+# ann_cosine_topk_ivf) at the same k and scores the overlap.
+#
+# Exactness: n_truth / n_approx / n_hit are integer set sizes over
+# deterministic (cos DESC, neighbor_id) top-k relations both engines
+# produce identically (the two underlying queries are driver-certified
+# bit-equal); recall is one double division of two exact integers.
+#
+# Scale: both component plans keep their certified shapes (bounded
+# query broadcast, cell-bucketed candidates); the audit adds three
+# query-keyed aggregates over k-bounded relations — N_QUERIES * k rows
+# at most, trivial at any corpus size. At 100 TB the query set is the
+# sampled slice, exactly like the LSH audit.
+
+
+def ann_recall_at_k(
+    emb: DataFrame,
+    query_filter,
+    k: int = IVF_K,
+    n_probe: int = N_PROBE,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, n_truth, n_approx, n_hit, recall_at_k): per-query
+    recall of the IVF probe against exact brute-force ground truth at
+    the same ``k``."""
+    truth = cosine_topk(emb, query_filter, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_cosine_topk(
+        emb, query_filter, k=k, n_probe=n_probe, centroids=centroids
+    ).select("query_id", "neighbor_id")
+    t = truth.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth")
+    )
+    a = approx.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_approx")
+    )
+    h = (
+        truth.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    )
+    return (
+        t.join(a, "query_id", "left")
+        .join(h, "query_id", "left")
+        .select(
+            "query_id",
+            "n_truth",
+            F.coalesce("n_approx", F.lit(0)).cast("bigint").alias("n_approx"),
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.col("n_truth")
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def _ann_recall_oracle(
+    k: int = IVF_K,
+    n_probe: int = N_PROBE,
+    n_cells: int = N_CELLS,
+    iters: int = KMEANS_ITERS,
+    seed: str = KMEANS_SEED,
+) -> str:
+    """Brute ground truth + the unrolled k-means/IVF replay + overlap
+    counts, in one WITH chain (CTE names disjoint from the replay's)."""
+    ssum = _ssum_sql
+    ctes = _kmeans_replay_ctes(n_cells, iters, seed)
+    i = iters
+    ctes += [
+        f"norms AS (SELECT vec_id, {ssum('val * val')} AS n2"
+        " FROM flat GROUP BY vec_id)",
+        f"bdots AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,"
+        f" {ssum('q.val * c.val')} AS dot"
+        " FROM flat q JOIN flat c ON q.pos = c.pos AND c.vec_id <> q.vec_id"
+        f" WHERE q.vec_id < {N_QUERIES} GROUP BY 1, 2)",
+        "bscored AS (SELECT query_id, neighbor_id,"
+        " dot / sqrt(nq.n2 * nc.n2) AS cos_sim"
+        " FROM bdots JOIN norms nq ON nq.vec_id = query_id"
+        " JOIN norms nc ON nc.vec_id = neighbor_id)",
+        f"""btop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rk
+    FROM bscored
+  ) WHERE rk <= {k}
+)""",
+        f"cells AS (SELECT vec_id, cell FROM asg{i} WHERE rk = 1)",
+        f"qcells AS (SELECT vec_id AS query_id, cell FROM asg{i}"
+        f" WHERE rk <= {n_probe} AND vec_id < {N_QUERIES})",
+        "cand AS (SELECT q.query_id, v.vec_id AS neighbor_id"
+        " FROM qcells q JOIN cells v USING (cell)"
+        " WHERE v.vec_id <> q.query_id)",
+        f"idots AS (SELECT c.query_id, c.neighbor_id,"
+        f" {ssum('qf.val * nf.val')} AS dot"
+        " FROM cand c JOIN flat qf ON qf.vec_id = c.query_id"
+        " JOIN flat nf ON nf.vec_id = c.neighbor_id AND nf.pos = qf.pos"
+        " GROUP BY 1, 2)",
+        "iscored AS (SELECT query_id, neighbor_id,"
+        " dot / sqrt(nq.n2 * nc.n2) AS cos_sim"
+        " FROM idots JOIN norms nq ON nq.vec_id = query_id"
+        " JOIN norms nc ON nc.vec_id = neighbor_id)",
+        f"""itop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rk
+    FROM iscored
+  ) WHERE rk <= {k}
+)""",
+        "tc AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth"
+        " FROM btop GROUP BY 1)",
+        "ac AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_approx"
+        " FROM itop GROUP BY 1)",
+        "hc AS (SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit"
+        " FROM btop b JOIN itop x ON b.query_id = x.query_id"
+        " AND b.neighbor_id = x.neighbor_id GROUP BY 1)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT tc.query_id, tc.n_truth,
+       CAST(COALESCE(ac.n_approx, 0) AS BIGINT) AS n_approx,
+       CAST(COALESCE(hc.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(COALESCE(hc.n_hit, 0) AS DOUBLE) / tc.n_truth AS recall_at_k
+FROM tc LEFT JOIN ac USING (query_id) LEFT JOIN hc USING (query_id)
+"""
+    )
+
+
+@register(
+    "eval_ann_recall_ivf",
+    _ann_recall_oracle(),
+    doc=f"ANN recall@{IVF_K} audit: the IVF probe path "
+    f"({N_PROBE}-of-{N_CELLS} trained cells) scored per query against "
+    "exact brute-force cosine top-k at the same k — n_truth/n_approx/"
+    "n_hit integer set sizes plus one double recall division; the "
+    "FAISS-style acceptance number every probe-count knob is tuned "
+    "against, composing the two certified ANN paths (brute + IVF) so "
+    "the audit cannot drift from what it audits",
+    tags=("similarity", "vector", "ivf", "eval"),
+    queue=True,
+)
+def eval_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ann_recall_at_k(emb, F.col("vec_id") < N_QUERIES)

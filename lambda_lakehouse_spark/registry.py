@@ -110,9 +110,10 @@ STAGED: dict[str, Query] = {}
 # Round-10 boundary promoted the 5 oldest (substring runs/coverage,
 # fertility, isotropy, unigram-cosine) to STAGED. Queue depth is now
 # 6 carried (bitext margin, chi2, kcore, spearman, k-center,
-# silhouette) + the round-10 build-ahead LM pair (bigram backoff
-# surprisal, per-source perplexity drift); promote oldest-first at
-# the r11 boundary so no entry waits indefinitely behind newer work.
+# silhouette) + 3 round-10 build-ahead entries (bigram backoff
+# surprisal, per-source perplexity drift, ANN recall@k audit);
+# promote oldest-first at the r11 boundary so no entry waits
+# indefinitely behind newer work.
 QUEUE: dict[str, Query] = {}
 
 

@@ -531,3 +531,49 @@ def test_perplexity_drift_consistent_with_doc_scores(spark):
     for src, (n, t, o, s) in exp.items():
         r = got[src]
         assert (r.n_docs, r.token_tot, r.oov_tot, r.surprisal_tot) == (n, t, o, s)
+
+
+def test_ann_recall_probe_all_is_perfect(spark):
+    """Probing every cell makes the IVF candidate set the whole corpus,
+    so recall@k == 1.0 for every query (the audit-level twin of the
+    probe-all==brute equivalence the IVF path itself is tested with)."""
+    from lambda_lakehouse_spark.operators.similarity import (
+        N_CELLS, N_QUERIES, ann_recall_at_k,
+    )
+    from lambda_lakehouse_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    rows = ann_recall_at_k(
+        emb, F.col("vec_id") < N_QUERIES, n_probe=N_CELLS
+    ).collect()
+    assert len(rows) == N_QUERIES
+    for r in rows:
+        assert r.n_hit == r.n_truth == r.n_approx
+        assert r.recall_at_k == 1.0
+
+
+def test_ann_recall_matches_component_set_intersection(spark):
+    """n_truth/n_approx/n_hit are exactly the set sizes of the two
+    certified component queries' collected outputs — the audit adds
+    counting, nothing else."""
+    from lambda_lakehouse_spark.operators.similarity import (
+        IVF_K, N_QUERIES, ann_recall_at_k, cosine_topk, ivf_cosine_topk,
+    )
+    from lambda_lakehouse_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    qf = F.col("vec_id") < N_QUERIES
+    truth, approx = {}, {}
+    for r in cosine_topk(emb, qf, k=IVF_K).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in ivf_cosine_topk(emb, qf, k=IVF_K).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {r.query_id: r for r in ann_recall_at_k(emb, qf).collect()}
+    assert set(got) == set(truth)
+    for q, r in got.items():
+        t, a = truth[q], approx.get(q, set())
+        assert (r.n_truth, r.n_approx, r.n_hit) == (len(t), len(a), len(t & a))
+        assert 0.0 <= r.recall_at_k <= 1.0
+        assert r.n_hit <= min(r.n_truth, r.n_approx)
