@@ -291,6 +291,8 @@ def test_no_pathological_join_plans(spark):
         "quality_ccnet_terciles",  # same c_tot broadcast + ntile totals
         "sample_kcenter_coreset",  # k 1-row new-center broadcasts
         "corpus_chi2_keywords",  # 1-row corpus-total (N) broadcast
+        "quality_bigram_surprisal",  # 1-row LM-model-total (c_tot) broadcast
+        "quality_perplexity_drift",  # 1-row target-baseline broadcast
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
@@ -579,6 +581,18 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
         # aggregates, and the top-1 backward relation — every hinted
         # side is filter/aggregate/top-1 bounded
         "mine_bitext_margin": {"embeddings.parquet"},
+        # <=B-row unigram + <=B^2-row bigram count models and the 1-row
+        # c_tot total (all aggregate-bounded; the token stream never
+        # ships) — the bigram twin of quality_lm_surprisal's entry
+        "quality_bigram_surprisal": {"documents.parquet"},
+        # same LM model broadcasts feeding the per-source roll-up, plus
+        # the 1-row target-baseline aggregate
+        "quality_perplexity_drift": {"documents.parquet"},
+        # composes the two certified ANN paths: the filter-bounded
+        # query-set broadcasts (vec_id < N_QUERIES) and the
+        # aggregate-bounded k-means centroid tables, exactly the
+        # subtrees allowlisted for ann_cosine_topk_brute/_ivf
+        "eval_ann_recall_ivf": {"embeddings.parquet"},
     }
     bounding_ops = (
         "Filter", "HashAggregate", "SortAggregate", "ObjectHashAggregate",

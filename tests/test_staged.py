@@ -747,10 +747,10 @@ def test_ccnet_terciles_partition_exactly(spark):
     """The three terciles partition the scored corpus with sizes
     differing by at most one (exact NTILE semantics), and the
     per-bucket token arithmetic reconciles."""
-    from lambda_lakehouse_spark.registry import load_staged
+    from lambda_lakehouse_spark.registry import load_all
     from tests.conftest import SF_DIR
 
-    q = load_staged()["quality_ccnet_terciles"]
+    q = load_all()["quality_ccnet_terciles"]  # graduated at the r10 boundary
     rows = q.spark(spark, SF_DIR).collect()
     assert rows
     by_tercile = {}
@@ -760,9 +760,9 @@ def test_ccnet_terciles_partition_exactly(spark):
         assert r.avg_digits == r.surprisal_tot / r.token_tot
     sizes = sorted(by_tercile.values())
     assert len(sizes) == 3 and sizes[-1] - sizes[0] <= 1
-    from lambda_lakehouse_spark.registry import load_staged as _ls
+    from lambda_lakehouse_spark.registry import load_all as _la
 
-    per_doc = _ls()["quality_lm_surprisal"].spark(spark, SF_DIR)
+    per_doc = _la()["quality_lm_surprisal"].spark(spark, SF_DIR)
     assert sum(by_tercile.values()) == per_doc.count()
 
 
@@ -806,10 +806,10 @@ def test_cluster_balance_audit_invariants(spark):
         CLUSTER_QUOTA,
         _cb_selected,
     )
-    from lambda_lakehouse_spark.registry import load_staged
+    from lambda_lakehouse_spark.registry import load_all
     from tests.conftest import SF_DIR
 
-    row = load_staged()["eval_cluster_balance_audit"].spark(
+    row = load_all()["eval_cluster_balance_audit"].spark(  # graduated r10
         spark, SF_DIR
     ).collect()[0]
     assert row.k_selected == _cb_selected_count(spark, SF_DIR)
