@@ -2138,12 +2138,23 @@ def ann_recall_at_k(
     """(query_id, n_truth, n_approx, n_hit, recall_at_k): per-query
     recall of the IVF probe against exact brute-force ground truth at
     the same ``k``."""
-    truth = cosine_topk(emb, query_filter, k=k).select(
-        "query_id", "neighbor_id"
+    # Each top-k relation feeds TWO consumers (its own count + the
+    # overlap join), and each is <= |queries| * k rows — the small-
+    # truncation-point shape. Without the lazy checkpoints the whole
+    # brute and IVF subtrees execute twice each (scan audit: 20
+    # embeddings scans; 10 after; sf0.1 A/B in the round notes).
+    truth = (
+        cosine_topk(emb, query_filter, k=k)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
     )
-    approx = ivf_cosine_topk(
-        emb, query_filter, k=k, n_probe=n_probe, centroids=centroids
-    ).select("query_id", "neighbor_id")
+    approx = (
+        ivf_cosine_topk(
+            emb, query_filter, k=k, n_probe=n_probe, centroids=centroids
+        )
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
     t = truth.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_truth")
     )

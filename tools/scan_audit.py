@@ -170,6 +170,10 @@ BASELINE: dict[str, int] = {
     "skyline_pareto_parts": 3,  # [branches] dominance self-comparison
     "snapshot_merge_changelog": 3,  # [passes] base + changelog + merge
     "snapshot_time_travel": 4,  # [branches] two snapshot reads + diff
+    "corpus_chi2_keywords": 4,  # [branches] observed + marginals + N total
+    #   — same contingency shape as stats_chi2_lang_source below; 2.6 s
+    #   at sf0.1 (r9 birth timing), re-tokenization branches cheaper
+    #   than materializing the token stream per the _flat lesson above
     "stats_chi2_lang_source": 4,  # [branches] observed + two marginals
     "stats_ks_drift_sources": 3,  # [branches] per-source ECDF sides
     "ts_similarity_topk": 4,  # [branches] query/corpus series + norms
