@@ -1365,13 +1365,26 @@ def simhash_hamming_pairs(
     # per doc) but expensive to derive — and FOUR consumers reference
     # it (two band-join sides, two verify sides). Lazy localCheckpoint
     # runs the hashing once; the textbook small-truncation-point shape.
+    # sig_int (round 10): the bit string converted ONCE per doc to a
+    # BIGINT, so the per-pair verify below is xor + bit_count — one
+    # codegen'd instruction instead of 32 substr comparisons, and the
+    # candidate re-attach joins ship 8-byte longs instead of 32-char
+    # strings. On this corpus the hot band bucket holds 65% of docs,
+    # so ~5M pairs are LEGITIMATE candidates no matter the banding
+    # (a 14-bit band+sub-band recursive-pigeonhole split was measured
+    # at only 1.56x fewer pre-distinct rows for 4x the explode) — the
+    # verify constant IS the lever. Measured A/B in the round notes.
     sigs = (
         docs.select("doc_id", F.split(F.col("text"), r"\s+").alias("toks"))
         .select("doc_id", F.expr(_simhash_expr()).alias("simhash"))
+        .withColumn(
+            "sig_int", F.expr("cast(conv(simhash, 2, 10) as bigint)")
+        )
         .localCheckpoint(eager=False)
     )
     bands = sigs.select(
         "doc_id",
+        "sig_int",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {SIMHASH_BANDS - 1}),"
@@ -1380,42 +1393,38 @@ def simhash_hamming_pairs(
                 f" {SIMHASH_BAND_BITS}) AS band_bits))"
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_bits")
+    ).select("doc_id", "sig_int", "band.band_idx", "band.band_bits")
     a, b = bands.alias("a"), bands.alias("b")
-    # Candidates move as BARE id pairs: a homogeneous corpus makes
-    # band buckets skew hard (one 8-bit band value held 3,239 of 5,000
-    # docs at sf0.1 -> 7.5M pre-distinct candidates), so the join
-    # output must not carry the signature strings — they re-attach
-    # after the distinct via two doc-keyed joins against the
-    # checkpointed doc-grain sigs (AQE broadcasts them unhinted).
-    cand = (
+    # A homogeneous corpus makes band buckets skew hard (one 8-bit
+    # band value held 3,239 of 5,000 docs at sf0.1 -> 7.5M
+    # pre-distinct candidate rows). Round-9 moved the join to bare id
+    # pairs + post-distinct re-attach because 32-char signature
+    # STRINGS through that skewed join were the cost; with the 8-byte
+    # sig_int the exact verify rides INSIDE the band join's codegen
+    # stage (bit_count of xor as a join post-filter), so the 7.5M
+    # candidate rows are filtered to the ~0.1% surviving near-dup
+    # pairs before anything is materialized, and the distinct +
+    # two re-attach joins run on survivors only. Measured 14.1 ->
+    # ~8.7 s steady-state at sf0.1 (A/Bs in the round notes).
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_bits") == F.col("b.band_bits"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.expr("bit_count(a.sig_int ^ b.sig_int)")
+                <= F.lit(max_hamming)
+            ),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.sig_int ^ b.sig_int)")
+            .cast("int")
+            .alias("hamming"),
         )
         .distinct()  # pairs agreeing on >1 band collapse to one row
-    )
-    withsigs = cand.join(
-        sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a")),
-        "doc_a",
-    ).join(
-        sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b")),
-        "doc_b",
-    )
-    ham = F.expr(
-        f"size(filter(sequence(1, {SIMHASH_BITS}),"
-        " p -> substr(sig_a, p, 1) <> substr(sig_b, p, 1)))"
-    )
-    return (
-        withsigs.withColumn("hamming", ham.cast("int"))
-        .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
     )
 
 

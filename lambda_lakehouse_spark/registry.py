@@ -84,12 +84,13 @@ REGISTRY: dict[str, Query] = {}
 # alphabetically-first r5 greens.
 #
 # ROUND-10 ROTATION — EXECUTED (round-9 verdict, demand 2): the 5 r9
-# graduates took slots 1-5, two --must re-certs (dedup_ngram_jaccard
+# graduates took slots 1-5, three --must re-certs (dedup_ngram_jaccard
 # rebased onto the prefix-filter plan, dedup_lsh_eval bounded to the
-# md5 doc slice — both round-9-verdict plan changes) took slots 6-7,
-# all 34 remaining r5 greens cleared the r5 tier (slots 8-41), and
-# the 9 alphabetically-first r6 greens filled slots 42-50 (the two
-# musts consumed the other two pre-planned r6 slots). Registry 229.
+# md5 doc slice — both round-9-verdict plan changes — plus the
+# round-10 simhash bit_count verify rewrite) took slots 6-8, all 34
+# remaining r5 greens cleared the r5 tier (slots 9-42), and the 8
+# alphabetically-first r6 greens filled slots 43-50 (the musts
+# consumed the other pre-planned r6 slots). Registry 229.
 #
 # ROUND-11 ROTATION PRE-PLAN: after r10 certifies, the oldest tier is
 # the remaining ~32 r6 greens. The r11 window takes the ≤5 r10
@@ -148,10 +149,12 @@ def register(
 # tests/test_registry_contract.py.
 #
 # — round-10 window (50 slots), generated by
-#   tools/gen_driver_window.py --must dedup_ngram_jaccard dedup_lsh_eval —
+#   tools/gen_driver_window.py --must dedup_ngram_jaccard
+#   dedup_lsh_eval dedup_simhash_hamming_pairs —
 # Slots 1-5: the round-10 graduation — the 5 formerly-STAGED round-9
 # queries (pytest oracle-green at sf0.001/sf0.01, no driver row yet).
-# Slots 6-7: --must re-certs, both round-9-verdict demands:
+# Slots 6-8: --must re-certs — the two round-9-verdict demands plus
+# the round-10 simhash verify rewrite:
 #   dedup_ngram_jaccard rebased onto the AllPairs prefix-filter plan
 #     (same _ngram_oracle(); the uncapped Sigma-df^2 inverted-index
 #     self-join — 25 s at sf0.1, the registry's slowest non-audit
@@ -159,11 +162,15 @@ def register(
 #   dedup_lsh_eval default plan bounded to the deterministic
 #     md5-selected 37.5% doc slice (oracle carries the identical
 #     predicate; exact within the slice — pair-local membership,
-#     property-tested; ~63 s -> ~9 s at sf0.1).
-# Slots 8-41: the ENTIRE remaining r5-stale cohort (34 queries),
+#     property-tested; ~63 s -> ~9 s at sf0.1);
+#   dedup_simhash_hamming_pairs verify moved inside the band join as
+#     bit_count(xor) on a once-per-doc BIGINT signature (14.1 ->
+#     ~6.3 s steady-state at sf0.1; the 5M skew-bucket candidates are
+#     filtered in the join's codegen stage before materialization).
+# Slots 9-42: the ENTIRE remaining r5-stale cohort (34 queries),
 # clearing the r5 tier completely per the rotation policy.
-# Slots 42-50: the 9 alphabetically-first r6 greens (the two --must
-# re-certs consumed the other two pre-planned r6 slots).
+# Slots 43-50: the 8 alphabetically-first r6 greens (the three musts
+# consumed the other pre-planned r6 slots).
 DRIVER_PRIORITY: tuple[str, ...] = (
     "eval_source_contamination",  # slot 1: NEVER
     "quality_lm_surprisal",  # slot 2: NEVER
@@ -172,49 +179,49 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "eval_cluster_balance_audit",  # slot 5: NEVER
     "dedup_ngram_jaccard",  # slot 6: re-cert
     "dedup_lsh_eval",  # slot 7: re-cert
-    "dedup_materialize_corpus_best",  # slot 8: green r05
-    "dedup_ngram_jaccard_capped",  # slot 9: green r05
-    "dq_expectation_metrics",  # slot 10: green r05
-    "embed_quantize_int8",  # slot 11: green r05
-    "event_transition_matrix",  # slot 12: green r05
-    "fuzzy_pairs_edit1",  # slot 13: green r05
-    "hierarchy_flatten_iterative",  # slot 14: green r05
-    "interval_join_events",  # slot 15: green r05
-    "join_salted_hot_key",  # slot 16: green r05
-    "multimodal_patch_grid",  # slot 17: green r05
-    "pack_sequences_nextfit",  # slot 18: green r05
-    "profile_column_stats",  # slot 19: green r05
-    "q11_important_stock",  # slot 20: green r05
-    "q16_parts_supplier_count",  # slot 21: green r05
-    "q20_excess_inventory",  # slot 22: green r05
-    "q2_min_cost_supplier",  # slot 23: green r05
-    "retention_cohorts",  # slot 24: green r05
-    "rollup_incremental_merge",  # slot 25: green r05
-    "sample_cap_per_source",  # slot 26: green r05
-    "sample_stratified_exact",  # slot 27: green r05
-    "scd2_incremental_fold",  # slot 28: green r05
-    "sessionize_paths",  # slot 29: green r05
-    "snapshot_incremental_read",  # slot 30: green r05
-    "snapshot_merge_changelog",  # slot 31: green r05
-    "snapshot_time_travel",  # slot 32: green r05
-    "source_json_roundtrip",  # slot 33: green r05
-    "stats_group_regression",  # slot 34: green r05
-    "text_chunk_stride",  # slot 35: green r05
-    "text_pii_redact",  # slot 36: green r05
-    "text_repetition_score",  # slot 37: green r05
-    "timeseries_gap_fill",  # slot 38: green r05
-    "ts_similarity_topk",  # slot 39: green r05
-    "window_gap_islands",  # slot 40: green r05
-    "zorder_layout_keys",  # slot 41: green r05
-    "ab_arm_statistics",  # slot 42: green r06
-    "agg_count_distinct",  # slot 43: green r06
-    "agg_cube",  # slot 44: green r06
-    "agg_grouping_sets",  # slot 45: green r06
-    "agg_having_conditional",  # slot 46: green r06
-    "agg_rollup",  # slot 47: green r06
-    "array_agg_suite",  # slot 48: green r06
-    "asof_join_nearest",  # slot 49: green r06
-    "bloom_semijoin_prune",  # slot 50: green r06
+    "dedup_simhash_hamming_pairs",  # slot 8: re-cert
+    "dedup_materialize_corpus_best",  # slot 9: green r05
+    "dedup_ngram_jaccard_capped",  # slot 10: green r05
+    "dq_expectation_metrics",  # slot 11: green r05
+    "embed_quantize_int8",  # slot 12: green r05
+    "event_transition_matrix",  # slot 13: green r05
+    "fuzzy_pairs_edit1",  # slot 14: green r05
+    "hierarchy_flatten_iterative",  # slot 15: green r05
+    "interval_join_events",  # slot 16: green r05
+    "join_salted_hot_key",  # slot 17: green r05
+    "multimodal_patch_grid",  # slot 18: green r05
+    "pack_sequences_nextfit",  # slot 19: green r05
+    "profile_column_stats",  # slot 20: green r05
+    "q11_important_stock",  # slot 21: green r05
+    "q16_parts_supplier_count",  # slot 22: green r05
+    "q20_excess_inventory",  # slot 23: green r05
+    "q2_min_cost_supplier",  # slot 24: green r05
+    "retention_cohorts",  # slot 25: green r05
+    "rollup_incremental_merge",  # slot 26: green r05
+    "sample_cap_per_source",  # slot 27: green r05
+    "sample_stratified_exact",  # slot 28: green r05
+    "scd2_incremental_fold",  # slot 29: green r05
+    "sessionize_paths",  # slot 30: green r05
+    "snapshot_incremental_read",  # slot 31: green r05
+    "snapshot_merge_changelog",  # slot 32: green r05
+    "snapshot_time_travel",  # slot 33: green r05
+    "source_json_roundtrip",  # slot 34: green r05
+    "stats_group_regression",  # slot 35: green r05
+    "text_chunk_stride",  # slot 36: green r05
+    "text_pii_redact",  # slot 37: green r05
+    "text_repetition_score",  # slot 38: green r05
+    "timeseries_gap_fill",  # slot 39: green r05
+    "ts_similarity_topk",  # slot 40: green r05
+    "window_gap_islands",  # slot 41: green r05
+    "zorder_layout_keys",  # slot 42: green r05
+    "ab_arm_statistics",  # slot 43: green r06
+    "agg_count_distinct",  # slot 44: green r06
+    "agg_cube",  # slot 45: green r06
+    "agg_grouping_sets",  # slot 46: green r06
+    "agg_having_conditional",  # slot 47: green r06
+    "agg_rollup",  # slot 48: green r06
+    "array_agg_suite",  # slot 49: green r06
+    "asof_join_nearest",  # slot 50: green r06
 )
 
 
