@@ -1470,10 +1470,13 @@ WHERE len(list_filter(range(1, {SIMHASH_BITS + 1}), p -> sig_a[p] <> sig_b[p]))
     _SIMHASH_PAIRS_ORACLE,
     doc="SimHash near-dup PAIRS (Manku WWW'07 banded scheme): "
     f"{SIMHASH_BANDS}x{SIMHASH_BAND_BITS}-bit band equi self-join — "
-    "pigeonhole-complete for hamming <= 3 — then exact bit-count "
-    "verify; bucket-density-bounded candidates, never all-pairs. "
-    "Widened from 16-bit signatures in round 9 (saturation: ~30% of "
-    "all pairs qualified at sf0.01)",
+    "pigeonhole-complete for hamming <= 3 — with the exact verify "
+    "INSIDE the join stage as bit_count(xor) on once-per-doc BIGINT "
+    "signatures (round 10: skew-bucket candidates filtered before "
+    "materialization, 14.1 -> ~6.3 s at sf0.1); bucket-density-"
+    "bounded candidates, never all-pairs. Widened from 16-bit "
+    "signatures in round 9 (saturation: ~30% of all pairs qualified "
+    "at sf0.01)",
     tags=("dedup", "hash", "join", "scale"),
 )
 def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
