@@ -63,6 +63,14 @@ the legacy shared-session sweep (kept for quick iteration loops).
 NOTE: BENCH_r07 is the first isolated-mode artifact — compare it to
 r06 per-query with that mode change in mind (isolated ≈ the isolated
 re-measures earlier READMEs recorded, not the shared-session column).
+
+Idle-wait gate (round-10 verdict, demand 2; round 11): isolated mode
+sleep-polls /proc/loadavg before EACH query subprocess until 1-min
+load < 2.0 (bounded at 120 s, then proceeds with that query's
+``gate_timeout`` flagged). The headline line carries a
+``gate_timeouts`` name list (normally empty); the detail line carries
+per-query ``gates`` {waited, timeout}. Env overrides:
+SPARK_GRAFT_BENCH_GATE_LOAD / SPARK_GRAFT_BENCH_GATE_TIMEOUT.
 """
 
 from __future__ import annotations
@@ -140,6 +148,38 @@ CONTROL = "__control__"
 CONTROL_END = "__control_end__"
 
 
+# Idle-wait gate (round-10 verdict, demand 2): two consecutive driver
+# sweeps were load-contaminated (r9 unparseable + noisy; r10 parseable
+# but taken under loadavg 2.8-6.0 with phantom movers up to 6x that
+# floor singles refuted). The telemetry made contamination READABLE;
+# this gate makes the unattended artifact CLEAN: before each query
+# subprocess, sleep-poll until 1-min loadavg drops below the
+# threshold, bounded so a persistently-busy host still produces an
+# artifact (with that query's ``gate_timeout`` flagged) instead of
+# hanging the sweep. Threshold 2.0 per the verdict: between isolated
+# subprocesses the host's steady state is ~0; anything materially
+# above means the previous JVM's load is still decaying or external
+# work is running — both contaminate the next measurement.
+GATE_LOAD_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_LOAD", "2.0"))
+GATE_TIMEOUT_S = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_TIMEOUT", "120"))
+
+
+def wait_for_idle(
+    threshold: float = GATE_LOAD_MAX, timeout_s: float = GATE_TIMEOUT_S
+) -> dict:
+    """Sleep-poll /proc/loadavg until 1-min load < threshold or the
+    bound expires. Returns {"waited": sec, "timeout": bool} for the
+    artifact; on hosts without /proc the gate is a no-op."""
+    t0 = time.time()
+    while True:
+        load = read_loadavg()
+        if load is None or load[0] < threshold:
+            return {"waited": round(time.time() - t0, 1), "timeout": False}
+        if time.time() - t0 >= timeout_s:
+            return {"waited": round(time.time() - t0, 1), "timeout": True}
+        time.sleep(5)
+
+
 def read_loadavg() -> list[float] | None:
     """Host load telemetry (1/5/15-min loadavg). Returns None where
     /proc is unavailable so the artifact stays portable."""
@@ -192,6 +232,7 @@ def main() -> None:
     spans: dict[str, list[float]] = {}
     loads: dict[str, list[float] | None] = {}
 
+    gates: dict[str, dict] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0":
         # control first AND last: the leading run calibrates the host
         # before any headline runs; the trailing run catches load that
@@ -200,6 +241,9 @@ def main() -> None:
         # later tripled the late-running queries — only a bracketing
         # control makes that visible from the artifact alone)
         for name in [CONTROL] + names + [CONTROL_END]:
+            # idle-wait gate: don't start this query's JVM until the
+            # previous one's load has decayed (or external load cleared)
+            gates[name] = wait_for_idle()
             t_wall = time.time()
             # one retry: a transient subprocess failure (host pressure,
             # torn environment) must not leave a null in the artifact
@@ -286,11 +330,17 @@ def main() -> None:
                 "loads": loads,
                 "control": control,
                 "control_end": control_end,
+                "gates": gates,
                 "train_inclusive": list(TRAIN_INCLUSIVE),
                 "serve_headline": SERVE_HEADLINE,
             }
         )
     )
+    # gate-timeout flags surface in the compact headline too (normally
+    # an empty list): a named query here means its timing was taken on
+    # a host that never went idle within the gate bound — read that
+    # query's number with the per-query `loads` entry in the detail line
+    gate_timeouts = [n for n, g in gates.items() if g.get("timeout")]
     # Line 2 (LAST): the compact headline artifact — metric, value,
     # per-query minima, control minima, loadavg brackets. Kept small
     # so the driver's 2000-char stdout tail always parses it.
@@ -306,6 +356,7 @@ def main() -> None:
                 "control_end": control_end["sec"],
                 "load": control["load"],
                 "load_end": control_end["load"],
+                "gate_timeouts": gate_timeouts,
             }
         )
     )

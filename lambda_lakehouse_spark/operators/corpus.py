@@ -3575,7 +3575,6 @@ JOIN norms nb ON nb.source = d.source_b
     "exact BIGINT dot products + correctly-rounded IEEE sqrt, "
     "|sources|^2/2 output rows at any corpus size",
     tags=("corpus", "stats", "dedup", "scale"),
-    staged=True,
 )
 def corpus_source_unigram_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("source", "text")
@@ -3704,7 +3703,7 @@ WHERE rk <= {_CHI2_TOP_K}
     f"{_CHI2_MIN_COUNT}) per source; exact BIGINT cells, one identical "
     "double chi-square expression, per-source partitioned ranking",
     tags=("corpus", "stats", "text", "quality"),
-    queue=True,
+    staged=True,
 )
 def corpus_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("source", "text")

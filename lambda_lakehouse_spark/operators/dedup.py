@@ -675,7 +675,15 @@ def ngram_jaccard_pairs(
     "round-9 verdict's named scale-killer). The uncapped "
     "inverted-index form survives as ngram_jaccard_pairs, the "
     "pytest-only equivalence twin "
-    "(tests/test_staged.py::test_prefix_filter_equals_bruteforce_and_prunes).",
+    "(tests/test_staged.py::test_prefix_filter_equals_bruteforce_and_prunes). "
+    "NOTE (intentional duplication, round-10 advice): this entry and "
+    "dedup_jaccard_prefix_filter now register the SAME plan + oracle "
+    "under two names — one claims the LLM-pipeline n-gram-Jaccard "
+    "operator, the other the AllPairs algorithm. Both stay registered "
+    "for API parity, but rotation treats them as ONE certification "
+    "unit: when both would enter a window for the same reason, the "
+    "window generator's --must list names only one of them and the "
+    "other inherits the disposition in the round notes.",
     tags=("dedup", "join", "scale", "prefix-filter"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -853,9 +861,11 @@ _EVAL_SHINGLE_LEN = 5
 # 256 pairs) and prefix filtering degenerates toward all-pairs no
 # matter the join strategy. So the registered plan bounds the
 # POPULATION, not the algorithm: keep docs whose md5(seed || doc_id)
-# first hex digit falls in the slice set (3/16 = 18.75% of docs =>
-# ~3.5% of candidate pairs; measured 104 s full -> ~6 s sliced exact
-# side at sf0.1). Membership in BOTH audited relations is pair-local
+# first hex digit falls in the slice set (2/16 = 12.5% of docs =>
+# ~1.6% of candidate pairs; round 9 shipped 3/16 = 18.75% measuring
+# 104 s full -> ~11 s isolated at sf0.1, round 11 dropped the third
+# digit per the r10 verdict's "<= ~7 s" line — ~44% of the 18.75%
+# slice's candidate work). Membership in BOTH audited relations is pair-local
 # (exact jaccard depends only on the two shingle sets; LSH banding
 # only on the two signatures), so the slice confusion matrix EQUALS
 # the full-corpus matrix restricted to slice-internal pairs — exact
@@ -866,7 +876,7 @@ _EVAL_SHINGLE_LEN = 5
 # set (or a longer prefix) holds the audited population at a fixed
 # absolute size while staying deterministic and oracle-replayable.
 _EVAL_SLICE_SEED = "lsh-eval-slice:"
-_EVAL_SLICE_HEX = ("0", "1", "2")
+_EVAL_SLICE_HEX = ("0", "1")
 
 
 def _eval_slice(docs: DataFrame) -> DataFrame:
@@ -930,6 +940,18 @@ def _doc_grain_jaccard(
         F.col("doc_id").alias("doc_b"),
         F.col("shingles").alias("sh_b"),
         F.col("n").alias("nb"),
+    )
+    # Explicit-count repartition before the verify: the candidate set
+    # is BYTE-tiny (two ids/row) but CPU-dense downstream (one
+    # array_intersect over the full shingle arrays per row), and AQE
+    # coalesces shuffle reads by bytes — measured at sf0.1 it folded
+    # the candidates to ONE partition and ran the whole verify on one
+    # core (~8 s of a 10.9 s dedup_lsh_eval run; 12.9 -> 2.6 s A/B on
+    # the slice). An explicit numPartitions is exempt from AQE
+    # coalescing, so the verify stage keeps cluster-wide parallelism;
+    # at scale the extra exchange moves only (doc_a, doc_b) id pairs.
+    cand = cand.repartition(
+        cand.sparkSession.sparkContext.defaultParallelism, "doc_a", "doc_b"
     )
     inter = (
         cand.join(arr_a, "doc_a")
@@ -1092,7 +1114,7 @@ def lsh_eval_confusion(docs: DataFrame, sliced: bool = True) -> DataFrame:
     audits the deterministic md5 doc slice — exact WITHIN the slice,
     see _EVAL_SLICE_HEX rationale; ``sliced=False`` is the full-corpus
     audit (candidate-bound quadratic on a shared-vocab corpus: exact
-    side measured 104 s at sf0.1 full vs ~6 s on the 18.75% slice —
+    side measured 104 s at sf0.1 full vs seconds on the md5 slice —
     keep it off the per-round path at scale)."""
     if sliced:
         docs = _eval_slice(docs)
@@ -1136,7 +1158,8 @@ def lsh_eval_confusion(docs: DataFrame, sliced: bool = True) -> DataFrame:
     "precision/recall in one certified row; recall folds in both "
     "banding misses and estimation error (the honest end-to-end "
     "number). Since round 10 the registered plan audits a "
-    "deterministic md5-selected 18.75%-doc slice (oracle carries the "
+    "deterministic md5-selected doc slice (12.5% since round 11, "
+    "18.75% at round 10; oracle carries the "
     "identical predicate): the shared-vocabulary corpus makes the "
     "exact side CANDIDATE-bound quadratic (~2k distinct shingles, "
     "prefix index ~all-pairs dense, 104 s at sf0.1 full) — while "
@@ -1362,14 +1385,14 @@ def simhash_hamming_pairs(
     near-duplicate table-split scheme as one declarative plan;
     candidates are bounded by band-bucket density, never all-pairs."""
     # The signature relation is doc-grain and tiny (one 32-char string
-    # per doc) but expensive to derive — and FOUR consumers reference
-    # it (two band-join sides, two verify sides). Lazy localCheckpoint
-    # runs the hashing once; the textbook small-truncation-point shape.
+    # per doc) but expensive to derive — and the band join's TWO sides
+    # both reference it. Lazy localCheckpoint runs the hashing once;
+    # the textbook small-truncation-point shape.
     # sig_int (round 10): the bit string converted ONCE per doc to a
     # BIGINT, so the per-pair verify below is xor + bit_count — one
-    # codegen'd instruction instead of 32 substr comparisons, and the
-    # candidate re-attach joins ship 8-byte longs instead of 32-char
-    # strings. On this corpus the hot band bucket holds 65% of docs,
+    # codegen'd instruction instead of 32 substr comparisons, riding
+    # the join itself (no post-join re-attach remains in this plan).
+    # On this corpus the hot band bucket holds 65% of docs,
     # so ~5M pairs are LEGITIMATE candidates no matter the banding
     # (a 14-bit band+sub-band recursive-pigeonhole split was measured
     # at only 1.56x fewer pre-distinct rows for 4x the explode) — the
@@ -1397,15 +1420,15 @@ def simhash_hamming_pairs(
     a, b = bands.alias("a"), bands.alias("b")
     # A homogeneous corpus makes band buckets skew hard (one 8-bit
     # band value held 3,239 of 5,000 docs at sf0.1 -> 7.5M
-    # pre-distinct candidate rows). Round-9 moved the join to bare id
-    # pairs + post-distinct re-attach because 32-char signature
-    # STRINGS through that skewed join were the cost; with the 8-byte
-    # sig_int the exact verify rides INSIDE the band join's codegen
-    # stage (bit_count of xor as a join post-filter), so the 7.5M
-    # candidate rows are filtered to the ~0.1% surviving near-dup
-    # pairs before anything is materialized, and the distinct +
-    # two re-attach joins run on survivors only. Measured 14.1 ->
-    # ~8.7 s steady-state at sf0.1 (A/Bs in the round notes).
+    # pre-distinct candidate rows). Round 10 moved the exact verify
+    # INSIDE the band join's codegen stage (bit_count of xor as a join
+    # post-filter on the 8-byte sig_int carried through both sides),
+    # so the 7.5M candidate rows are filtered to the ~0.1% surviving
+    # near-dup pairs before anything is materialized and only the
+    # survivors reach the distinct. The round-9 shape this replaced —
+    # bare id pairs through the join, then post-distinct signature
+    # re-attach joins — no longer exists in this plan. Measured
+    # 14.1 -> ~6.3 s at sf0.1 (A/Bs in the round notes).
     return (
         a.join(
             b,
@@ -1614,6 +1637,13 @@ def jaccard_prefix_filter_pairs(
         F.col("doc_id").alias("doc_b"),
         F.col("shingles").alias("sh_b"),
         F.size("shingles").alias("nb"),
+    )
+    # Same explicit-count repartition as _doc_grain_jaccard (round 11):
+    # the candidate relation is byte-tiny but the per-candidate
+    # array_intersect is CPU-dense, and AQE coalesces shuffle reads by
+    # BYTES — left alone it folds the verify to one or two tasks.
+    cand = cand.repartition(
+        cand.sparkSession.sparkContext.defaultParallelism, "doc_a", "doc_b"
     )
     inter = (
         cand.join(arr_a, "doc_a")
@@ -2065,7 +2095,6 @@ GROUP BY doc_a, doc_b
     f"maximal runs, reported at >= {SUBSTR_MIN_RUN} tokens — the exact "
     "counterpart to winnowing's fingerprint sampling",
     tags=("dedup", "text", "scale", "substring"),
-    staged=True,
 )
 def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2243,7 +2272,6 @@ FROM cov c JOIN tok t ON t.doc_id = c.doc_id
     "partners never double-count — the drop-decision signal of exact "
     "substring dedup (Lee et al. ACL'22)",
     tags=("dedup", "text", "substring", "quality"),
-    staged=True,
 )
 def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")

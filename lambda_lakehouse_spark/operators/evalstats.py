@@ -948,7 +948,6 @@ FROM l2
     "removal): position-exploded exact fixed-point sums, 64-row second "
     "level, |labels| output rows at any corpus size",
     tags=("eval", "vector", "similarity", "stats"),
-    staged=True,
 )
 def eval_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").select("label", "embedding")
@@ -1154,7 +1153,7 @@ FROM comp
     "to the explicit Java-\\s class on both engines (r9 advice: \\s "
     "and NULL-rank semantics diverge cross-engine otherwise)",
     tags=("eval", "stats", "text", "curation"),
-    queue=True,
+    staged=True,
 )
 def eval_signal_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")

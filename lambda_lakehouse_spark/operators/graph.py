@@ -585,7 +585,7 @@ FROM h{iters} GROUP BY h
     "arithmetic, checkpointed edges/values, histogram-sized output "
     "at any scale",
     tags=("graph", "iterative", "stats", "scale"),
-    queue=True,
+    staged=True,
 )
 def graph_kcore_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (

@@ -1028,7 +1028,7 @@ def _kc_oracle(k: int = KC_CENTERS, dims: int = 64) -> str:
     "k bounded passes, per-pass one 1-row broadcast + TakeOrdered(1), "
     "fixed-point integer distances so every cell hash-certifies",
     tags=("sample", "vector", "iterative", "scale"),
-    queue=True,
+    staged=True,
 )
 def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")

@@ -2098,7 +2098,7 @@ FROM fwd f JOIN bwd b USING (match_id)
     "broadcast passes, one corpus scan each, margin and mutual flags "
     "exact by construction",
     tags=("similarity", "vector", "mining", "curation"),
-    queue=True,
+    staged=True,
 )
 def mine_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")

@@ -1490,7 +1490,6 @@ GROUP BY lang, source
     "(mT5/BLOOM-style tokenizer analysis); one map-side-combined "
     "aggregate, bounded output",
     tags=("text", "tokens", "corpus", "quality"),
-    staged=True,
 )
 def text_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")

@@ -59,10 +59,13 @@ REGISTRY: dict[str, Query] = {}
 # The round-5 cohort (33 queries) graduated at the round-6 boundary,
 # the round-6 cohort (24) at the round-7 boundary, the round-7 cohort
 # (29) at the round-8 boundary, the round-8 cohort (5) at the round-9
-# boundary, and the round-9 cohort (5) at the round-10 boundary, each
-# following exactly this procedure. STAGED holds the 5 queue entries
-# promoted oldest-first at the round-10 boundary (substring runs /
-# coverage, fertility, isotropy, unigram-cosine), queued for round 11.
+# boundary, the round-9 cohort (5) at the round-10 boundary, and the
+# round-10 cohort (5: substring runs/coverage, fertility, isotropy,
+# unigram-cosine) at the round-11 boundary, each following exactly
+# this procedure. STAGED holds the 5 queue entries promoted
+# oldest-first at the round-11 boundary (bitext margin, chi2
+# keywords, k-core coreness, signal spearman, k-center coreset),
+# queued for round 12.
 #
 # STALENESS / ROTATION POLICY (adopted round 8, per the round-7
 # verdict): at 219 registered queries and a 50-slot driver window, a
@@ -85,18 +88,43 @@ REGISTRY: dict[str, Query] = {}
 #
 # ROUND-10 ROTATION — EXECUTED (round-9 verdict, demand 2): the 5 r9
 # graduates took slots 1-5, three --must re-certs (dedup_ngram_jaccard
-# rebased onto the prefix-filter plan, dedup_lsh_eval bounded to the
-# md5 doc slice — both round-9-verdict plan changes — plus the
-# round-10 simhash bit_count verify rewrite) took slots 6-8, all 34
-# remaining r5 greens cleared the r5 tier (slots 9-42), and the 8
-# alphabetically-first r6 greens filled slots 43-50 (the musts
-# consumed the other pre-planned r6 slots). Registry 229.
+# rebased onto the prefix-filter plan; dedup_lsh_eval bounded to the
+# md5-selected 18.75% doc slice, measured ~63 s -> ~11 s isolated at
+# sf0.1 — both round-9-verdict plan changes — plus the round-10
+# simhash bit_count verify rewrite, 14.1 -> ~6.3 s) took slots 6-8,
+# all 34 remaining r5 greens cleared the r5 tier (slots 9-42), and
+# the 8 alphabetically-first r6 greens filled slots 43-50 (the musts
+# consumed the other pre-planned r6 slots). Registry 229; all 50 rows
+# green in CORRECTNESS_r10.
 #
-# ROUND-11 ROTATION PRE-PLAN: after r10 certifies, the oldest tier is
-# the remaining ~32 r6 greens. The r11 window takes the ≤5 r10
-# graduates (the STAGED cohort below) + all remaining r6 greens +
-# oldest r7 fills to 50. gen_driver_window.py derives this
-# mechanically, as always.
+# ROUND-11 ROTATION — EXECUTED (round-10 verdict, demands 1+4): the 5
+# r10 graduates took slots 1-5; four --must re-certs took slots 6-9,
+# all round-11 plan changes:
+#   agg_approx_sketches split per demand 3 — the registered plan now
+#     carries sketch-only contract booleans (cross-estimator
+#     agreement, quantile bounds, HLL merge identity); the exact
+#     countDistinct / exact-percentile audits moved to a pytest
+#     property at small SF (16.5 -> 1.1 s at sf0.1);
+#   dedup_lsh_eval slice trimmed 18.75% -> 12.5% (demand 7) AND the
+#     shared _doc_grain_jaccard verify given an explicit-count
+#     repartition (AQE coalesces the byte-tiny candidate exchange to
+#     ONE task and serializes the CPU-dense array_intersect verify —
+#     measured 8 s of a 10.9 s run on one core; 10.99 -> 3.8-4.8 s);
+#   dedup_minhash_lsh_verified inherits the same verify repartition
+#     (~3.7-4.6 s in-session, no regression);
+#   dedup_ngram_jaccard / dedup_jaccard_prefix_filter got the same
+#     explicit repartition in jaccard_prefix_filter_pairs' inline
+#     verify (8.07 -> 6.11 s / 9.10 -> 7.30 s); per the round-10
+#     advice the byte-identical twins are ONE certification unit —
+#     the must names dedup_ngram_jaccard, prefix_filter inherits.
+# The ENTIRE 33-query r6 tier cleared (slots 10-42) and the 8
+# alphabetically-first r7 greens filled slots 43-50. Registry 234.
+#
+# ROUND-12 ROTATION PRE-PLAN: after r11 certifies, the oldest tier is
+# the remaining ~41 r7 greens. The r12 window takes the ≤5 r11
+# graduates (the STAGED cohort below) + as many oldest r7 greens as
+# fit to 50. gen_driver_window.py derives this mechanically, as
+# always.
 STAGED: dict[str, Query] = {}
 
 # Build-ahead queue: fully implemented and oracle-tested (the pytest
@@ -148,80 +176,69 @@ def register(
 # (every query beyond slot 50 holds a prior green row) is pinned by
 # tests/test_registry_contract.py.
 #
-# — round-10 window (50 slots), generated by
-#   tools/gen_driver_window.py --must dedup_ngram_jaccard
-#   dedup_lsh_eval dedup_simhash_hamming_pairs —
-# Slots 1-5: the round-10 graduation — the 5 formerly-STAGED round-9
+# — round-11 window (50 slots), generated by
+#   tools/gen_driver_window.py --must agg_approx_sketches
+#   dedup_lsh_eval dedup_minhash_lsh_verified dedup_ngram_jaccard —
+# Slots 1-5: the round-11 graduation — the 5 formerly-STAGED round-10
 # queries (pytest oracle-green at sf0.001/sf0.01, no driver row yet).
-# Slots 6-8: --must re-certs — the two round-9-verdict demands plus
-# the round-10 simhash verify rewrite:
-#   dedup_ngram_jaccard rebased onto the AllPairs prefix-filter plan
-#     (same _ngram_oracle(); the uncapped Sigma-df^2 inverted-index
-#     self-join — 25 s at sf0.1, the registry's slowest non-audit
-#     query — survives as the pytest-only equivalence twin);
-#   dedup_lsh_eval default plan bounded to the deterministic
-#     md5-selected 37.5% doc slice (oracle carries the identical
-#     predicate; exact within the slice — pair-local membership,
-#     property-tested; ~63 s -> ~9 s at sf0.1);
-#   dedup_simhash_hamming_pairs verify moved inside the band join as
-#     bit_count(xor) on a once-per-doc BIGINT signature (14.1 ->
-#     ~6.3 s steady-state at sf0.1; the 5M skew-bucket candidates are
-#     filtered in the join's codegen stage before materialization).
-# Slots 9-42: the ENTIRE remaining r5-stale cohort (34 queries),
-# clearing the r5 tier completely per the rotation policy.
-# Slots 43-50: the 8 alphabetically-first r6 greens (the three musts
-# consumed the other pre-planned r6 slots).
+# Slots 6-9: --must re-certs — the four round-11 plan changes (see the
+# ROUND-11 ROTATION block above for what changed and the measured
+# numbers; dedup_jaccard_prefix_filter shares dedup_ngram_jaccard's
+# plan byte-identically and inherits its certification).
+# Slots 10-42: the ENTIRE remaining r6-stale cohort (33 queries),
+# clearing the r6 tier completely per the rotation policy.
+# Slots 43-50: the 8 alphabetically-first r7 greens.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "eval_source_contamination",  # slot 1: NEVER
-    "quality_lm_surprisal",  # slot 2: NEVER
-    "quality_ccnet_terciles",  # slot 3: NEVER
-    "sample_cluster_balanced",  # slot 4: NEVER
-    "eval_cluster_balance_audit",  # slot 5: NEVER
-    "dedup_ngram_jaccard",  # slot 6: re-cert
+    "text_fertility_by_lang",  # slot 1: NEVER
+    "dedup_substring_runs",  # slot 2: NEVER
+    "dedup_substring_coverage",  # slot 3: NEVER
+    "corpus_source_unigram_cosine",  # slot 4: NEVER
+    "eval_embedding_isotropy",  # slot 5: NEVER
+    "agg_approx_sketches",  # slot 6: re-cert
     "dedup_lsh_eval",  # slot 7: re-cert
-    "dedup_simhash_hamming_pairs",  # slot 8: re-cert
-    "dedup_materialize_corpus_best",  # slot 9: green r05
-    "dedup_ngram_jaccard_capped",  # slot 10: green r05
-    "dq_expectation_metrics",  # slot 11: green r05
-    "embed_quantize_int8",  # slot 12: green r05
-    "event_transition_matrix",  # slot 13: green r05
-    "fuzzy_pairs_edit1",  # slot 14: green r05
-    "hierarchy_flatten_iterative",  # slot 15: green r05
-    "interval_join_events",  # slot 16: green r05
-    "join_salted_hot_key",  # slot 17: green r05
-    "multimodal_patch_grid",  # slot 18: green r05
-    "pack_sequences_nextfit",  # slot 19: green r05
-    "profile_column_stats",  # slot 20: green r05
-    "q11_important_stock",  # slot 21: green r05
-    "q16_parts_supplier_count",  # slot 22: green r05
-    "q20_excess_inventory",  # slot 23: green r05
-    "q2_min_cost_supplier",  # slot 24: green r05
-    "retention_cohorts",  # slot 25: green r05
-    "rollup_incremental_merge",  # slot 26: green r05
-    "sample_cap_per_source",  # slot 27: green r05
-    "sample_stratified_exact",  # slot 28: green r05
-    "scd2_incremental_fold",  # slot 29: green r05
-    "sessionize_paths",  # slot 30: green r05
-    "snapshot_incremental_read",  # slot 31: green r05
-    "snapshot_merge_changelog",  # slot 32: green r05
-    "snapshot_time_travel",  # slot 33: green r05
-    "source_json_roundtrip",  # slot 34: green r05
-    "stats_group_regression",  # slot 35: green r05
-    "text_chunk_stride",  # slot 36: green r05
-    "text_pii_redact",  # slot 37: green r05
-    "text_repetition_score",  # slot 38: green r05
-    "timeseries_gap_fill",  # slot 39: green r05
-    "ts_similarity_topk",  # slot 40: green r05
-    "window_gap_islands",  # slot 41: green r05
-    "zorder_layout_keys",  # slot 42: green r05
-    "ab_arm_statistics",  # slot 43: green r06
-    "agg_count_distinct",  # slot 44: green r06
-    "agg_cube",  # slot 45: green r06
-    "agg_grouping_sets",  # slot 46: green r06
-    "agg_having_conditional",  # slot 47: green r06
-    "agg_rollup",  # slot 48: green r06
-    "array_agg_suite",  # slot 49: green r06
-    "asof_join_nearest",  # slot 50: green r06
+    "dedup_minhash_lsh_verified",  # slot 8: re-cert
+    "dedup_ngram_jaccard",  # slot 9: re-cert
+    "bloom_semijoin_prune",  # slot 10: green r06
+    "calendar_dim_date",  # slot 11: green r06
+    "correlated_above_avg",  # slot 12: green r06
+    "customer_spend_gini",  # slot 13: green r06
+    "dedup_cluster_size_histogram",  # slot 14: green r06
+    "dedup_ngram_containment",  # slot 15: green r06
+    "dq_freshness_lag",  # slot 16: green r06
+    "embed_drift_by_dim",  # slot 17: green r06
+    "embed_pca_top_component",  # slot 18: green r06
+    "events_anomaly_mad",  # slot 19: green r06
+    "events_cusum_changepoint",  # slot 20: green r06
+    "explode_positional",  # slot 21: green r06
+    "funnel_time_to_convert",  # slot 22: green r06
+    "grid_join_similar_parts",  # slot 23: green r06
+    "interval_open_orders_sweep",  # slot 24: green r06
+    "join_null_safe_eq",  # slot 25: green r06
+    "join_semi_anti",  # slot 26: green r06
+    "lambda_serving_merge",  # slot 27: green r06
+    "market_concentration_hhi",  # slot 28: green r06
+    "pivot_status_by_segment",  # slot 29: green r06
+    "profile_histogram_equiwidth",  # slot 30: green r06
+    "q15_top_supplier",  # slot 31: green r06
+    "rfm_customer_segments",  # slot 32: green r06
+    "scd2_type6_dim",  # slot 33: green r06
+    "seasonal_index_monthly",  # slot 34: green r06
+    "sessionize_bounce_rate",  # slot 35: green r06
+    "skyline_pareto_parts",  # slot 36: green r06
+    "snapshot_branch_merge",  # slot 37: green r06
+    "snapshot_delete_rollback",  # slot 38: green r06
+    "snapshot_partition_evolution",  # slot 39: green r06
+    "snapshot_schema_evolution",  # slot 40: green r06
+    "snapshot_wap_publish",  # slot 41: green r06
+    "text_novelty_score",  # slot 42: green r06
+    "agg_percentile_cont_global",  # slot 43: green r07
+    "asof_join_daily_score",  # slot 44: green r07
+    "attribution_touchpoints",  # slot 45: green r07
+    "corpus_cross_source_overlap",  # slot 46: green r07
+    "corpus_curation_pipeline",  # slot 47: green r07
+    "curriculum_length_interleave",  # slot 48: green r07
+    "dedup_paragraph_fraction",  # slot 49: green r07
+    "dedup_paragraph_scrub",  # slot 50: green r07
 )
 
 

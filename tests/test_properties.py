@@ -287,6 +287,46 @@ def test_hll_sketch_partials_merge_to_global_estimate(spark):
     assert abs(global_est - exact) / exact < 0.05
 
 
+def test_sketch_estimates_within_tolerance_of_exact(spark):
+    """The exact-anchored audit behind agg_approx_sketches, moved out
+    of the registered driver plan at round 11 (the exact countDistinct
+    + exact percentile columns were the profiled ~16.5 s cost of the
+    sf0.1 plan; the driver query now certifies the sketch-cost plan
+    with sketch-only contract booleans). Here, at small SF where
+    exactness is cheap, assert the tight tolerances those booleans
+    used to carry: per o_orderstatus group, approx_count_distinct
+    (rsd 0.01) and the DataSketches HLL estimate are within 5% of the
+    exact distinct-customer count, and percentile_approx(accuracy
+    10000) p50/p95 are within 2% of the exact percentiles."""
+    from pyspark.sql import functions as F
+
+    from lambda_lakehouse_spark.sources.readers import read_table
+    from tests.conftest import SF_DIR
+
+    orders = read_table(spark, SF_DIR, "orders")
+    q = F.percentile_approx(
+        "o_totalprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
+    )
+    eq = F.expr("percentile(o_totalprice, array(0.5D, 0.95D))")
+    rows = (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_cd"),
+            F.approx_count_distinct("o_custkey", 0.01).alias("acd"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("hll"),
+            q.alias("aq"),
+            eq.alias("eq"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r.acd - r.exact_cd) / r.exact_cd <= 0.05, r
+        assert abs(r.hll - r.exact_cd) / r.exact_cd <= 0.05, r
+        assert abs(r.aq[0] - r.eq[0]) / r.eq[0] <= 0.02, r
+        assert abs(r.aq[1] - r.eq[1]) / r.eq[1] <= 0.02, r
+
+
 # --- band (interval) join vs brute-force model -------------------------
 
 interval_rows = st.lists(
