@@ -98,7 +98,7 @@ REGISTRY: dict[str, Query] = {}
 # green in CORRECTNESS_r10.
 #
 # ROUND-11 ROTATION — EXECUTED (round-10 verdict, demands 1+4): the 5
-# r10 graduates took slots 1-5; four --must re-certs took slots 6-9,
+# r10 graduates took slots 1-5; five --must re-certs took slots 6-10,
 # all round-11 plan changes:
 #   agg_approx_sketches split per demand 3 — the registered plan now
 #     carries sketch-only contract booleans (cross-estimator
@@ -116,9 +116,16 @@ REGISTRY: dict[str, Query] = {}
 #     explicit repartition in jaccard_prefix_filter_pairs' inline
 #     verify (8.07 -> 6.11 s / 9.10 -> 7.30 s); per the round-10
 #     advice the byte-identical twins are ONE certification unit —
-#     the must names dedup_ngram_jaccard, prefix_filter inherits.
-# The ENTIRE 33-query r6 tier cleared (slots 10-42) and the 8
-# alphabetically-first r7 greens filled slots 43-50. Registry 234.
+#     the must names dedup_ngram_jaccard, prefix_filter inherits;
+#   dedup_simhash_hamming_pairs (fifth must, found while building the
+#     64-bit queue variant): the one-file-split documents scan
+#     serialized the CPU-dense vote loop on one core and
+#     CollapseProject inlined the signature expression into sig_int
+#     (twice-per-row evaluation) — _spread_if_narrow before the
+#     signature projection + checkpoint moved before the conv;
+#     6.3 -> ~2.1-3.0 s at sf0.1, output identical.
+# The ENTIRE 33-query r6 tier cleared (slots 11-43) and the 7
+# alphabetically-first r7 greens filled slots 44-50. Registry 234.
 #
 # ROUND-12 ROTATION PRE-PLAN: after r11 certifies, the oldest tier is
 # the remaining ~41 r7 greens. The r12 window takes the ≤5 r11
@@ -136,13 +143,14 @@ STAGED: dict[str, Query] = {}
 # keeps the staleness-bounding cap honest while letting a build session
 # run ahead of the rotation schedule.
 #
-# Round-10 boundary promoted the 5 oldest (substring runs/coverage,
-# fertility, isotropy, unigram-cosine) to STAGED. Queue depth is now
-# 6 carried (bitext margin, chi2, kcore, spearman, k-center,
-# silhouette) + 3 round-10 build-ahead entries (bigram backoff
-# surprisal, per-source perplexity drift, ANN recall@k audit);
-# promote oldest-first at the r11 boundary so no entry waits
-# indefinitely behind newer work.
+# Round-11 boundary promoted the 5 oldest (bitext margin, chi2
+# keywords, k-core coreness, signal spearman, k-center coreset) to
+# STAGED. Queue depth is now 1 carried (silhouette) + 3 round-10
+# build-ahead entries (bigram backoff surprisal, per-source
+# perplexity drift, ANN recall@k audit) + the round-11 build-ahead
+# (64-bit SimHash banded pairs — the signature-diversity upgrade the
+# round-10 verdict named); promote oldest-first at the r12 boundary
+# so no entry waits indefinitely behind newer work.
 QUEUE: dict[str, Query] = {}
 
 
@@ -178,16 +186,24 @@ def register(
 #
 # — round-11 window (50 slots), generated by
 #   tools/gen_driver_window.py --must agg_approx_sketches
-#   dedup_lsh_eval dedup_minhash_lsh_verified dedup_ngram_jaccard —
+#   dedup_lsh_eval dedup_minhash_lsh_verified dedup_ngram_jaccard
+#   dedup_simhash_hamming_pairs —
 # Slots 1-5: the round-11 graduation — the 5 formerly-STAGED round-10
 # queries (pytest oracle-green at sf0.001/sf0.01, no driver row yet).
-# Slots 6-9: --must re-certs — the four round-11 plan changes (see the
-# ROUND-11 ROTATION block above for what changed and the measured
+# Slots 6-10: --must re-certs — the five round-11 plan changes (see
+# the ROUND-11 ROTATION block above for what changed and the measured
 # numbers; dedup_jaccard_prefix_filter shares dedup_ngram_jaccard's
-# plan byte-identically and inherits its certification).
-# Slots 10-42: the ENTIRE remaining r6-stale cohort (33 queries),
+# plan byte-identically and inherits its certification). The fifth
+# must is the simhash-pairs serialization fix found while building the
+# 64-bit queue variant: spread the one-file-split documents scan
+# before the CPU-dense vote loop and move the checkpoint between the
+# signature projection and the sig_int conv (CollapseProject was
+# inlining the vote expression twice per row) — 6.3 -> ~2.1-3.0 s at
+# sf0.1, output identical, oracle unchanged.
+# Slots 11-43: the ENTIRE remaining r6-stale cohort (33 queries),
 # clearing the r6 tier completely per the rotation policy.
-# Slots 43-50: the 8 alphabetically-first r7 greens.
+# Slots 44-50: the 7 alphabetically-first r7 greens (the fifth must
+# displaced dedup_paragraph_scrub to the next rotation).
 DRIVER_PRIORITY: tuple[str, ...] = (
     "text_fertility_by_lang",  # slot 1: NEVER
     "dedup_substring_runs",  # slot 2: NEVER
@@ -198,47 +214,47 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_lsh_eval",  # slot 7: re-cert
     "dedup_minhash_lsh_verified",  # slot 8: re-cert
     "dedup_ngram_jaccard",  # slot 9: re-cert
-    "bloom_semijoin_prune",  # slot 10: green r06
-    "calendar_dim_date",  # slot 11: green r06
-    "correlated_above_avg",  # slot 12: green r06
-    "customer_spend_gini",  # slot 13: green r06
-    "dedup_cluster_size_histogram",  # slot 14: green r06
-    "dedup_ngram_containment",  # slot 15: green r06
-    "dq_freshness_lag",  # slot 16: green r06
-    "embed_drift_by_dim",  # slot 17: green r06
-    "embed_pca_top_component",  # slot 18: green r06
-    "events_anomaly_mad",  # slot 19: green r06
-    "events_cusum_changepoint",  # slot 20: green r06
-    "explode_positional",  # slot 21: green r06
-    "funnel_time_to_convert",  # slot 22: green r06
-    "grid_join_similar_parts",  # slot 23: green r06
-    "interval_open_orders_sweep",  # slot 24: green r06
-    "join_null_safe_eq",  # slot 25: green r06
-    "join_semi_anti",  # slot 26: green r06
-    "lambda_serving_merge",  # slot 27: green r06
-    "market_concentration_hhi",  # slot 28: green r06
-    "pivot_status_by_segment",  # slot 29: green r06
-    "profile_histogram_equiwidth",  # slot 30: green r06
-    "q15_top_supplier",  # slot 31: green r06
-    "rfm_customer_segments",  # slot 32: green r06
-    "scd2_type6_dim",  # slot 33: green r06
-    "seasonal_index_monthly",  # slot 34: green r06
-    "sessionize_bounce_rate",  # slot 35: green r06
-    "skyline_pareto_parts",  # slot 36: green r06
-    "snapshot_branch_merge",  # slot 37: green r06
-    "snapshot_delete_rollback",  # slot 38: green r06
-    "snapshot_partition_evolution",  # slot 39: green r06
-    "snapshot_schema_evolution",  # slot 40: green r06
-    "snapshot_wap_publish",  # slot 41: green r06
-    "text_novelty_score",  # slot 42: green r06
-    "agg_percentile_cont_global",  # slot 43: green r07
-    "asof_join_daily_score",  # slot 44: green r07
-    "attribution_touchpoints",  # slot 45: green r07
-    "corpus_cross_source_overlap",  # slot 46: green r07
-    "corpus_curation_pipeline",  # slot 47: green r07
-    "curriculum_length_interleave",  # slot 48: green r07
-    "dedup_paragraph_fraction",  # slot 49: green r07
-    "dedup_paragraph_scrub",  # slot 50: green r07
+    "dedup_simhash_hamming_pairs",  # slot 10: re-cert
+    "bloom_semijoin_prune",  # slot 11: green r06
+    "calendar_dim_date",  # slot 12: green r06
+    "correlated_above_avg",  # slot 13: green r06
+    "customer_spend_gini",  # slot 14: green r06
+    "dedup_cluster_size_histogram",  # slot 15: green r06
+    "dedup_ngram_containment",  # slot 16: green r06
+    "dq_freshness_lag",  # slot 17: green r06
+    "embed_drift_by_dim",  # slot 18: green r06
+    "embed_pca_top_component",  # slot 19: green r06
+    "events_anomaly_mad",  # slot 20: green r06
+    "events_cusum_changepoint",  # slot 21: green r06
+    "explode_positional",  # slot 22: green r06
+    "funnel_time_to_convert",  # slot 23: green r06
+    "grid_join_similar_parts",  # slot 24: green r06
+    "interval_open_orders_sweep",  # slot 25: green r06
+    "join_null_safe_eq",  # slot 26: green r06
+    "join_semi_anti",  # slot 27: green r06
+    "lambda_serving_merge",  # slot 28: green r06
+    "market_concentration_hhi",  # slot 29: green r06
+    "pivot_status_by_segment",  # slot 30: green r06
+    "profile_histogram_equiwidth",  # slot 31: green r06
+    "q15_top_supplier",  # slot 32: green r06
+    "rfm_customer_segments",  # slot 33: green r06
+    "scd2_type6_dim",  # slot 34: green r06
+    "seasonal_index_monthly",  # slot 35: green r06
+    "sessionize_bounce_rate",  # slot 36: green r06
+    "skyline_pareto_parts",  # slot 37: green r06
+    "snapshot_branch_merge",  # slot 38: green r06
+    "snapshot_delete_rollback",  # slot 39: green r06
+    "snapshot_partition_evolution",  # slot 40: green r06
+    "snapshot_schema_evolution",  # slot 41: green r06
+    "snapshot_wap_publish",  # slot 42: green r06
+    "text_novelty_score",  # slot 43: green r06
+    "agg_percentile_cont_global",  # slot 44: green r07
+    "asof_join_daily_score",  # slot 45: green r07
+    "attribution_touchpoints",  # slot 46: green r07
+    "corpus_cross_source_overlap",  # slot 47: green r07
+    "corpus_curation_pipeline",  # slot 48: green r07
+    "curriculum_length_interleave",  # slot 49: green r07
+    "dedup_paragraph_fraction",  # slot 50: green r07
 )
 
 

@@ -577,3 +577,68 @@ def test_ann_recall_matches_component_set_intersection(spark):
         assert (r.n_truth, r.n_approx, r.n_hit) == (len(t), len(a), len(t & a))
         assert 0.0 <= r.recall_at_k <= 1.0
         assert r.n_hit <= min(r.n_truth, r.n_approx)
+
+
+def test_simhash64_banded_pairs_equal_bruteforce(spark):
+    """Pigeonhole completeness for the 64-bit scheme: the 8x8-bit
+    banding must find EXACTLY the pairs a brute-force all-pairs
+    string-hamming scan finds at the <= 3 threshold — which also
+    proves the two-half conv verify (bit_count on hi/lo BIGINTs)
+    equals the per-character signature distance, including docs whose
+    leading bit is set (the case a single 64-bit conv would wrap)."""
+    from pyspark.sql import functions as SF
+
+    from lambda_lakehouse_spark.operators.dedup import (
+        _simhash64_expr, simhash64_hamming_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 4} alpha beta gamma delta w{i % 7} z{i % 3}")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    banded = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash64_hamming_pairs(docs).collect()
+    }
+
+    sigs = {
+        r.doc_id: r.simhash
+        for r in docs.select(
+            "doc_id", SF.split(SF.col("text"), r"\s+").alias("toks")
+        ).select("doc_id", SF.expr(_simhash64_expr()).alias("simhash")).collect()
+    }
+    assert all(len(s) == 64 for s in sigs.values())
+    # non-vacuous sign-bit coverage: at least one signature has bit 1
+    # set, so the hi-half conv path is exercised where a single 64-bit
+    # conv-to-bigint would overflow
+    assert any(s[0] == "1" for s in sigs.values())
+    brute = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = sum(x != y for x, y in zip(sigs[a], sigs[b]))
+            if h <= 3:
+                brute[(a, b)] = h
+    assert banded == brute and brute  # non-vacuous
+
+
+def test_simhash64_discriminates_where_32bit_saturates(spark):
+    """The widening rationale, asserted: on a shared-vocabulary corpus
+    the 64-bit signature admits at most as many <= 3-hamming pairs as
+    the 32-bit one (monotone discrimination; strictly fewer on this
+    fixture)."""
+    from lambda_lakehouse_spark.operators.dedup import (
+        simhash64_hamming_pairs, simhash_hamming_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "shared common vocab words every doc has "
+             f"plus u{i % 5} v{i % 6}")
+         for i in range(36)],
+        "doc_id long, text string",
+    )
+    p32 = {(r.doc_a, r.doc_b) for r in simhash_hamming_pairs(docs).collect()}
+    p64 = {(r.doc_a, r.doc_b)
+           for r in simhash64_hamming_pairs(docs).collect()}
+    assert len(p64) <= len(p32)
