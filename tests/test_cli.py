@@ -12,14 +12,14 @@ SF = "/root/testdata/sf0.001"
 def test_cli_list_includes_registry_and_staged(spark, capsys):
     assert main(["list"]) == 0
     out = capsys.readouterr().out
-    # text_fertility_by_lang is the round-10 staged cohort's marker;
+    # corpus_chi2_keywords is the round-11 staged cohort's marker;
     # when it graduates, swap in a then-current staged name (this
     # assertion pins that `list` shows registry only and `--staged`
     # staged only)
-    assert "q1_pricing_summary" in out and "text_fertility_by_lang" not in out
-    assert main(["list", "--staged", "--tag", "tokens"]) == 0
+    assert "q1_pricing_summary" in out and "corpus_chi2_keywords" not in out
+    assert main(["list", "--staged", "--tag", "corpus"]) == 0
     out = capsys.readouterr().out
-    assert "text_fertility_by_lang" in out and "q1_pricing_summary" not in out
+    assert "corpus_chi2_keywords" in out and "q1_pricing_summary" not in out
 
 
 def test_cli_oracle_prints_sql(spark, capsys):
