@@ -75,6 +75,7 @@ SPARK_GRAFT_BENCH_GATE_LOAD / SPARK_GRAFT_BENCH_GATE_TIMEOUT.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -133,6 +134,15 @@ def time_query(spark, q, sf_dir: str, repeats: int = 3) -> list[float]:
         t0 = time.perf_counter()
         q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
         samples.append(round(time.perf_counter() - t0, 3))
+        # Collect BETWEEN samples, outside the timed window: py4j
+        # objects form reference cycles, so without an explicit pass
+        # each sample's DataFrame graph (and its localCheckpoint
+        # blocks, JVM-side) survives until a generational GC happens
+        # to run — checkpoint-heavy plans then degrade progressively
+        # across repeats as storage memory fills (measured round 11:
+        # prefix-filter samples 14/26/130 s in one JVM without this,
+        # 8.7/8.3/7.4 s stable at 80 MiB cached with it).
+        gc.collect()
     return samples
 
 

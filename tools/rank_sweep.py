@@ -21,6 +21,7 @@ by the ``__control__`` probe, per the round-8 bench methodology.
 from __future__ import annotations
 
 import argparse
+import gc
 import json
 import os
 import sys
@@ -59,6 +60,13 @@ def main() -> int:
         except Exception as e:  # keep sweeping; report at the end
             out[name] = f"ERR {str(e).splitlines()[0][:100]}"
         print(f"{name}: {out[name]}", flush=True)
+        # py4j reference cycles keep each plan's DataFrame graph (and
+        # its localCheckpoint blocks) alive until a generational GC
+        # runs; across 240+ plans in ONE session the accumulated
+        # blocks inflate later queries' readings (round 11: measured
+        # progressive 8 -> 44 s degradation on checkpoint-heavy plans
+        # without this). Collect outside the timed window.
+        gc.collect()
 
     errs = {k: v for k, v in out.items() if isinstance(v, str)}
     ranked = sorted((v, k) for k, v in out.items() if isinstance(v, float))
