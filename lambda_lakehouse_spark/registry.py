@@ -128,10 +128,13 @@ REGISTRY: dict[str, Query] = {}
 # alphabetically-first r7 greens filled slots 44-50. Registry 234.
 #
 # ROUND-12 ROTATION PRE-PLAN: after r11 certifies, the oldest tier is
-# the remaining ~41 r7 greens. The r12 window takes the ≤5 r11
-# graduates (the STAGED cohort below) + as many oldest r7 greens as
-# fit to 50. gen_driver_window.py derives this mechanically, as
-# always.
+# the remaining ~42 r7 greens (the 41 never in an r11 slot plus the
+# displaced dedup_paragraph_scrub). The r12 window takes the 5 r11
+# graduates (the STAGED cohort below) + any changed-plan --musts + as
+# many oldest r7 greens as fit to 50; the boundary also promotes the
+# QUEUE to STAGED — exactly 5 entries (silhouette, bigram surprisal,
+# perplexity drift, ANN recall audit, simhash64), emptying the queue.
+# gen_driver_window.py derives the window mechanically, as always.
 STAGED: dict[str, Query] = {}
 
 # Build-ahead queue: fully implemented and oracle-tested (the pytest
