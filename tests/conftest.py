@@ -21,6 +21,7 @@ integral-vs-float drift, the one class the driver punishes.
 from __future__ import annotations
 
 import datetime as dt
+import gc
 import math
 import os
 
@@ -149,3 +150,11 @@ def assert_query_matches_oracle(spark, ducks, query, sf_dir: str = SF_DIR):
         raise AssertionError(
             f"{query.name}: value mismatch; first diffs (spark vs oracle): {diffs}"
         )
+    # Release this query's DataFrame graph promptly: py4j objects form
+    # reference cycles, so without an explicit pass each compared
+    # query's plan — and its localCheckpoint blocks, JVM-side — lives
+    # until a generational GC runs; across 250 oracle compares in one
+    # session the accumulated blocks slow later queries (the round-11
+    # bench/rank-sweep finding, applied to the suite).
+    del sdf
+    gc.collect()
