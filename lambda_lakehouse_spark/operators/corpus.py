@@ -3391,7 +3391,7 @@ def lm_bigram_doc_scores(
     "hash-certifiable; prev-token pairing is row-local (transform "
     "over the token array, no window/self-join)",
     tags=("text", "quality", "corpus", "lm"),
-    queue=True,
+    staged=True,
 )
 def quality_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
@@ -3509,7 +3509,7 @@ def lm_source_drift(
     "zero-guarded divisions, |sources| output rows at any corpus "
     "size — the dashboard row CCNet's quality filter is tuned from",
     tags=("text", "quality", "corpus", "lm", "dq"),
-    queue=True,
+    staged=True,
 )
 def quality_perplexity_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
@@ -3703,7 +3703,6 @@ WHERE rk <= {_CHI2_TOP_K}
     f"{_CHI2_MIN_COUNT}) per source; exact BIGINT cells, one identical "
     "double chi-square expression, per-source partitioned ranking",
     tags=("corpus", "stats", "text", "quality"),
-    staged=True,
 )
 def corpus_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("source", "text")

@@ -676,15 +676,15 @@ def ngram_jaccard_pairs(
     "inverted-index form survives as ngram_jaccard_pairs, the "
     "pytest-only equivalence twin "
     "(tests/test_staged.py::test_prefix_filter_equals_bruteforce_and_prunes). "
-    "NOTE (intentional duplication, round-10 advice): this entry and "
-    "dedup_jaccard_prefix_filter now register the SAME plan + oracle "
-    "under two names — one claims the LLM-pipeline n-gram-Jaccard "
-    "operator, the other the AllPairs algorithm. Both stay registered "
-    "for API parity, but rotation treats them as ONE certification "
-    "unit: when both would enter a window for the same reason, the "
-    "window generator's --must list names only one of them and the "
-    "other inherits the disposition in the round notes.",
+    "Round 12 retired the dedup_jaccard_prefix_filter alias that "
+    "registered this same plan under a second name (round-11 verdict, "
+    "demand 3): one registry entry per distinct plan. This entry now "
+    "claims BOTH the LLM-pipeline n-gram-Jaccard operator and the "
+    "AllPairs/PPJoin (Bayardo WWW'07) algorithm, and carries the "
+    "retired alias's bench flag so the plan's cost history continues "
+    "under the surviving name.",
     tags=("dedup", "join", "scale", "prefix-filter"),
+    bench=True,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
@@ -1680,7 +1680,8 @@ WHERE len(list_filter(range(1, {SIMHASH64_BITS + 1}), p -> sig_a[p] <> sig_b[p])
     "count, so candidate density falls with corpus entropy instead of "
     "saturating",
     tags=("dedup", "hash", "join", "scale"),
-    queue=True,
+    staged=True,
+    bench=True,
 )
 def dedup_simhash64_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1856,23 +1857,22 @@ def jaccard_prefix_filter_pairs(
     )
 
 
-@register(
-    "dedup_jaccard_prefix_filter",
-    _ngram_oracle(),
-    doc="Exact 3-gram Jaccard pairs via the AllPairs/PPJoin prefix "
-    "filter (Bayardo WWW'07): docs join only on their rarest "
-    "(1-t)-fraction shingle prefix under the global DF order — "
-    "pigeonhole-COMPLETE for jaccard >= t, so the oracle is the plain "
-    "brute-force SQL — then exact per-candidate verification. The "
-    "lossless counterpart to the DF-cap heuristic.",
-    tags=("dedup", "join", "scale", "prefix-filter"),
-    bench=True,
-)
-def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "text"
-    )
-    return jaccard_prefix_filter_pairs(docs)
+# RETIRED REGISTRATION (round 12, per the round-11 verdict, demand 3):
+# ``dedup_jaccard_prefix_filter`` registered the byte-identical plan
+# (jaccard_prefix_filter_pairs over documents) under a second name —
+# one name claimed the LLM-pipeline n-gram-Jaccard operator, the other
+# the AllPairs/PPJoin algorithm. Two registrations of one plan cost a
+# bench-headline slot and a rotation slot every staleness cycle while
+# certifying nothing extra, so round 12 keeps ONE registry entry for
+# the plan (dedup_ngram_jaccard, whose doc names the AllPairs
+# algorithm and the Bayardo WWW'07 citation) and retires this alias.
+# Green history for the retired name lives in CORRECTNESS_r10/r11
+# (hash_match true both rounds, same plan bytes as the survivor); the
+# brute-force-vs-prefix-filter equivalence stays pinned in pytest
+# (tests/test_staged.py::test_prefix_filter_equals_bruteforce_and_prunes).
+# The bench=True flag moved to dedup_ngram_jaccard so the headline set
+# still tracks the plan's cost round-over-round under the surviving
+# name (floor single ~6.2 s at sf0.1, r11 verdict measurement).
 
 
 # ---------------------------------------------------------------------------
@@ -2456,3 +2456,164 @@ FROM cov c JOIN tok t ON t.doc_id = c.doc_id
 def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     return substring_coverage(docs)
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator calibration (round-12 build-ahead queue)
+# ---------------------------------------------------------------------------
+#
+# The audit family so far certifies CANDIDATE quality (dedup_lsh_eval:
+# LSH precision/recall vs exact truth) and ESTIMATOR-vs-ESTIMATOR
+# agreement (agg_approx_sketches); this entry certifies the MinHash
+# ESTIMATOR itself against exact ground truth, per signature
+# match-count: for every LSH candidate pair, the signature-estimated
+# Jaccard is m/k (m of k=16 hash slots equal) while the exact Jaccard
+# is |A∩B|/|A∪B| over the same 5-char shingle sets — the calibration
+# curve (one row per observed m) is what turns a MinHash score into a
+# trustworthy dedup THRESHOLD: if the m/k curve drifts off the exact
+# mean, the banding constants are mis-tuned for the corpus.
+#
+# Exactness: m, pair counts, and set sizes are exact integers; the
+# per-pair exact Jaccard is ONE double division; means go through the
+# floor-scaled-BIGINT sum (order-independent, both engines identical
+# bits — the _ssum pattern from the similarity module). Scale shape:
+# candidates come from the banded LSH join (never all-pairs, hot
+# buckets capped upstream), the exact verify is the shared doc-grain
+# array_intersect with its explicit-count repartition, and the output
+# is <= k+1 rows at ANY corpus size.
+
+_CALIB_SCALE = 10**15
+
+
+def minhash_estimate_calibration(
+    docs: DataFrame, shingle_len: int = 5
+) -> DataFrame:
+    k = MINHASH_K
+    cand = minhash_lsh_pairs(docs, shingle_len=shingle_len).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("est_jaccard") * k).cast("int").alias("n_matches"),
+    )
+    sh = _shingle_arrays(docs, shingle_len)
+    arr_a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n").alias("na"),
+    )
+    arr_b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n").alias("nb"),
+    )
+    # same explicit-count repartition rationale as _doc_grain_jaccard:
+    # byte-tiny candidate rows, CPU-dense array_intersect downstream
+    cand = cand.repartition(
+        cand.sparkSession.sparkContext.defaultParallelism, "doc_a", "doc_b"
+    )
+    inter = (
+        cand.join(arr_a, "doc_a")
+        .join(arr_b, "doc_b")
+        .select(
+            "n_matches",
+            "na",
+            "nb",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            .cast("long")
+            .alias("n_common"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    exact = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    est = F.col("n_matches").cast("double") / F.lit(float(k))
+    err = F.abs(est - exact)
+    scaled = lambda c: F.sum(  # noqa: E731
+        F.floor(c * F.lit(float(_CALIB_SCALE))).cast("bigint")
+    ).cast("bigint")
+    agg = inter.groupBy("n_matches").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        scaled(exact).alias("sum_exact"),
+        scaled(err).alias("sum_err"),
+    )
+    return agg.select(
+        "n_matches",
+        (F.col("n_matches").cast("double") / F.lit(float(k))).alias(
+            "est_jaccard"
+        ),
+        "n_pairs",
+        (
+            F.col("sum_exact").cast("double")
+            / F.lit(float(_CALIB_SCALE))
+            / F.col("n_pairs")
+        ).alias("mean_exact_jaccard"),
+        (
+            F.col("sum_err").cast("double")
+            / F.lit(float(_CALIB_SCALE))
+            / F.col("n_pairs")
+        ).alias("mean_abs_err"),
+    )
+
+
+def _calibration_oracle(shingle_len: int = 5) -> str:
+    k = MINHASH_K
+    s = _CALIB_SCALE
+    return f"""
+WITH candidates AS ({_minhash_oracle(shingle_len=shingle_len)}),
+sets AS (
+  SELECT doc_id,
+         list_distinct([substr(text, i, {shingle_len})
+          FOR i IN range(1, greatest(length(text)-{shingle_len - 1}, 1) + 1)]) AS sh
+  FROM documents
+),
+verified AS (
+  SELECT CAST(ROUND(c.est_jaccard * {k}) AS INTEGER) AS n_matches,
+         len(sa.sh) AS na, len(sb.sh) AS nb,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common
+  FROM candidates c
+  JOIN sets sa ON sa.doc_id = c.doc_a
+  JOIN sets sb ON sb.doc_id = c.doc_b
+),
+agg AS (
+  SELECT n_matches,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(CAST(SUM(CAST(FLOOR(
+           (CAST(n_common AS DOUBLE) / (na + nb - n_common))
+           * CAST({s} AS DOUBLE)
+         ) AS BIGINT)) AS BIGINT) AS BIGINT) AS sum_exact,
+         CAST(CAST(SUM(CAST(FLOOR(
+           abs(CAST(n_matches AS DOUBLE) / CAST({k} AS DOUBLE)
+               - CAST(n_common AS DOUBLE) / (na + nb - n_common))
+           * CAST({s} AS DOUBLE)
+         ) AS BIGINT)) AS BIGINT) AS BIGINT) AS sum_err
+  FROM verified
+  GROUP BY n_matches
+)
+SELECT n_matches,
+       CAST(n_matches AS DOUBLE) / CAST({k} AS DOUBLE) AS est_jaccard,
+       n_pairs,
+       CAST(sum_exact AS DOUBLE) / CAST({s} AS DOUBLE) / n_pairs
+         AS mean_exact_jaccard,
+       CAST(sum_err AS DOUBLE) / CAST({s} AS DOUBLE) / n_pairs
+         AS mean_abs_err
+FROM agg
+"""
+
+
+@register(
+    "dedup_minhash_calibration",
+    _calibration_oracle(),
+    doc=f"MinHash estimator calibration curve: per signature "
+    f"match-count m (of k={MINHASH_K}), the LSH candidate pairs' "
+    "estimated Jaccard m/k vs the exact shingle-set Jaccard mean and "
+    "mean absolute error — the audit that turns a MinHash score into "
+    "a trustworthy dedup threshold (Broder'97 estimator against its "
+    "own ground truth). Exact integer counts, floor-scaled BIGINT "
+    f"sums for order-independent means, <= {MINHASH_K + 1} output "
+    "rows at any corpus size",
+    tags=("dedup", "lsh", "eval", "stats"),
+    queue=True,
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_estimate_calibration(docs)

@@ -1153,7 +1153,6 @@ FROM comp
     "to the explicit Java-\\s class on both engines (r9 advice: \\s "
     "and NULL-rank semantics diverge cross-engine otherwise)",
     tags=("eval", "stats", "text", "curation"),
-    staged=True,
 )
 def eval_signal_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")

@@ -585,7 +585,6 @@ FROM h{iters} GROUP BY h
     "arithmetic, checkpointed edges/values, histogram-sized output "
     "at any scale",
     tags=("graph", "iterative", "stats", "scale"),
-    staged=True,
 )
 def graph_kcore_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (

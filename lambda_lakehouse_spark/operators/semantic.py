@@ -1028,7 +1028,6 @@ def _kc_oracle(k: int = KC_CENTERS, dims: int = 64) -> str:
     "k bounded passes, per-pass one 1-row broadcast + TakeOrdered(1), "
     "fixed-point integer distances so every cell hash-certifies",
     tags=("sample", "vector", "iterative", "scale"),
-    staged=True,
 )
 def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -1193,7 +1192,7 @@ FROM sil GROUP BY cell
     "scores (a = n2 + score@rk1, b = n2 + score@rk2), fixed-point "
     "per-cell means, N_CELLS output rows at any corpus size",
     tags=("eval", "vector", "similarity", "stats"),
-    queue=True,
+    staged=True,
 )
 def eval_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")

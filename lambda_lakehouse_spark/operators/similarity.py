@@ -2098,7 +2098,6 @@ FROM fwd f JOIN bwd b USING (match_id)
     "broadcast passes, one corpus scan each, margin and mutual flags "
     "exact by construction",
     tags=("similarity", "vector", "mining", "curation"),
-    staged=True,
 )
 def mine_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
@@ -2266,8 +2265,126 @@ FROM tc LEFT JOIN ac USING (query_id) LEFT JOIN hc USING (query_id)
     "against, composing the two certified ANN paths (brute + IVF) so "
     "the audit cannot drift from what it audits",
     tags=("similarity", "vector", "ivf", "eval"),
-    queue=True,
+    staged=True,
 )
 def eval_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return ann_recall_at_k(emb, F.col("vec_id") < N_QUERIES)
+
+
+# ---------------------------------------------------------------------------
+# Embedding hubness audit (round-12 build-ahead queue)
+# ---------------------------------------------------------------------------
+#
+# Hubness (Radovanovic et al., JMLR'10) is the high-dimensional
+# pathology every ANN serving layer inherits: the k-occurrence
+# distribution N_k(x) — how many queries list x in their top-k —
+# grows right-skewed with dimensionality, so a few "hub" vectors
+# appear in a huge fraction of neighbor lists (polluting kNN labels,
+# SemDeDup cells, and retrieval results) while "antihubs" are never
+# retrieved at all. The audit is the k-occurrence HISTOGRAM of the
+# exact cosine top-k graph over a fixed query panel: every cell is an
+# exact BIGINT, so the whole result hash-certifies, and a skew shift
+# round-over-round is the early warning that an embedding version
+# change altered retrieval geometry.
+#
+# Scale shape: the query panel is CONSTANT-bounded (vec_id % 5 == 0
+# AND vec_id < 1000 => at most 200 queries at ANY corpus size), so the
+# brute scoring join is one corpus scan against a broadcast panel —
+# the same bounded-panel contract every other ANN audit here uses. At
+# 100 TB the panel stays constant and the plan shape is unchanged;
+# only the corpus side scales, and it is scanned once. k_occ counting
+# is a (neighbor_id) aggregate over |panel| * k rows — tiny — and the
+# zero-occurrence fill is a broadcast-ready left join of that tiny
+# relation onto the corpus id column.
+
+HUB_SAMPLE_MOD = 5
+HUB_SAMPLE_CAP = 1000
+
+
+def _hub_filter():
+    return (F.col("vec_id") % HUB_SAMPLE_MOD == 0) & (
+        F.col("vec_id") < HUB_SAMPLE_CAP
+    )
+
+
+def embedding_hubness(emb: DataFrame, k: int = TOP_K) -> DataFrame:
+    """k-occurrence histogram (k_occ, n_vectors) of the exact cosine
+    top-k graph over the bounded query panel, zero-occurrence vectors
+    included (the antihub bucket is the point of the audit)."""
+    topk = cosine_topk(emb, _hub_filter(), k=k).select(
+        "query_id", "neighbor_id"
+    )
+    occ = topk.groupBy("neighbor_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_occ")
+    )
+    per_vec = (
+        emb.select("vec_id")
+        .join(occ, F.col("vec_id") == F.col("neighbor_id"), "left")
+        .select(F.coalesce("k_occ", F.lit(0)).cast("bigint").alias("k_occ"))
+    )
+    return per_vec.groupBy("k_occ").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
+
+
+def _hubness_oracle(k: int = TOP_K) -> str:
+    ssum = _ssum_sql
+    return f"""
+WITH flat AS (
+  SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS val
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS pos)
+),
+norms AS (
+  SELECT vec_id, {ssum('val * val')} AS n2 FROM flat GROUP BY vec_id
+),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {ssum('q.val * c.val')} AS dot
+  FROM flat q
+  JOIN flat c ON q.pos = c.pos AND c.vec_id <> q.vec_id
+  WHERE q.vec_id % {HUB_SAMPLE_MOD} = 0 AND q.vec_id < {HUB_SAMPLE_CAP}
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id, dot / sqrt(nq.n2 * nc.n2) AS cos_sim
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = neighbor_id
+),
+topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rk
+    FROM scored
+  ) WHERE rk <= {k}
+),
+occ AS (
+  SELECT e.vec_id,
+         CAST(COALESCE(o.c, 0) AS BIGINT) AS k_occ
+  FROM embeddings e
+  LEFT JOIN (SELECT neighbor_id, CAST(COUNT(*) AS BIGINT) AS c
+             FROM topk GROUP BY 1) o
+    ON o.neighbor_id = e.vec_id
+)
+SELECT k_occ, CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM occ GROUP BY k_occ
+"""
+
+
+@register(
+    "eval_embedding_hubness",
+    _hubness_oracle(),
+    doc=f"Embedding hubness audit (Radovanovic JMLR'10): k-occurrence "
+    f"histogram of the exact cosine top-{TOP_K} graph over a "
+    f"constant-bounded query panel (vec_id % {HUB_SAMPLE_MOD} == 0, "
+    f"< {HUB_SAMPLE_CAP}), antihubs (k_occ = 0) included — the "
+    "retrieval-geometry early warning for kNN labels, SemDeDup cells "
+    "and search serving; every cell an exact BIGINT, one corpus scan "
+    "against a broadcast panel at any scale",
+    tags=("similarity", "vector", "eval", "stats"),
+    queue=True,
+)
+def eval_embedding_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_hubness(emb)

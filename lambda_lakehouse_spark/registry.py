@@ -65,7 +65,12 @@ REGISTRY: dict[str, Query] = {}
 # this procedure. STAGED holds the 5 queue entries promoted
 # oldest-first at the round-11 boundary (bitext margin, chi2
 # keywords, k-core coreness, signal spearman, k-center coreset),
-# queued for round 12.
+# queued for round 12. The round-11 cohort (5: bitext margin, chi2
+# keywords, k-core coreness, signal spearman, k-center coreset)
+# graduated at the round-12 boundary, same procedure. STAGED now
+# holds the 5 queue entries promoted at the round-12 boundary
+# (silhouette, bigram surprisal, perplexity drift, ANN recall audit,
+# 64-bit SimHash pairs), queued for round 13.
 #
 # STALENESS / ROTATION POLICY (adopted round 8, per the round-7
 # verdict): at 219 registered queries and a 50-slot driver window, a
@@ -127,14 +132,34 @@ REGISTRY: dict[str, Query] = {}
 # The ENTIRE 33-query r6 tier cleared (slots 11-43) and the 7
 # alphabetically-first r7 greens filled slots 44-50. Registry 234.
 #
-# ROUND-12 ROTATION PRE-PLAN: after r11 certifies, the oldest tier is
-# the remaining ~42 r7 greens (the 41 never in an r11 slot plus the
-# displaced dedup_paragraph_scrub). The r12 window takes the 5 r11
-# graduates (the STAGED cohort below) + any changed-plan --musts + as
-# many oldest r7 greens as fit to 50; the boundary also promotes the
-# QUEUE to STAGED — exactly 5 entries (silhouette, bigram surprisal,
-# perplexity drift, ANN recall audit, simhash64), emptying the queue.
-# gen_driver_window.py derives the window mechanically, as always.
+# ROUND-12 ROTATION — EXECUTED (round-11 verdict, demands 1+3): the 5
+# r11 graduates (mine_bitext_margin, corpus_chi2_keywords,
+# graph_kcore_coreness, eval_signal_spearman, sample_kcenter_coreset)
+# took slots 1-5; no plan changed since its r11 green, so there are
+# no --must re-certs this round; the ENTIRE remaining 42-query
+# r7-stale tier cleared (slots 6-47, including the r11-displaced
+# dedup_paragraph_scrub) and the 3 alphabetically-first r8 greens
+# filled slots 48-50. The boundary also promoted all 5 queue entries
+# to STAGED (silhouette, bigram surprisal, perplexity drift, ANN
+# recall audit, simhash64), emptying the queue, and RETIRED the
+# dedup_jaccard_prefix_filter alias registration (demand 3): it was
+# a second name over the byte-identical dedup_ngram_jaccard plan
+# (both green r10+r11 on the same bytes); one registry entry per
+# distinct plan, the brute-vs-prefix equivalence stays pinned in
+# pytest, and the bench flag moved to the surviving name. Registry
+# 238 (234 + 5 graduates - 1 retirement).
+#
+# ROUND-13 ROTATION PRE-PLAN (round-11 verdict, demand 6): after r12
+# certifies, the oldest tier is the remaining r8 cohort — 50 greens
+# minus the 3 taken in r12's slots 48-50 = 47. The r13 window takes
+# the 5 r12 graduates (the STAGED cohort below: silhouette, bigram
+# surprisal, perplexity drift, ANN recall audit, simhash64) + any
+# changed-plan --musts + the oldest r8 greens to 50 (5 + 47 = 52, so
+# 2 r8 greens spill to r14 — the staleness bound keeps its one-round
+# cadence). At graduation, simhash64 keeps its bench=True flag
+# (round-11 verdict, demand 4 — already carried in the r12 headline
+# set via the staged-bench rule in bench.py). gen_driver_window.py
+# derives the window mechanically, as always.
 STAGED: dict[str, Query] = {}
 
 # Build-ahead queue: fully implemented and oracle-tested (the pytest
@@ -146,14 +171,11 @@ STAGED: dict[str, Query] = {}
 # keeps the staleness-bounding cap honest while letting a build session
 # run ahead of the rotation schedule.
 #
-# Round-11 boundary promoted the 5 oldest (bitext margin, chi2
-# keywords, k-core coreness, signal spearman, k-center coreset) to
-# STAGED. Queue depth is now 1 carried (silhouette) + 3 round-10
-# build-ahead entries (bigram backoff surprisal, per-source
-# perplexity drift, ANN recall@k audit) + the round-11 build-ahead
-# (64-bit SimHash banded pairs — the signature-diversity upgrade the
-# round-10 verdict named); promote oldest-first at the r12 boundary
-# so no entry waits indefinitely behind newer work.
+# Round-12 boundary promoted ALL 5 remaining entries (silhouette,
+# bigram surprisal, perplexity drift, ANN recall audit, 64-bit
+# SimHash pairs) to STAGED, emptying the queue. New round-12
+# build-ahead work registers here for promotion at the r13 boundary,
+# oldest-first, under the same ≤5-new-staged-per-round cap.
 QUEUE: dict[str, Query] = {}
 
 
@@ -187,77 +209,69 @@ def register(
 # (every query beyond slot 50 holds a prior green row) is pinned by
 # tests/test_registry_contract.py.
 #
-# — round-11 window (50 slots), generated by
-#   tools/gen_driver_window.py --must agg_approx_sketches
-#   dedup_lsh_eval dedup_minhash_lsh_verified dedup_ngram_jaccard
-#   dedup_simhash_hamming_pairs —
-# Slots 1-5: the round-11 graduation — the 5 formerly-STAGED round-10
+# — round-12 window (50 slots), generated by
+#   tools/gen_driver_window.py  (no --must: no registered plan
+#   changed since its newest green row — the round's code changes
+#   are bench/tooling instrumentation and the alias retirement,
+#   neither of which alters any surviving query's plan bytes) —
+# Slots 1-5: the round-12 graduation — the 5 formerly-STAGED round-11
 # queries (pytest oracle-green at sf0.001/sf0.01, no driver row yet).
-# Slots 6-10: --must re-certs — the five round-11 plan changes (see
-# the ROUND-11 ROTATION block above for what changed and the measured
-# numbers; dedup_jaccard_prefix_filter shares dedup_ngram_jaccard's
-# plan byte-identically and inherits its certification). The fifth
-# must is the simhash-pairs serialization fix found while building the
-# 64-bit queue variant: spread the one-file-split documents scan
-# before the CPU-dense vote loop and move the checkpoint between the
-# signature projection and the sig_int conv (CollapseProject was
-# inlining the vote expression twice per row) — 6.3 -> ~2.1-3.0 s at
-# sf0.1, output identical, oracle unchanged.
-# Slots 11-43: the ENTIRE remaining r6-stale cohort (33 queries),
-# clearing the r6 tier completely per the rotation policy.
-# Slots 44-50: the 7 alphabetically-first r7 greens (the fifth must
-# displaced dedup_paragraph_scrub to the next rotation).
+# Slots 6-47: the ENTIRE remaining r7-stale cohort (42 queries,
+# including dedup_paragraph_scrub, displaced from the r11 window by
+# its fifth must), clearing the r7 tier completely.
+# Slots 48-50: the 3 alphabetically-first r8 greens (the r8 tier —
+# the next rotation's target — shrinks 50 -> 47).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "text_fertility_by_lang",  # slot 1: NEVER
-    "dedup_substring_runs",  # slot 2: NEVER
-    "dedup_substring_coverage",  # slot 3: NEVER
-    "corpus_source_unigram_cosine",  # slot 4: NEVER
-    "eval_embedding_isotropy",  # slot 5: NEVER
-    "agg_approx_sketches",  # slot 6: re-cert
-    "dedup_lsh_eval",  # slot 7: re-cert
-    "dedup_minhash_lsh_verified",  # slot 8: re-cert
-    "dedup_ngram_jaccard",  # slot 9: re-cert
-    "dedup_simhash_hamming_pairs",  # slot 10: re-cert
-    "bloom_semijoin_prune",  # slot 11: green r06
-    "calendar_dim_date",  # slot 12: green r06
-    "correlated_above_avg",  # slot 13: green r06
-    "customer_spend_gini",  # slot 14: green r06
-    "dedup_cluster_size_histogram",  # slot 15: green r06
-    "dedup_ngram_containment",  # slot 16: green r06
-    "dq_freshness_lag",  # slot 17: green r06
-    "embed_drift_by_dim",  # slot 18: green r06
-    "embed_pca_top_component",  # slot 19: green r06
-    "events_anomaly_mad",  # slot 20: green r06
-    "events_cusum_changepoint",  # slot 21: green r06
-    "explode_positional",  # slot 22: green r06
-    "funnel_time_to_convert",  # slot 23: green r06
-    "grid_join_similar_parts",  # slot 24: green r06
-    "interval_open_orders_sweep",  # slot 25: green r06
-    "join_null_safe_eq",  # slot 26: green r06
-    "join_semi_anti",  # slot 27: green r06
-    "lambda_serving_merge",  # slot 28: green r06
-    "market_concentration_hhi",  # slot 29: green r06
-    "pivot_status_by_segment",  # slot 30: green r06
-    "profile_histogram_equiwidth",  # slot 31: green r06
-    "q15_top_supplier",  # slot 32: green r06
-    "rfm_customer_segments",  # slot 33: green r06
-    "scd2_type6_dim",  # slot 34: green r06
-    "seasonal_index_monthly",  # slot 35: green r06
-    "sessionize_bounce_rate",  # slot 36: green r06
-    "skyline_pareto_parts",  # slot 37: green r06
-    "snapshot_branch_merge",  # slot 38: green r06
-    "snapshot_delete_rollback",  # slot 39: green r06
-    "snapshot_partition_evolution",  # slot 40: green r06
-    "snapshot_schema_evolution",  # slot 41: green r06
-    "snapshot_wap_publish",  # slot 42: green r06
-    "text_novelty_score",  # slot 43: green r06
-    "agg_percentile_cont_global",  # slot 44: green r07
-    "asof_join_daily_score",  # slot 45: green r07
-    "attribution_touchpoints",  # slot 46: green r07
-    "corpus_cross_source_overlap",  # slot 47: green r07
-    "corpus_curation_pipeline",  # slot 48: green r07
-    "curriculum_length_interleave",  # slot 49: green r07
-    "dedup_paragraph_fraction",  # slot 50: green r07
+    "mine_bitext_margin",  # slot 1: NEVER
+    "corpus_chi2_keywords",  # slot 2: NEVER
+    "graph_kcore_coreness",  # slot 3: NEVER
+    "eval_signal_spearman",  # slot 4: NEVER
+    "sample_kcenter_coreset",  # slot 5: NEVER
+    "dedup_paragraph_scrub",  # slot 6: green r07
+    "dq_referential_integrity",  # slot 7: green r07
+    "embed_label_separation",  # slot 8: green r07
+    "eval_auc_exact",  # slot 9: green r07
+    "eval_decile_lift",  # slot 10: green r07
+    "eval_knn_label_accuracy",  # slot 11: green r07
+    "fact_assembly_star",  # slot 12: green r07
+    "graph_triangle_count",  # slot 13: green r07
+    "multimodal_audio_envelope",  # slot 14: green r07
+    "pit_join_fact_dim",  # slot 15: green r07
+    "profile_histogram_equidepth",  # slot 16: green r07
+    "q14_promo_revenue",  # slot 17: green r07
+    "q18_large_volume",  # slot 18: green r07
+    "q19_disjunctive_join",  # slot 19: green r07
+    "q4_late_orders",  # slot 20: green r07
+    "q6_selective_filter",  # slot 21: green r07
+    "q7_nation_trade",  # slot 22: green r07
+    "sample_deterministic",  # slot 23: green r07
+    "sample_temperature_mixture",  # slot 24: green r07
+    "scalar_clean_cast",  # slot 25: green r07
+    "scalar_date_suite",  # slot 26: green r07
+    "scalar_json_suite",  # slot 27: green r07
+    "scalar_string_suite",  # slot 28: green r07
+    "scalar_surrogate_keys",  # slot 29: green r07
+    "scd2_user_dim",  # slot 30: green r07
+    "search_phrase_positional",  # slot 31: green r07
+    "seed_lookup_fx",  # slot 32: green r07
+    "setops_intersect_except",  # slot 33: green r07
+    "shard_rendezvous_routing",  # slot 34: green r07
+    "split_leakage_safe",  # slot 35: green r07
+    "stats_autocorr_daily_revenue",  # slot 36: green r07
+    "stats_benford_first_digit",  # slot 37: green r07
+    "stats_chi2_lang_source",  # slot 38: green r07
+    "stats_ks_drift_sources",  # slot 39: green r07
+    "text_bigram_next_word",  # slot 40: green r07
+    "unpivot_measures",  # slot 41: green r07
+    "window_global_pctrank",  # slot 42: green r07
+    "window_lag_lead_running",  # slot 43: green r07
+    "window_moving_avg_rows",  # slot 44: green r07
+    "window_ranking_suite",  # slot 45: green r07
+    "window_rolling_range",  # slot 46: green r07
+    "window_topk_per_group",  # slot 47: green r07
+    "agg_argmax_suite",  # slot 48: green r08
+    "agg_distinct_domain",  # slot 49: green r08
+    "agg_group_min",  # slot 50: green r08
 )
 
 

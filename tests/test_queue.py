@@ -642,3 +642,111 @@ def test_simhash64_discriminates_where_32bit_saturates(spark):
     p64 = {(r.doc_a, r.doc_b)
            for r in simhash64_hamming_pairs(docs).collect()}
     assert len(p64) <= len(p32)
+
+
+# --- embedding hubness (round-12 queue: eval_embedding_hubness) -------
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_hubness_planted_hub_geometry(spark):
+    """A vector deliberately closest to EVERY panel query collects
+    k_occ = |panel| at k=1 while everything else sits in the antihub
+    bucket — the planted-hub closed form."""
+    from lambda_lakehouse_spark.operators.similarity import (
+        embedding_hubness,
+    )
+
+    rows = [
+        # panel queries (vec_id % 5 == 0, < 1000): near the hub axis,
+        # each perturbed on a DIFFERENT coordinate so query-query
+        # cosine (~0.990) stays below query-hub cosine (~0.995)
+        (0, [1.0, 0.1, 0.0, 0.0], 0),
+        (5, [1.0, 0.0, 0.1, 0.0], 0),
+        (10, [1.0, 0.0, 0.0, 0.1], 0),
+        (1, [1.0, 0.0, 0.0, 0.0], 0),  # the planted hub
+        (2, [0.0, 0.0, 0.0, 1.0], 1),  # off-axis: never retrieved
+        (3, [0.0, 1.0, -1.0, 0.0], 1),  # off-axis: never retrieved
+    ]
+    got = {
+        r.k_occ: r.n_vectors
+        for r in embedding_hubness(_emb_df(spark, rows), k=1).collect()
+    }
+    assert got == {3: 1, 0: 5}
+
+
+def test_hubness_histogram_mass_conservation(spark):
+    """Structural invariants on the real table: histogram mass equals
+    the corpus size and total k-occurrence equals |panel| * k (every
+    query emits exactly k neighbor slots)."""
+    from pyspark.sql import functions as F
+
+    from lambda_lakehouse_spark.operators.similarity import (
+        HUB_SAMPLE_CAP,
+        HUB_SAMPLE_MOD,
+        TOP_K,
+        embedding_hubness,
+    )
+    from lambda_lakehouse_spark.sources.readers import read_table
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    hist = embedding_hubness(emb).collect()
+    n_vecs = emb.count()
+    n_panel = emb.where(
+        (F.col("vec_id") % HUB_SAMPLE_MOD == 0)
+        & (F.col("vec_id") < HUB_SAMPLE_CAP)
+    ).count()
+    assert sum(r.n_vectors for r in hist) == n_vecs
+    assert sum(r.k_occ * r.n_vectors for r in hist) == n_panel * TOP_K
+
+
+# --- MinHash estimator calibration (round-12 queue) -------------------
+
+
+def test_minhash_calibration_identical_pair_is_exact(spark):
+    """Two byte-identical documents calibrate perfectly: one pair at
+    m = k with estimated and exact Jaccard both 1.0 and zero error;
+    the disjoint third document shares no band and never pairs."""
+    from lambda_lakehouse_spark.operators.dedup import (
+        MINHASH_K,
+        minhash_estimate_calibration,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = _doc_df(
+        spark,
+        [(1, text), (2, text), (3, "zzzz qqqq vvvv wwww kkkk jjjj xxxx")],
+    )
+    rows = minhash_estimate_calibration(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_matches == MINHASH_K
+    assert r.n_pairs == 1
+    assert r.est_jaccard == 1.0
+    assert r.mean_exact_jaccard == 1.0
+    assert r.mean_abs_err == 0.0
+
+
+def test_minhash_calibration_covers_all_candidates(spark):
+    """The calibration rows partition the LSH candidate set: bucketed
+    pair counts sum to |minhash_lsh_pairs|, every est_jaccard is
+    m / k on the nose, and means stay inside [0, 1]."""
+    from lambda_lakehouse_spark.operators.dedup import (
+        MINHASH_K,
+        minhash_estimate_calibration,
+        minhash_lsh_pairs,
+    )
+    from lambda_lakehouse_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    rows = minhash_estimate_calibration(docs).collect()
+    n_cand = minhash_lsh_pairs(docs).count()
+    assert sum(r.n_pairs for r in rows) == n_cand
+    for r in rows:
+        assert r.est_jaccard == r.n_matches / MINHASH_K
+        assert 0.0 <= r.mean_exact_jaccard <= 1.0
+        assert 0.0 <= r.mean_abs_err <= 1.0

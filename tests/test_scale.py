@@ -593,6 +593,10 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
         # aggregate-bounded k-means centroid tables, exactly the
         # subtrees allowlisted for ann_cosine_topk_brute/_ivf
         "eval_ann_recall_ivf": {"embeddings.parquet"},
+        # cosine_topk's filter-bounded query-panel broadcasts (vec_id %
+        # HUB_SAMPLE_MOD == 0 AND < HUB_SAMPLE_CAP => constant-bounded
+        # at any corpus size), same subtrees as ann_cosine_topk_brute
+        "eval_embedding_hubness": {"embeddings.parquet"},
     }
     bounding_ops = (
         "Filter", "HashAggregate", "SortAggregate", "ObjectHashAggregate",

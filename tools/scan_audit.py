@@ -91,6 +91,10 @@ BASELINE: dict[str, int] = {
     "ann_cosine_topk_ivf_pretrained": 6,  # [passes] same family
     "ann_cosine_topk_ivfpq": 6,  # [passes] same family + PQ residuals
     "bloom_semijoin_prune": 5,  # [branches] build + probe + truth compare
+    "eval_embedding_hubness": 5,  # [branches] cosine_topk's four
+    #   (query side, corpus side, corpus norms, query norms — same
+    #   as ann_cosine_topk_brute's dispositioned 4) + the vec_id-only
+    #   column-pruned scan for the zero-occurrence (antihub) fill
     "mine_bitext_margin": 3,  # [fixed r9 at birth] 16 -> 3 via fwd-top1
     #   + narrow norms checkpoints (3.11 -> 1.77 s sf0.1); residual 3 =
     #   pruned query side + one candidate scan per mining direction
@@ -108,7 +112,10 @@ BASELINE: dict[str, int] = {
     "corpus_token_spectrum": 3,  # [passes] spectrum model + Good-Turing
     "dedup_embedding_cosine": 4,  # [branches] pair sides + norms
     "dedup_incremental_batch": 3,  # [passes] one read per arrival batch
-    "dedup_jaccard_prefix_filter": 0,  # [fixed] was 8 textual + 19.3 s at
+    "dedup_jaccard_prefix_filter": 0,  # [retired r12] alias registration
+    #   removed (one registry entry per distinct plan); the plan lives
+    #   on as dedup_ngram_jaccard — key kept for the historical note
+    #   below. [fixed] was 8 textual + 19.3 s at
     #   sf0.1: shingle transform re-run per branch and array_intersect
     #   double-evaluated (filter pushed into join condition). r9 fix:
     #   doc-grain shingle checkpoint + PPJoin length/positional pruning
