@@ -71,6 +71,25 @@ load < 2.0 (bounded at 120 s, then proceeds with that query's
 ``gate_timeouts`` name list (normally empty); the detail line carries
 per-query ``gates`` {waited, timeout}. Env overrides:
 SPARK_GRAFT_BENCH_GATE_LOAD / SPARK_GRAFT_BENCH_GATE_TIMEOUT.
+
+Band-aware per-query retry (round-11 verdict, demand 2): the gate
+checks load once BEFORE each query, so load arriving mid-query still
+contaminated one reading per driver sweep three rounds running (r11:
+``dedup_jaccard_prefix_filter`` recorded 29.45 s vs a 6.16 s verified
+idle floor). BAND_MAX records each headline query's accepted ceiling
+(~2x its newest verified idle-gated floor). When a query's best
+sample exceeds its band AND the host shows load (its gate timed out,
+or the loadavg read right after the subprocess is above the gate
+threshold), the sweep re-gates (a fresh ``wait_for_idle``) and
+re-runs that ONE query once, records BOTH readings in the detail
+line's ``retries`` map, takes the better reading as the headline
+number, and names the query in the headline's ``retried`` list. An
+out-of-band reading on a quiet host is NOT retried — that is a real
+regression and must stay visible. Every retry attempt is re-gated
+and every attempt's gate is recorded (``gates[name]["attempts"]``) —
+including the transient-failure retry, which previously re-ran
+ungated under the very load condition the gate exists to avoid
+(round-11 advice).
 """
 
 from __future__ import annotations
@@ -115,8 +134,60 @@ LEGACY_ORDER = (
 )
 
 
+# Accepted per-query ceilings, seconds at sf0.1 (local[32], isolated
+# JVM, best-of-3 on an idle host): ~2x the newest VERIFIED idle-gated
+# floor for each query — wide enough that codegen/JIT jitter and
+# ordinary host noise never trip a retry, tight enough that the 4-6x
+# phantom movers the last three driver artifacts recorded always do.
+# Floors: round-11 verdict measurements (artifact minima where the
+# artifact was clean, idle-gated singles where it was not). Update a
+# query's entry whenever its plan change ships with a new measured
+# floor; a missing entry simply disables band-defense for that query.
+BAND_MAX: dict[str, float] = {
+    "ann_cosine_topk_brute": 4.0,  # r11 artifact 1.94
+    "ann_cosine_topk_hyperlsh": 5.5,  # r11 artifact 2.59
+    "ann_cosine_topk_ivf": 8.0,  # r11 artifact 3.82 (train-inclusive)
+    "ann_cosine_topk_ivf_pretrained": 3.0,  # r11 artifact 1.20
+    "ann_cosine_topk_rowlocal": 2.5,  # r11 artifact 0.85
+    "basket_association_rules": 4.0,  # r11 artifact 1.95
+    "corpus_token_spectrum": 2.5,  # r11 artifact 0.88
+    "corpus_top_ngrams": 2.5,  # r11 artifact 0.88
+    "dedup_incremental_batch": 4.0,  # r11 artifact 1.98
+    "dedup_minhash_lsh": 3.0,  # r11 artifact 1.26
+    "dedup_ngram_jaccard": 11.0,  # verified floor single 6.16 (the
+    #   plan formerly also registered as dedup_jaccard_prefix_filter,
+    #   whose 29.45 s r11 artifact reading was the phantom this
+    #   mechanism exists for)
+    "dedup_simhash64_hamming_pairs": 6.5,  # birth gated single 3.05
+    "dedup_winnowing_pairs": 11.0,  # verified floor single 7.04
+    "eval_source_contamination": 11.0,  # floor 6.12, band [6.0, 7.9]
+    "fact_assembly_star": 6.5,  # r11 artifact 3.60
+    "fuzzy_pairs_edit1": 3.0,  # r11 artifact 1.07
+    "graph_pagerank_supply": 9.0,  # steady 4.4-4.5, artifact 5.74
+    "pack_sequences_nextfit": 2.0,  # r11 artifact 0.43
+    "pit_join_fact_dim": 7.0,  # r11 artifact 4.03
+    "q1_pricing_summary": 3.5,  # r11 artifact 1.70
+    "q3_shipping_priority": 2.5,  # r11 artifact 0.92
+    "q5_nation_revenue": 2.5,  # r11 artifact 1.04
+    "quality_lm_surprisal": 3.0,  # r11 artifact 1.28
+    "rfm_customer_segments": 6.5,  # r11 artifact 3.39
+    "scd2_user_dim": 3.0,  # r11 artifact 1.30
+    "search_bm25_topk": 4.0,  # r11 artifact 1.82
+    "search_hybrid_rrf": 6.5,  # r11 artifact 3.54
+    "sessionize_events": 4.5,  # r11 artifact 2.41
+    "snapshot_wap_publish": 5.0,  # r11 artifact 2.49
+    "timeseries_gap_fill": 2.5,  # r11 artifact 0.88
+}
+
+
 def headline_names() -> list[str]:
-    registry = load_all()
+    # bench=True on a STAGED query is honored too (round-11 verdict,
+    # demand 4): a staged query is pytest-oracle-certified, and its
+    # cost story should start accruing in the round artifact it is
+    # built in, not one round later when it graduates —
+    # dedup_simhash64_hamming_pairs (the 100 TB-discriminating SimHash
+    # variant) is the first such entry.
+    registry = {**load_all(), **load_staged()}
     flagged = sorted(n for n, q in registry.items() if q.bench)
     ordered = [n for n in LEGACY_ORDER if n in flagged]
     ordered += [n for n in flagged if n not in ordered]
@@ -243,7 +314,49 @@ def main() -> None:
     loads: dict[str, list[float] | None] = {}
 
     gates: dict[str, dict] = {}
+    retries: dict[str, dict] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0":
+
+        def gated_attempt(name: str) -> dict:
+            """One fully-gated subprocess attempt: idle-wait, run the
+            --single subprocess, parse its timing line. EVERY attempt
+            — first, transient-failure retry, band retry — goes
+            through here, so no attempt ever starts ungated (round-11
+            advice: the old retry re-ran immediately under the very
+            load condition the gate exists to avoid)."""
+            gate = wait_for_idle()
+            t_wall = time.time()
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--single", name],
+                capture_output=True,
+                text=True,
+            )
+            lines = [
+                l for l in out.stdout.splitlines() if l.startswith('{"query"')
+            ]
+            row = None
+            reason = None
+            if out.returncode != 0 or not lines:
+                reason = (
+                    out.stderr.strip().splitlines()[-1][:300]
+                    if out.stderr.strip()
+                    else "no output"
+                )
+                reason = f"rc={out.returncode}: {reason}"
+            else:
+                row = json.loads(lines[-1])
+            return {
+                "gate": gate,
+                "row": row,
+                "reason": reason,
+                "span": [round(t_wall, 1), round(time.time(), 1)],
+                # loadavg read RIGHT AFTER the subprocess: the gate
+                # proves the host was idle at start; this reading is
+                # the trailing bracket that shows whether load arrived
+                # DURING the query (the r9-r11 contamination mode)
+                "load_after": read_loadavg(),
+            }
+
         # control first AND last: the leading run calibrates the host
         # before any headline runs; the trailing run catches load that
         # arrives MID-sweep, which a clean leading control cannot (seen
@@ -251,58 +364,88 @@ def main() -> None:
         # later tripled the late-running queries — only a bracketing
         # control makes that visible from the artifact alone)
         for name in [CONTROL] + names + [CONTROL_END]:
-            # idle-wait gate: don't start this query's JVM until the
-            # previous one's load has decayed (or external load cleared)
-            gates[name] = wait_for_idle()
-            t_wall = time.time()
+            a1 = gated_attempt(name)
+            attempts = [a1]
             # one retry: a transient subprocess failure (host pressure,
             # torn environment) must not leave a null in the artifact
-            for attempt in range(2):
-                out = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--single", name],
-                    capture_output=True,
-                    text=True,
-                )
-                lines = [
-                    l for l in out.stdout.splitlines() if l.startswith('{"query"')
-                ]
-                if out.returncode == 0 and lines:
-                    break
-            if out.returncode != 0 or not lines:
+            if a1["row"] is None:
+                attempts.append(gated_attempt(name))
+            best = next((a for a in attempts if a["row"] is not None), None)
+            if best is None:
                 # keep the sweep alive: report the failure, emit null
                 # for this query, and preserve every timing already
                 # measured instead of losing the whole run. Record the
                 # span/samples/load keys too (empty, not absent) so
                 # artifact readers iterating any one map see the same
                 # key set — round-9 advice flagged the asymmetry.
-                reason = (
-                    out.stderr.strip().splitlines()[-1][:300]
-                    if out.stderr.strip()
-                    else "no output"
-                )
                 print(
-                    f"bench isolate: {name} failed (rc={out.returncode}): {reason}",
+                    f"bench isolate: {name} failed ({a1['reason']})",
                     file=sys.stderr,
+                )
+                gates[name] = dict(
+                    a1["gate"], attempts=[a["gate"] for a in attempts],
+                    fail=[a["reason"] for a in attempts],
                 )
                 timings[name] = None
                 samples[name] = []
-                spans[name] = [round(t_wall, 1), round(time.time(), 1)]
-                loads[name] = read_loadavg()
+                spans[name] = [a1["span"][0], attempts[-1]["span"][1]]
+                loads[name] = attempts[-1]["load_after"]
                 continue
-            row = json.loads(lines[-1])
-            timings[name] = row["sec"]
-            samples[name] = row.get("samples", [])
+            sec = best["row"]["sec"]
+            # band defense (round-11 verdict, demand 2): out-of-band
+            # reading + evidence of host load => one re-gated re-run;
+            # out-of-band on a QUIET host is a real regression and is
+            # recorded as-is, never retried away.
+            band = BAND_MAX.get(name)
+            load_after = best["load_after"]
+            loaded = best["gate"]["timeout"] or (
+                load_after is not None and load_after[0] > GATE_LOAD_MAX
+            )
+            if band is not None and sec > band and loaded:
+                a2 = gated_attempt(name)
+                attempts.append(a2)
+                if a2["row"] is not None:
+                    retries[name] = {
+                        "first_sec": sec,
+                        "retry_sec": a2["row"]["sec"],
+                        "band_max": band,
+                        "load_after_first": load_after,
+                        "load_after_retry": a2["load_after"],
+                    }
+                    print(
+                        f"bench isolate: {name} out of band "
+                        f"({sec} s > {band} s) under load "
+                        f"{load_after} — retried: {a2['row']['sec']} s",
+                        file=sys.stderr,
+                    )
+                    if a2["row"]["sec"] < sec:
+                        best = a2
+                        sec = a2["row"]["sec"]
+                else:
+                    retries[name] = {
+                        "first_sec": sec,
+                        "retry_sec": None,
+                        "band_max": band,
+                        "load_after_first": load_after,
+                        "fail": a2["reason"],
+                    }
+            gates[name] = dict(
+                best["gate"], attempts=[a["gate"] for a in attempts]
+            ) if len(attempts) > 1 else best["gate"]
+            timings[name] = sec
+            samples[name] = best["row"].get("samples", [])
             # wall-clock span of this query's whole subprocess (epoch
             # seconds, JVM start included): round 9 saw sweeps whose
             # leading AND trailing controls sat at the idle floor while
             # a bursty external load inflated only the queries that ran
             # during its window — spans localize WHICH queries a
             # contamination window covered, from the artifact alone
-            spans[name] = [round(t_wall, 1), round(time.time(), 1)]
-            loads[name] = read_loadavg()
+            spans[name] = [best["span"][0], attempts[-1]["span"][1]]
+            loads[name] = best["load_after"]
     else:
         spark = get_spark(app_name="lakehouse-bench")
-        registry = load_all()
+        # staged bench=True entries are headline too (see headline_names)
+        registry = {**load_all(), **load_staged()}
         spark.range(1_000_000).selectExpr("sum(id)").collect()
         registry[names[0]].spark(spark, sf_dir).write.format("noop").mode(
             "overwrite"
@@ -341,6 +484,8 @@ def main() -> None:
                 "control": control,
                 "control_end": control_end,
                 "gates": gates,
+                "retries": retries,
+                "band_max": BAND_MAX,
                 "train_inclusive": list(TRAIN_INCLUSIVE),
                 "serve_headline": SERVE_HEADLINE,
             }
@@ -351,6 +496,12 @@ def main() -> None:
     # a host that never went idle within the gate bound — read that
     # query's number with the per-query `loads` entry in the detail line
     gate_timeouts = [n for n, g in gates.items() if g.get("timeout")]
+    # a name in `retried` means that query's headline number is the
+    # better of two fully-gated runs because the first read out of
+    # band under observed load — both readings live in the detail
+    # line's `retries` map, so the artifact is self-interpreting with
+    # zero post-hoc singles (round-11 verdict, demand 2)
+    retried = sorted(retries)
     # Line 2 (LAST): the compact headline artifact — metric, value,
     # per-query minima, control minima, loadavg brackets. Kept small
     # so the driver's 2000-char stdout tail always parses it.
@@ -367,6 +518,7 @@ def main() -> None:
                 "load": control["load"],
                 "load_end": control_end["load"],
                 "gate_timeouts": gate_timeouts,
+                "retried": retried,
             }
         )
     )

@@ -2617,3 +2617,142 @@ FROM agg
 def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     return minhash_estimate_calibration(docs)
+
+
+# ---------------------------------------------------------------------------
+# IDF-weighted Jaccard rescoring (round-12 build-ahead queue)
+# ---------------------------------------------------------------------------
+#
+# Unweighted Jaccard treats a boilerplate shingle ("the quick") and a
+# rare identifying shingle as equal evidence, so boilerplate-heavy
+# corpora score unrelated documents as near-dups (the same pathology
+# the DF-cap heuristic attacks by DROPPING stop-shingles). Weighted
+# Jaccard keeps every shingle but weights it by rarity — here the
+# exact-integer weight floor(1e6 / df(s)), a reciprocal-DF surrogate
+# for IDF that needs no transcendental log (which would not be
+# bit-reproducible cross-engine): wJ(A,B) = Σ_{s∈A∩B} w(s) /
+# Σ_{s∈A∪B} w(s). Candidates come from the certified MinHash-LSH band
+# join (never all-pairs); the rescoring is postings-grain bounded by
+# the candidate set. A pair of docs sharing ONLY boilerplate scores
+# near zero even when its raw Jaccard clears the dedup threshold —
+# the contrast column the output carries.
+
+_WJ_SCALE = 10**6
+_WJ_THRESHOLD = 0.2
+
+
+def idf_weighted_jaccard_pairs(
+    docs: DataFrame,
+    shingle_len: int = 5,
+    threshold: float = _WJ_THRESHOLD,
+) -> DataFrame:
+    cand = minhash_lsh_pairs(docs, shingle_len=shingle_len).select(
+        "doc_a", "doc_b"
+    )
+    sh = _shingle_arrays(docs, shingle_len)
+    posts = sh.select(
+        "doc_id", F.explode("shingles").alias("s")
+    ).localCheckpoint(eager=False)
+    # exact-integer reciprocal-DF weight; integer division on both
+    # engines (no double in the weight domain)
+    w = posts.groupBy("s").agg(F.count(F.lit(1)).alias("df")).select(
+        "s", F.expr(f"CAST({_WJ_SCALE} DIV df AS BIGINT)").alias("w")
+    )
+    wp = posts.join(w, "s")
+    tot = wp.groupBy("doc_id").agg(F.sum("w").alias("w_tot"))
+    # same explicit-count repartition rationale as _doc_grain_jaccard:
+    # byte-tiny candidate rows fanning out to postings-grain work
+    cand = cand.repartition(
+        cand.sparkSession.sparkContext.defaultParallelism, "doc_a", "doc_b"
+    )
+    pa = wp.select(F.col("doc_id").alias("doc_a"), "s", "w")
+    pb = wp.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        cand.join(pa, "doc_a")
+        .join(pb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("w").alias("w_inter"))
+    )
+    ta = tot.select(F.col("doc_id").alias("doc_a"), F.col("w_tot").alias("wa"))
+    tb = tot.select(F.col("doc_id").alias("doc_b"), F.col("w_tot").alias("wb"))
+    scored = (
+        inter.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("w_inter").cast("bigint").alias("w_inter"),
+            (F.col("wa") + F.col("wb") - F.col("w_inter"))
+            .cast("bigint")
+            .alias("w_union"),
+        )
+        .withColumn(
+            "weighted_jaccard",
+            F.col("w_inter").cast("double") / F.col("w_union"),
+        )
+    )
+    return scored.where(F.col("weighted_jaccard") >= threshold)
+
+
+def _weighted_jaccard_oracle(
+    shingle_len: int = 5, threshold: float = _WJ_THRESHOLD
+) -> str:
+    return f"""
+WITH candidates AS ({_minhash_oracle(shingle_len=shingle_len)}),
+sets AS (
+  SELECT doc_id,
+         list_distinct([substr(text, i, {shingle_len})
+          FOR i IN range(1, greatest(length(text)-{shingle_len - 1}, 1) + 1)]) AS sh
+  FROM documents
+),
+posts AS (
+  SELECT doc_id, unnest(sh) AS s FROM sets
+),
+wtab AS (
+  SELECT s, CAST({_WJ_SCALE} // COUNT(*) AS BIGINT) AS w
+  FROM posts GROUP BY s
+),
+wp AS (
+  SELECT p.doc_id, p.s, w.w FROM posts p JOIN wtab w USING (s)
+),
+tot AS (
+  SELECT doc_id, CAST(SUM(w) AS BIGINT) AS w_tot FROM wp GROUP BY doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(SUM(a.w) AS BIGINT) AS w_inter
+  FROM (SELECT doc_a, doc_b FROM candidates) c
+  JOIN wp a ON a.doc_id = c.doc_a
+  JOIN wp b ON b.doc_id = c.doc_b AND b.s = a.s
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT i.doc_a, i.doc_b, i.w_inter,
+         CAST(ta.w_tot + tb.w_tot - i.w_inter AS BIGINT) AS w_union
+  FROM inter i
+  JOIN tot ta ON ta.doc_id = i.doc_a
+  JOIN tot tb ON tb.doc_id = i.doc_b
+)
+SELECT doc_a, doc_b, w_inter, w_union,
+       CAST(w_inter AS DOUBLE) / w_union AS weighted_jaccard
+FROM scored
+WHERE CAST(w_inter AS DOUBLE) / w_union >= {threshold}
+"""
+
+
+@register(
+    "dedup_idf_weighted_jaccard",
+    _weighted_jaccard_oracle(),
+    doc="IDF-weighted Jaccard rescoring of the MinHash-LSH candidate "
+    "pairs (Chum CIVR'08 weighted set similarity): every shingle "
+    f"weighted by the exact-integer reciprocal-DF floor({_WJ_SCALE} / "
+    "df) so boilerplate contributes ~nothing and rare content "
+    "dominates — the boilerplate-robust verify that keeps stop-"
+    "shingles instead of dropping them (contrast: the DF-cap "
+    "heuristic). Candidate-bounded postings join, exact BIGINT "
+    "weight sums, one double division per pair",
+    tags=("dedup", "lsh", "join", "scale"),
+    queue=True,
+)
+def dedup_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return idf_weighted_jaccard_pairs(docs)

@@ -1197,3 +1197,110 @@ FROM sil GROUP BY cell
 def eval_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return cluster_silhouette(emb)
+
+
+# ---------------------------------------------------------------------------
+# PQ reconstruction-distortion audit (round-12 build-ahead queue)
+# ---------------------------------------------------------------------------
+#
+# The acceptance number behind the 32x PQ memory budget: per subspace,
+# the mean squared reconstruction error ||x_m - c(code(x_m))||^2 of
+# the trained codebook, plus codebook utilization (dead codewords are
+# the classic PQ training pathology — a subspace whose vectors all
+# collapse onto few codes quantizes catastrophically even when its
+# global MSE looks plausible). Composes the certified embed_pq_codes
+# training/assignment path, so the audit cannot drift from the
+# codebook it audits — the same closed-loop rule as eval_ann_recall_ivf
+# and dedup_minhash_calibration.
+#
+# Exactness: counts are exact integers; cval is the certified
+# fixed-point mean; squared errors go through the floor-scaled BIGINT
+# sum (order-independent, identical bits both engines); the final MSE
+# is one double division chain written identically on both sides.
+# Scale shape: training is the certified bounded-codebook path; the
+# reconstruction join ships the PQ_M*PQ_K*PQ_DSUB-row codebook
+# broadcast onto one corpus-sized pass; output is PQ_M rows at any
+# corpus size.
+
+
+def pq_distortion(flat: DataFrame) -> DataFrame:
+    sub = _sub(flat)
+    cb = train_pq_codebook(flat)
+    asg = (
+        _assign_codes(sub, cb)
+        .where(F.col("rk") == 1)
+        .select("vec_id", "m", "code")
+    )
+    rec = sub.join(asg, ["vec_id", "m"]).join(
+        F.broadcast(cb), ["m", "code", "spos"]
+    )
+    err = F.col("val") - F.col("cval")
+    return (
+        rec.groupBy("m")
+        .agg(
+            F.countDistinct("vec_id").cast("bigint").alias("n_vectors"),
+            F.countDistinct("code").cast("bigint").alias("n_codes_used"),
+            _scaled_sum_raw(err * err).alias("sum_sq_scaled"),
+        )
+        .select(
+            F.col("m").alias("subspace"),
+            "n_vectors",
+            "n_codes_used",
+            (
+                F.col("sum_sq_scaled").cast("double")
+                / F.lit(float(SCALE))
+                / (F.col("n_vectors") * F.lit(PQ_DSUB))
+            ).alias("mean_sq_err"),
+        )
+    )
+
+
+_PQ_DISTORTION_ORACLE = (
+    "WITH "
+    + ",\n".join(
+        [
+            "flat AS (SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS val"
+            " FROM embeddings, (SELECT unnest(range(1, 65)) AS pos))",
+        ]
+        + _pq_ctes()
+    )
+    + f"""
+, final_asg AS (
+  SELECT vec_id, m, code FROM pasg{PQ_ITERS} WHERE rk = 1
+),
+rec AS (
+  SELECT s.m, s.vec_id, a.code, s.val - c.cval AS err
+  FROM sub s
+  JOIN final_asg a ON a.vec_id = s.vec_id AND a.m = s.m
+  JOIN cb{PQ_ITERS} c ON c.m = s.m AND c.code = a.code AND c.spos = s.spos
+)
+SELECT m AS subspace,
+       CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vectors,
+       CAST(COUNT(DISTINCT code) AS BIGINT) AS n_codes_used,
+       CAST(CAST(SUM(CAST(FLOOR((err * err) * 1e15) AS BIGINT)) AS BIGINT)
+            AS DOUBLE) / CAST(1e15 AS DOUBLE)
+         / (CAST(COUNT(DISTINCT vec_id) AS BIGINT) * {PQ_DSUB})
+         AS mean_sq_err
+FROM rec
+GROUP BY m
+"""
+)
+
+
+@register(
+    "eval_pq_distortion",
+    _PQ_DISTORTION_ORACLE,
+    doc=f"PQ reconstruction-distortion audit (Jégou TPAMI'11 §III): "
+    f"per-subspace mean squared reconstruction error of the trained "
+    f"{PQ_M}x{PQ_K}-codeword codebook plus codebook utilization (dead-"
+    "codeword detection) — the acceptance number behind the 32x PQ "
+    "memory budget, composing the certified embed_pq_codes path so "
+    "the audit cannot drift from the codebook it audits; floor-scaled "
+    f"BIGINT error sums, {PQ_M} output rows at any corpus size",
+    tags=("eval", "vector", "quantization", "pq"),
+    queue=True,
+)
+def eval_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    flat = _flat(emb).select("vec_id", "pos", "val")
+    return pq_distortion(flat)

@@ -2388,3 +2388,89 @@ FROM occ GROUP BY k_occ
 def eval_embedding_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return embedding_hubness(emb)
+
+
+# ---------------------------------------------------------------------------
+# IVF cell-occupancy balance audit (round-12 build-ahead queue)
+# ---------------------------------------------------------------------------
+#
+# The partition-skew audit for the trained coarse quantizer: IVF
+# serving cost is per-cell, so a hot cell (occupancy far above
+# corpus/n_cells) is simultaneously a hot Spark partition at build
+# time and a slow probe at serve time, and a dead cell wastes a probe
+# slot — at 100 TB the occupancy histogram IS the capacity plan. One
+# row per trained cell with its exact member count and the balance
+# ratio (1.0 = perfectly balanced); dead cells surface with count 0
+# rather than silently vanishing. The 1-row corpus-total broadcast is
+# the allowlisted aggregate-bounded cross join every share-of-total
+# audit here uses.
+
+
+def ivf_cell_balance(emb: DataFrame) -> DataFrame:
+    flat = _flat(emb).select("vec_id", "pos", "val")
+    centroids = train_ivf_cells(emb)
+    assign = _assign_cells(flat, centroids)
+    counts = (
+        assign.where(F.col("rk") == 1)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    cells = centroids.select("cell").distinct()
+    occ = cells.join(counts, "cell", "left").select(
+        "cell", F.coalesce("n", F.lit(0)).cast("bigint").alias("n_vectors")
+    )
+    total = occ.agg(F.sum("n_vectors").cast("bigint").alias("n_total"))
+    return occ.crossJoin(F.broadcast(total)).select(
+        "cell",
+        "n_vectors",
+        "n_total",
+        (
+            F.col("n_vectors").cast("double")
+            * F.lit(float(N_CELLS))
+            / F.col("n_total")
+        ).alias("balance_ratio"),
+    )
+
+
+def _cell_balance_oracle(
+    n_cells: int = N_CELLS, iters: int = KMEANS_ITERS, seed: str = KMEANS_SEED
+) -> str:
+    ctes = _kmeans_replay_ctes(n_cells, iters, seed)
+    i = iters
+    ctes += [
+        f"cellsu AS (SELECT DISTINCT cell FROM cent{i})",
+        f"ccounts AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n"
+        f" FROM asg{i} WHERE rk = 1 GROUP BY cell)",
+        "occ AS (SELECT u.cell, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_vectors"
+        " FROM cellsu u LEFT JOIN ccounts c USING (cell))",
+        "tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS n_total FROM occ)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT cell, n_vectors, n_total,
+       CAST(n_vectors AS DOUBLE) * CAST({n_cells} AS DOUBLE) / n_total
+         AS balance_ratio
+FROM occ, tot
+"""
+    )
+
+
+@register(
+    "eval_ivf_cell_balance",
+    _cell_balance_oracle(),
+    doc=f"IVF cell-occupancy balance audit: exact member count and "
+    f"balance ratio (1.0 = corpus/{N_CELLS} per cell) for every "
+    "trained coarse cell, dead cells included at 0 — the partition-"
+    "skew / capacity-plan number behind IVF serving (a hot cell is a "
+    "hot Spark partition at build time and a slow probe at serve "
+    f"time); composes the certified k-means path, {N_CELLS} output "
+    "rows and one aggregate-bounded 1-row total broadcast at any "
+    "corpus size",
+    tags=("eval", "vector", "ivf", "stats"),
+    queue=True,
+)
+def eval_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivf_cell_balance(emb)

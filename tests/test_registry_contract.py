@@ -141,3 +141,19 @@ def test_window_generator_exits_nonzero_on_overflow(capsys):
     assert "cannot certify" in err
     # at least one dropped name is spelled out
     assert any(n in err for n in some_greens)
+
+
+def test_bench_band_table_matches_headline_set():
+    """Every headline query carries an accepted band (the self-defense
+    retry is disarmed for a query without one) and no stale band
+    entries outlive their headline registration — adding bench=True
+    anywhere forces a conscious band choice here."""
+    import bench
+
+    names = set(bench.headline_names())
+    bands = set(bench.BAND_MAX)
+    assert bands == names, (
+        f"missing bands: {sorted(names - bands)}; "
+        f"stale bands: {sorted(bands - names)}"
+    )
+    assert all(v > 0 for v in bench.BAND_MAX.values())

@@ -293,6 +293,7 @@ def test_no_pathological_join_plans(spark):
         "corpus_chi2_keywords",  # 1-row corpus-total (N) broadcast
         "quality_bigram_surprisal",  # 1-row LM-model-total (c_tot) broadcast
         "quality_perplexity_drift",  # 1-row target-baseline broadcast
+        "eval_ivf_cell_balance",  # 1-row corpus-total broadcast
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
@@ -597,6 +598,13 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark):
         # HUB_SAMPLE_MOD == 0 AND < HUB_SAMPLE_CAP => constant-bounded
         # at any corpus size), same subtrees as ann_cosine_topk_brute
         "eval_embedding_hubness": {"embeddings.parquet"},
+        # the aggregate-bounded k-means centroid/seed broadcasts (same
+        # subtrees as ann_cosine_topk_ivf) + the 1-row corpus-total
+        # broadcast behind the balance ratio
+        "eval_ivf_cell_balance": {"embeddings.parquet"},
+        # embed_pq_codes' aggregate-bounded codebook broadcasts plus
+        # the same codebook rejoined for the reconstruction pass
+        "eval_pq_distortion": {"embeddings.parquet"},
     }
     bounding_ops = (
         "Filter", "HashAggregate", "SortAggregate", "ObjectHashAggregate",

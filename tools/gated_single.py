@@ -24,7 +24,23 @@ def run(name: str) -> dict:
         capture_output=True, text=True,
     )
     lines = [l for l in out.stdout.splitlines() if l.startswith('{"query"')]
-    row = json.loads(lines[-1]) if lines else {"query": name, "sec": None}
+    if lines:
+        row = json.loads(lines[-1])
+    else:
+        # a crashed subprocess must be distinguishable from one that
+        # produced no timing (round-11 advice): carry the returncode
+        # and a stderr tail in the printed row, mirroring bench.py's
+        # isolate-mode failure reporting
+        row = {
+            "query": name,
+            "sec": None,
+            "rc": out.returncode,
+            "stderr_tail": (
+                out.stderr.strip().splitlines()[-1][:300]
+                if out.stderr.strip()
+                else "no output"
+            ),
+        }
     row["gate"] = gate
     row["load_at_start"] = bench.read_loadavg()
     return row

@@ -52,6 +52,22 @@ def main() -> int:
     queries = {**load_all(), **load_staged(), **load_queue()}
     for name, q in sorted(queries.items()):
         try:
+            # One untimed warmup pass for ITERATIVE plans (round-11
+            # verdict, demand 5): a k-round loop launches k jobs over
+            # near-identical subtrees, so its first execution is
+            # dominated by C2 compilation of the same generated code k
+            # times over — the graph family ranked top-of-sweep on
+            # compile time two rounds running (triangle 22.7 s cold vs
+            # 6.0-6.4 s steady) and needed per-round disposition each
+            # time. Warmed, the sweep ranks steady-state plan cost.
+            # Non-iterative plans run cold on purpose: one-shot cost
+            # IS their steady state, and warming all ~240 would double
+            # the sweep's wall-clock for no ranking signal.
+            if "iterative" in q.tags or name.startswith("graph_"):
+                q.spark(spark, args.sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                gc.collect()
             t0 = time.time()
             q.spark(spark, args.sf_dir).write.format("noop").mode(
                 "overwrite"
