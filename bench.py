@@ -280,6 +280,30 @@ def run_single(name: str, sf_dir: str) -> None:
     executions."""
     spark = get_spark(app_name=f"lakehouse-bench-{name}")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Round-12 measurement fix (guide §1: time the computation, not
+    # the JVM): the range-sum warmup above compiles almost none of
+    # the Catalyst/codegen paths a real plan exercises, so the first
+    # timed sample carried 2-4x of one-time JIT cost and even the
+    # best-of-3 often sat well above steady state (measured:
+    # dedup_ngram_jaccard samples 16.6/8.7/7.5 with the old warmup vs
+    # 8.3/5.0/5.4 with this one — identical query, identical JVM).
+    # This warmup runs join + window + aggregate + lazy localCheckpoint
+    # over SYNTHETIC range data — it never touches the bench tables,
+    # caches no query result, and is excluded from timing exactly like
+    # the old warmup; all three timed samples still execute the full
+    # query (construction included) from the parquet inputs.
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+    _base = spark.range(100_000).select(
+        "id", (_F.col("id") % 97).alias("k"),
+        _F.md5(_F.col("id").cast("string")).alias("h"),
+    )
+    _j = _base.join(_base.groupBy("k").agg(_F.count(_F.lit(1)).alias("c")), "k")
+    _w = _j.withColumn("rn", _F.row_number().over(_W.partitionBy("k").orderBy("h")))
+    _ck = _w.where(_F.col("rn") <= 5).localCheckpoint(eager=False)
+    _ck.groupBy("k").agg(_F.sum("c").alias("s")).write.format("noop").mode(
+        "overwrite"
+    ).save()
     if name in (CONTROL, CONTROL_END):
         class _ControlQ:  # same timing path as a registry query
             @staticmethod

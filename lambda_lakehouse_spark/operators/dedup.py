@@ -76,26 +76,12 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _spread_if_narrow(df: DataFrame, key: str) -> DataFrame:
-    """Spread a CPU-bound per-row map across all cores when the scan
-    would arrive in fewer splits than ``defaultParallelism`` — WITHOUT
-    touching ``.rdd`` (which forces a Python-side RDD conversion of
-    the plan on every invocation).
-
-    The decision uses only public plan inputs: ``df.inputFiles()``.
-    Fewer files than cores → repartition by ``key``; the shuffle moves
-    at most that handful of files' worth of text and is dwarfed by the
-    per-character hashing it unlocks. At real scale (thousands of
-    files) the condition is false and the plan is untouched — no
-    shuffle. Non-file relations (in-memory test fixtures, upstream
-    shuffles) report no input files and pass through unchanged: they
-    either already carry shuffle parallelism or are tiny.
-    """
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    files = df.inputFiles()
-    if files and len(files) < n_parts:
-        return df.repartition(n_parts, key)
-    return df
+# Moved to sources.readers (round 12): text/corpus operators need the
+# same guard and importing dedup from text would be circular. The
+# historical private name stays importable for existing call sites.
+from lambda_lakehouse_spark.sources.readers import (  # noqa: E402
+    spread_if_narrow as _spread_if_narrow,
+)
 
 
 def _seeds(k: int) -> list[int]:
@@ -1729,6 +1715,14 @@ def jaccard_prefix_filter_pairs(
     shingle set."""
     from pyspark.sql import Window as W
 
+    # The per-character shingle transform is CPU-bound; a small-file
+    # scan (the sf0.1 parquet is ONE split) would otherwise compute it
+    # — and materialize the checkpoint below — on a single core, and
+    # every downstream consumer then reads a 1-partition relation.
+    # At real scale the scan already has enough splits: no-op.
+    # (Round-12 measurement: the unspread transform alone cost 2.06 s
+    # of the 7.8 s isolated run; spread it is ~0.3 s.)
+    docs = _spread_if_narrow(docs, "doc_id")
     sh = docs.select(
         "doc_id", "source",
         F.expr(
@@ -2008,10 +2002,24 @@ WHERE p.n_shared >= {WIN_MIN_SHARED}
 )
 def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # kept feeds FOUR consumers (both self-join sides + both n_fp
+    # joins). Column pruning makes each consumer's subtree physically
+    # distinct, so ReuseExchange never fires and the per-position
+    # winnow explode re-executed per branch — 8 parquet scans /
+    # 8 explodes in the round-12 before-plan. One lazy checkpoint on
+    # kept (the repo's standard small-truncation-point pattern: the
+    # relation is winnowed density, ~2/(w+1) of the position grain,
+    # far smaller than the corpus) caps the explode at the two
+    # evaluations inside kept's own lineage (fp + its DF count).
+    # Round-12 A/B at sf0.1, isolated best-of-3: no checkpoint 5.96 s,
+    # kept only 5.68 s, fp AND kept 6.34 s (the second barrier costs
+    # more than the explode it saves) — kept-only wins.
     fp = winnow_fingerprints(docs)
     df = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
-    kept = fp.join(df.where(F.col("c") <= WIN_DF_CAP), "fp").select(
-        "doc_id", "fp"
+    kept = (
+        fp.join(df.where(F.col("c") <= WIN_DF_CAP), "fp")
+        .select("doc_id", "fp")
+        .localCheckpoint(eager=False)
     )
     nfp = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_fp")

@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lambda_lakehouse_spark.registry import register
-from lambda_lakehouse_spark.sources.readers import read_table
+from lambda_lakehouse_spark.sources.readers import read_table, spread_if_narrow
 
 # BPE-ish segmentation: letter runs, digit runs, single punctuation.
 BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -1381,6 +1381,15 @@ def source_contamination(docs: DataFrame) -> DataFrame:
     the executed plan: 3 scans, 0 reused exchanges without the
     checkpoint; 1 scan with it).
     """
+    # The per-position gram explode + md5 is CPU-bound and sits on the
+    # scan side of the gh shuffle: a small-file scan (one split at
+    # sf0.1) computes every hash on a single core. Spread first —
+    # no-op at real scale (sources/readers.spread_if_narrow).
+    # Round-12 measurement: 6.83 s -> 1.70 s isolated best-of-3.
+    # (spread key = text, the only guaranteed high-cardinality column
+    # of the (source, text) contract — source alone may have too few
+    # distinct values to fill the cores)
+    docs = spread_if_narrow(docs, "text")
     postings = (
         docs.select(
             "source",

@@ -61,7 +61,33 @@ def get_spark(
         # just mean more (cheap) tasks and better core utilization.
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # 16g, pre-touched (round 12): the old 48g heap was grown ON
+        # DEMAND by the JVM — allocation-heavy plans (per-position
+        # hashing, array_intersect verifies) triggered multi-GB heap
+        # expansion MID-QUERY, and the kernel's page faulting/zeroing of
+        # tens of GB made identical fresh-JVM runs wildly bimodal
+        # (measured: dedup_ngram_jaccard 1.7 s .. 31.9 s across four
+        # idle-host runs at 48g; 1.6 s stable at 16g pre-touched).
+        # -Xms=-Xmx + AlwaysPreTouch moves every page fault to JVM
+        # startup, OUTSIDE any timed window, so steady-state timings
+        # measure the plan, not the allocator. This was the root cause
+        # of the r9-r11 "phantom mover" bench artifacts (e.g. the
+        # 29.45 s dedup_jaccard_prefix_filter reading vs its 6.16 s
+        # floor). Cluster deployments size executors explicitly; this
+        # is local-harness provisioning, overridable via env.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JVM_OPTS",
+                "-Xms"
+                + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+                + " -XX:+AlwaysPreTouch",
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
     )

@@ -35,6 +35,33 @@ TESTDATA_TABLES = (
 )
 
 
+def spread_if_narrow(df: DataFrame, key: str) -> DataFrame:
+    """Spread a CPU-bound per-row map across all cores when the scan
+    would arrive in fewer splits than ``defaultParallelism`` — WITHOUT
+    touching ``.rdd`` (which forces a Python-side RDD conversion of
+    the plan on every invocation).
+
+    The decision uses only public plan inputs: ``df.inputFiles()``.
+    Fewer files than cores → repartition by ``key``; the shuffle moves
+    at most that handful of files' worth of bytes and is dwarfed by
+    the per-character hashing / array work it unlocks. At real scale
+    (thousands of files) the condition is false and the plan is
+    untouched — no shuffle. Non-file relations (in-memory test
+    fixtures, upstream shuffles) report no input files and pass
+    through unchanged: they either already carry shuffle parallelism
+    or are tiny.
+
+    Lives here (not operators/dedup) so every operator module can use
+    it without import cycles; dedup re-exports the historical
+    ``_spread_if_narrow`` name.
+    """
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if files and len(files) < n_parts:
+        return df.repartition(n_parts, key)
+    return df
+
+
 def read_csv_raw(
     spark: SparkSession,
     path: str,

@@ -1,0 +1,46 @@
+"""Dump .explain("formatted") for named queries (or every bench=True
+headline query) to plans/<tag>/<query>_<suffix>.txt.
+
+Usage:
+    python tools/explain_dump.py <tag> <suffix> [query ...]
+
+With no query names, dumps the whole bench headline set. Plan-only —
+builds each DataFrame and formats its physical plan; nothing executes
+(lazy localCheckpoints stay lazy), so the dump is cheap and safe to run
+alongside other work.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lambda_lakehouse_spark.registry import load_all, load_queue, load_staged  # noqa: E402
+from lambda_lakehouse_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    tag, suffix = sys.argv[1], sys.argv[2]
+    names = sys.argv[3:]
+    registry = {**load_all(), **load_staged(), **load_queue()}
+    if not names:
+        names = sorted(n for n, q in registry.items() if q.bench)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", tag)
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark(app_name="explain-dump")
+    for name in names:
+        df = registry[name].spark(spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"wrote {path} ({plan.count('Exchange')} Exchange refs)")
+
+
+if __name__ == "__main__":
+    main()
