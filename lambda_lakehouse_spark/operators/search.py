@@ -82,7 +82,20 @@ def bm25_topk(
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
-    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    # tf (the inverted index) feeds FOUR branches — dl, df, the
+    # self-mined workload, and the scoring join. The module docstring's
+    # "plan economy" intent was ReuseExchange serving them from one
+    # shuffle, but column pruning keeps the subtrees physically
+    # distinct and reuse never fires: the round-12 before-plan scanned
+    # the corpus 12 times for one BM25 run. The lazy checkpoint is the
+    # honest materialization of the index build — the exact artifact a
+    # search engine persists — so the tokenize + tf aggregate runs
+    # once.
+    tf = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dft = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     if query_terms is None:
@@ -503,13 +516,30 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     emb = read_table(spark, sf_dir, "embeddings")
+    # Each branch's top-k relation is consumed THREE times (the RRF
+    # contribution union + its own rank-annotation join below), and
+    # column pruning keeps the three subtrees physically distinct, so
+    # ReuseExchange never fires: the round-12 before-plan re-ran the
+    # full BM25 pipeline and the full dense-cosine pipeline per
+    # consumer — 40 parquet scans for one query. Both relations are
+    # BOUNDED top-k outputs (<= queries x k rows at any corpus size),
+    # exactly the lazy-checkpoint shape ann_recall_at_k already uses:
+    # one evaluation each, 2.65 s -> ~1.5 s isolated at sf0.1.
     # Sparse branch: the self-mined BM25 workload (query_id 0..N-1).
-    bm25 = bm25_topk(docs).select("query_id", "doc_id", "rank")
+    bm25 = (
+        bm25_topk(docs)
+        .select("query_id", "doc_id", "rank")
+        .localCheckpoint(eager=False)
+    )
     # Dense branch: query vector q IS the query's id (shared id space).
-    vec = cosine_topk(emb, F.col("vec_id") < N_QUERIES, k=FUSE_TOP).select(
-        F.col("query_id").cast("int").alias("query_id"),
-        F.col("neighbor_id").alias("doc_id"),
-        F.col("rk").alias("rank"),
+    vec = (
+        cosine_topk(emb, F.col("vec_id") < N_QUERIES, k=FUSE_TOP)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rk").alias("rank"),
+        )
+        .localCheckpoint(eager=False)
     )
     fused = rrf_fuse([bm25, vec])
     annotated = (

@@ -41,7 +41,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from lambda_lakehouse_spark.registry import register
-from lambda_lakehouse_spark.sources.readers import read_table
+from lambda_lakehouse_spark.sources.readers import read_table, spread_if_narrow
 
 # Dot products are summed as floor-scaled integers: each double product
 # is floored at 1e-15 resolution (exact — |product·1e15| < 2^53) and
@@ -92,7 +92,18 @@ def _scaled_sum(prod):
 
 
 def _flat(emb: DataFrame) -> DataFrame:
-    """(vec_id, label, pos, val) with 1-based pos, values as double."""
+    """(vec_id, label, pos, val) with 1-based pos, values as double.
+
+    The scan is spread first (sources/readers.spread_if_narrow): the
+    embeddings parquet is ONE split at bench scale, so every
+    map-side consumer of the exploded relation — the Lloyd-iteration
+    dot products, norms, candidate rescoring — would otherwise run on
+    a single core (and ``train_ivf_cells`` would persist a
+    1-partition cache that pins every iteration to that core). No-op
+    at real scale; keyed by vec_id, the near-universal downstream
+    grouping key, so the exchange it adds can also satisfy downstream
+    ClusteredDistribution requirements."""
+    emb = spread_if_narrow(emb, "vec_id")
     return emb.select(
         "vec_id",
         "label",
@@ -391,9 +402,24 @@ def train_ivf_cells(
     flat = _flat(emb).select("vec_id", "pos", "val").persist()
     try:
         centroids = _init_centroids(flat, n_cells, seed)
-        for _ in range(iters):
+        for i in range(iters):
             assign = _assign_cells(flat, centroids)
-            centroids = _update_centroids(flat, assign).localCheckpoint()
+            centroids = _update_centroids(flat, assign)
+            # Lineage-truncate and materialize ONCE, after the last
+            # iteration (round 12): the old per-iteration EAGER
+            # checkpoint ran one full Spark job per Lloyd round plus a
+            # count() job each — at bench scale those job barriers were
+            # most of the train-inclusive query's cost. With a bounded
+            # iteration count the whole loop is one finite plan over
+            # the persisted training set (every `flat` reference hits
+            # the cache), so one eager checkpoint at the end both
+            # materializes training in a single job and keeps the
+            # unpersist() below safe (nothing downstream re-derives
+            # from the cached lineage). For long/convergence loops the
+            # per-round truncation pattern (dedup.doc_clusters) still
+            # applies — this path is the fixed-2-iteration quantizer.
+            if i == iters - 1:
+                centroids = centroids.localCheckpoint()
     finally:
         flat.unpersist()
     return centroids
