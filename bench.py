@@ -145,7 +145,7 @@ LEGACY_ORDER = (
 # floor; a missing entry simply disables band-defense for that query.
 BAND_MAX: dict[str, float] = {
     "ann_cosine_topk_brute": 4.0,  # r11 artifact 1.94
-    "ann_cosine_topk_hyperlsh": 5.5,  # r11 artifact 2.59
+    "ann_cosine_topk_hyperlsh": 3.5,  # r12 floor 1.63 (spread _flat)
     "ann_cosine_topk_ivf": 8.0,  # r11 artifact 3.82 (train-inclusive)
     "ann_cosine_topk_ivf_pretrained": 3.0,  # r11 artifact 1.20
     "ann_cosine_topk_rowlocal": 2.5,  # r11 artifact 0.85
@@ -158,9 +158,9 @@ BAND_MAX: dict[str, float] = {
     #   plan formerly also registered as dedup_jaccard_prefix_filter,
     #   whose 29.45 s r11 artifact reading was the phantom this
     #   mechanism exists for)
-    "dedup_simhash64_hamming_pairs": 6.5,  # birth gated single 3.05
+    "dedup_simhash64_hamming_pairs": 4.0,  # r12 floor 1.78 (16g pre-touched heap)
     "dedup_winnowing_pairs": 11.0,  # verified floor single 7.04
-    "eval_source_contamination": 11.0,  # floor 6.12, band [6.0, 7.9]
+    "eval_source_contamination": 4.0,  # r12 floor 1.70 (spread gram explode)
     "fact_assembly_star": 6.5,  # r11 artifact 3.60
     "fuzzy_pairs_edit1": 3.0,  # r11 artifact 1.07
     "graph_pagerank_supply": 9.0,  # steady 4.4-4.5, artifact 5.74
@@ -172,7 +172,7 @@ BAND_MAX: dict[str, float] = {
     "quality_lm_surprisal": 3.0,  # r11 artifact 1.28
     "rfm_customer_segments": 6.5,  # r11 artifact 3.39
     "scd2_user_dim": 3.0,  # r11 artifact 1.30
-    "search_bm25_topk": 4.0,  # r11 artifact 1.82
+    "search_bm25_topk": 3.0,  # r12 floor 1.40 (tf index checkpoint)
     "search_hybrid_rrf": 6.5,  # r11 artifact 3.54
     "sessionize_events": 4.5,  # r11 artifact 2.41
     "snapshot_wap_publish": 5.0,  # r11 artifact 2.49

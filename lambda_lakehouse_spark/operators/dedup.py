@@ -897,7 +897,11 @@ def _shingle_arrays(docs: DataFrame, shingle_len: int) -> DataFrame:
     holds by construction, not by keeping two copies in sync. The
     checkpoint is load-bearing: the per-character transform is the
     expensive pass and several branches (DF model, prefix/candidate
-    index, both verify sides) consume it."""
+    index, both verify sides) consume it. Spread first (round 12):
+    on a fewer-splits-than-cores scan the transform would otherwise
+    compute — and the checkpoint materialize — on a single core
+    (no-op at real scale; see sources/readers.spread_if_narrow)."""
+    docs = _spread_if_narrow(docs, "doc_id")
     sh = docs.select(
         "doc_id",
         F.expr(

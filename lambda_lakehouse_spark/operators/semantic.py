@@ -470,9 +470,18 @@ def ivfpq_cosine_topk(
     flat = _flat(emb).select("vec_id", "pos", "val")
     sub = _sub(flat)
 
-    # coarse quantizer (shared seeded k-means) → candidate pairs
+    # coarse quantizer (shared seeded k-means) → candidate pairs.
+    # assign feeds BOTH the corpus cell map and the query probes, and
+    # codes (below) feeds BOTH the reconstruction norms and the ADC
+    # join; column pruning keeps each consumer's subtree physically
+    # distinct so ReuseExchange never fires and the centroid-join /
+    # PQ-encode passes ran twice each (round-12 audit — the same
+    # defect as the winnow/bm25 multi-consumer subtrees). Both
+    # relations are the serve-path index artifacts (thin: one row per
+    # vector / M rows per vector), exactly what a real IVF-PQ system
+    # persists — lazy-checkpoint so each is computed once.
     centroids = train_ivf_cells(emb)
-    assign = _assign_cells(flat, centroids)
+    assign = _assign_cells(flat, centroids).localCheckpoint(eager=False)
     cells = assign.where(F.col("rk") == 1).select("vec_id", "cell")
     qcells = (
         assign.where(query_filter)
@@ -487,7 +496,11 @@ def ivfpq_cosine_topk(
 
     # PQ codebook + codes
     cb = train_pq_codebook(flat)
-    codes = pq_encode(flat, cb).withColumnRenamed("subspace", "m")
+    codes = (
+        pq_encode(flat, cb)
+        .withColumnRenamed("subspace", "m")
+        .localCheckpoint(eager=False)
+    )
 
     # query LUT: scaled dot of every (query subvector, codeword) —
     # bounded: |queries| × M × K rows
