@@ -84,25 +84,39 @@ def pagerank_fixed(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
         # is order-independent by design). If shuffle partitions are
         # sized for the edge relation, the per-partition rank build
         # fits in memory at any graph scale.
+        #
+        # n rides the rank rows as a COLUMN (round 12): the old shape
+        # crossJoin-broadcast nstats into every iteration, and each of
+        # those n_iter+1 broadcast subtrees independently re-ran the
+        # distinct + count over the edge relation (no exchange reuse
+        # across broadcast sides; a lazy checkpoint on nstats was
+        # measured WORSE — its construction barrier serialized stages
+        # that previously overlapped). Every rank row already knows n,
+        # every contribution group sees only rows with the same n, so
+        # max(n) per group is exactly n and nstats is evaluated ONCE
+        # (the initial vector). Arithmetic is unchanged: TELEPORT/n +
+        # DAMPING*s on the identical double values. Cost: one bigint
+        # column riding a node-sized relation.
         contrib = (
             ranks.hint("shuffle_hash").join(ed, ranks["node"] == ed["src"])
             .select(
                 F.col("dst").alias("node_next"),
+                "n",
                 (F.col("r") / F.col("outdeg")).cast(_DEC).alias("c"),
             )
             .groupBy("node_next")
-            .agg(F.sum("c").cast("double").alias("s"))
-        )
-        ranks = (
-            contrib.crossJoin(F.broadcast(nstats))
-            .select(
-                F.col("node_next").alias("node"),
-                "n",
-                (
-                    F.lit(TELEPORT) / F.col("n")
-                    + F.lit(DAMPING) * F.col("s")
-                ).alias("r"),
+            .agg(
+                F.max("n").alias("n"),
+                F.sum("c").cast("double").alias("s"),
             )
+        )
+        ranks = contrib.select(
+            F.col("node_next").alias("node"),
+            "n",
+            (
+                F.lit(TELEPORT) / F.col("n")
+                + F.lit(DAMPING) * F.col("s")
+            ).alias("r"),
         )
     return ranks.select("node", "r")
 
