@@ -116,8 +116,19 @@ from lambda_lakehouse_spark.session import get_spark  # noqa: E402
 # the training path itself must stay fast, but the JSON names them so
 # the number is never read as pure query cost; the twin in
 # SERVE_HEADLINE is the serve-path (pretrained-model) signal.
-TRAIN_INCLUSIVE = ("ann_cosine_topk_ivf",)
-SERVE_HEADLINE = {"ann_cosine_topk_ivf": "ann_cosine_topk_ivf_pretrained"}
+TRAIN_INCLUSIVE = (
+    "ann_cosine_topk_ivf",
+    # round-13 bench additions (r12 verdict demands 4+6): each of these
+    # trains the coarse quantizer (and, for IVF-PQ, the PQ codebook)
+    # inside the timed query.
+    "ann_cosine_topk_ivfpq",
+    "dedup_semdedup_cells",
+    "eval_cluster_balance_audit",
+)
+SERVE_HEADLINE = {
+    "ann_cosine_topk_ivf": "ann_cosine_topk_ivf_pretrained",
+    "dedup_semdedup_cells": "dedup_semdedup_cells_pretrained",
+}
 
 # Historical (round-3) headline order — keep stable, append new queries
 # only after this prefix.
@@ -148,6 +159,7 @@ BAND_MAX: dict[str, float] = {
     "ann_cosine_topk_hyperlsh": 3.5,  # r12 floor 1.63 (spread _flat)
     "ann_cosine_topk_ivf": 8.0,  # r11 artifact 3.82 (train-inclusive)
     "ann_cosine_topk_ivf_pretrained": 3.0,  # r11 artifact 1.20
+    "ann_cosine_topk_ivfpq": 14.0,  # r12 A/B floor 6.70 (train-inclusive)
     "ann_cosine_topk_rowlocal": 2.5,  # r11 artifact 0.85
     "basket_association_rules": 4.0,  # r11 artifact 1.95
     "corpus_token_spectrum": 2.5,  # r11 artifact 0.88
@@ -158,8 +170,11 @@ BAND_MAX: dict[str, float] = {
     #   plan formerly also registered as dedup_jaccard_prefix_filter,
     #   whose 29.45 s r11 artifact reading was the phantom this
     #   mechanism exists for)
+    "dedup_semdedup_cells": 12.0,  # r13 A/B floor 5.58 (train-inclusive)
+    "dedup_semdedup_cells_pretrained": 7.0,  # r13 A/B serve floor 2.94
     "dedup_simhash64_hamming_pairs": 4.0,  # r12 floor 1.78 (16g pre-touched heap)
     "dedup_winnowing_pairs": 11.0,  # verified floor single 7.04
+    "eval_cluster_balance_audit": 20.0,  # r12 isolated floor 9.68 (train-inclusive)
     "eval_source_contamination": 4.0,  # r12 floor 1.70 (spread gram explode)
     "fact_assembly_star": 6.5,  # r11 artifact 3.60
     "fuzzy_pairs_edit1": 3.0,  # r11 artifact 1.07

@@ -3391,7 +3391,6 @@ def lm_bigram_doc_scores(
     "hash-certifiable; prev-token pairing is row-local (transform "
     "over the token array, no window/self-join)",
     tags=("text", "quality", "corpus", "lm"),
-    staged=True,
 )
 def quality_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
@@ -3509,7 +3508,6 @@ def lm_source_drift(
     "zero-guarded divisions, |sources| output rows at any corpus "
     "size — the dashboard row CCNet's quality filter is tuned from",
     tags=("text", "quality", "corpus", "lm", "dq"),
-    staged=True,
 )
 def quality_perplexity_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(

@@ -1670,7 +1670,6 @@ WHERE len(list_filter(range(1, {SIMHASH64_BITS + 1}), p -> sig_a[p] <> sig_b[p])
     "count, so candidate density falls with corpus entropy instead of "
     "saturating",
     tags=("dedup", "hash", "join", "scale"),
-    staged=True,
     bench=True,
 )
 def dedup_simhash64_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2624,7 +2623,7 @@ FROM agg
     f"sums for order-independent means, <= {MINHASH_K + 1} output "
     "rows at any corpus size",
     tags=("dedup", "lsh", "eval", "stats"),
-    queue=True,
+    staged=True,
 )
 def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2763,7 +2762,7 @@ WHERE CAST(w_inter AS DOUBLE) / w_union >= {threshold}
     "heuristic). Candidate-bounded postings join, exact BIGINT "
     "weight sums, one double division per pair",
     tags=("dedup", "lsh", "join", "scale"),
-    queue=True,
+    staged=True,
 )
 def dedup_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")

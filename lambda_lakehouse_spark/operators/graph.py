@@ -66,10 +66,24 @@ def pagerank_fixed(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
     ``operators/ranking.py``'s chained passes) so merely *constructing*
     the query runs no job: plan-only consumers — the guardrail sweeps
     in tests/test_scale.py build every registered query — stay lazy,
-    and the checkpoint materializes on first action as usual."""
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    and the checkpoint materializes on first action as usual.
+
+    outdeg rides a per-src window COUNT (round 13): the old
+    ``edges.groupBy(src).count()`` + ``edges.join(deg, "src")``
+    evaluated the ``edges`` subtree once per join side — two full
+    derivations of the distinct edge relation (plus one exchange for
+    the aggregate and one per join probe side). The window computes
+    the identical bigint count with ONE evaluation of ``edges`` and
+    ONE exchange on src. A/B at sf0.1 (fresh JVM, idle-gated,
+    interleaved best-of-3 × 3 rounds): window 3.21/3.49/3.87 s vs
+    join-degree 3.71/4.22/5.08 s vs the r11 broadcast-nstats shape
+    3.84/4.03/4.18 s — output hash-identical across all three."""
+    from pyspark.sql import Window as _W
+
     # settled (src,dst,outdeg)
-    ed = edges.join(deg, "src").localCheckpoint(eager=False)
+    ed = edges.withColumn(
+        "outdeg", F.count(F.lit(1)).over(_W.partitionBy("src"))
+    ).localCheckpoint(eager=False)
     nodes = ed.select(F.col("src").alias("node")).distinct()
     nstats = nodes.agg(F.count(F.lit(1)).alias("n"))
     ranks = nodes.crossJoin(F.broadcast(nstats)).select(
@@ -198,9 +212,19 @@ def graph_pagerank_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("p:"), F.col("l_partkey")).alias("p"),
         F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
     ).distinct()
-    edges = li.select(F.col("p").alias("src"), F.col("s").alias("dst")).unionAll(
-        li.select(F.col("s").alias("src"), F.col("p").alias("dst"))
-    )
+    # Symmetrize with a row-local 2-element explode instead of a
+    # unionAll of two selects (round 13): each union branch is its own
+    # subtree, so the distinct-over-lineitem ran once per branch (and
+    # the old join-degree shape doubled that again per join side).
+    # The explode derives the distinct pairs exactly once; same rows.
+    edges = li.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("p").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("p").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     pr = pagerank_fixed(edges)
     # distributed top-k over the node-sized rank relation
     # (TakeOrderedAndProject — operators/ranking.py)

@@ -356,16 +356,29 @@ def _init_centroids(flat: DataFrame, n_cells: int, seed: str) -> DataFrame:
 def _assign_cells(flat: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, cell, score, rk): cells ranked nearest-first per vector
     by squared L2 distance (score = |c|^2 - 2 x·c; |x|^2 is
-    rank-constant)."""
-    cn = centroids.groupBy("cell").agg(
-        _scaled_sum(F.col("cval") * F.col("cval")).alias("cn2")
-    )
+    rank-constant).
+
+    |c|^2 is folded INTO the assignment aggregate (round 13): the pos
+    equi-join gives each (vec_id, cell) group exactly the centroid's
+    per-position (pos, cval) rows, so summing floor(cval·cval·SCALE)
+    over the group reproduces the old separate
+    ``centroids.groupBy(cell)`` norm bit-for-bit (identical integer
+    terms, order-independent sum). The separate ``cn`` relation forced
+    a SECOND evaluation of the centroid subtree per assignment (two
+    broadcast builds; inside the Lloyd loop that re-ran every prior
+    iteration's full update chain — corpus passes ∝ 2^iters at scale).
+    A/B at sf0.1 (fresh JVM, idle-gated, interleaved best-of-3 × 3):
+    ann_cosine_topk_ivf 1.99/2.12/2.49 s inline vs 3.73/4.09/4.38 s
+    with the separate cn — output hash-identical."""
     dots = (
         flat.join(F.broadcast(centroids), "pos")
         .groupBy("vec_id", "cell")
-        .agg(_scaled_sum(F.col("val") * F.col("cval")).alias("dot"))
+        .agg(
+            _scaled_sum(F.col("val") * F.col("cval")).alias("dot"),
+            _scaled_sum(F.col("cval") * F.col("cval")).alias("cn2"),
+        )
     )
-    scored = dots.join(F.broadcast(cn), "cell").select(
+    scored = dots.select(
         "vec_id",
         "cell",
         (F.col("cn2") - F.lit(2.0) * F.col("dot")).alias("score"),
@@ -417,8 +430,13 @@ def train_ivf_cells(
             # unpersist() below safe (nothing downstream re-derives
             # from the cached lineage). For long/convergence loops the
             # per-round truncation pattern (dedup.doc_clusters) still
-            # applies — this path is the fixed-2-iteration quantizer.
-            if i == iters - 1:
+            # applies — and the i % 4 == 3 clause below enforces it by
+            # construction (round-12 advice): a caller passing a large
+            # ``iters`` gets a truncation every 4 rounds, bounding plan
+            # depth, instead of one deeply nested Catalyst plan whose
+            # optimization cost grows per round. No-op at the default
+            # iters=2 (only the final-iteration clause fires).
+            if i == iters - 1 or i % 4 == 3:
                 centroids = centroids.localCheckpoint()
     finally:
         flat.unpersist()
@@ -2291,7 +2309,6 @@ FROM tc LEFT JOIN ac USING (query_id) LEFT JOIN hc USING (query_id)
     "against, composing the two certified ANN paths (brute + IVF) so "
     "the audit cannot drift from what it audits",
     tags=("similarity", "vector", "ivf", "eval"),
-    staged=True,
 )
 def eval_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
@@ -2409,7 +2426,7 @@ FROM occ GROUP BY k_occ
     "and search serving; every cell an exact BIGINT, one corpus scan "
     "against a broadcast panel at any scale",
     tags=("similarity", "vector", "eval", "stats"),
-    queue=True,
+    staged=True,
 )
 def eval_embedding_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
@@ -2495,7 +2512,7 @@ FROM occ, tot
     "rows and one aggregate-bounded 1-row total broadcast at any "
     "corpus size",
     tags=("eval", "vector", "ivf", "stats"),
-    queue=True,
+    staged=True,
 )
 def eval_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")

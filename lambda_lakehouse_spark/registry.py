@@ -149,17 +149,20 @@ REGISTRY: dict[str, Query] = {}
 # pytest, and the bench flag moved to the surviving name. Registry
 # 238 (234 + 5 graduates - 1 retirement).
 #
-# ROUND-13 ROTATION PRE-PLAN (round-11 verdict, demand 6): after r12
-# certifies, the oldest tier is the remaining r8 cohort — 50 greens
-# minus the 3 taken in r12's slots 48-50 = 47. The r13 window takes
-# the 5 r12 graduates (the STAGED cohort below: silhouette, bigram
-# surprisal, perplexity drift, ANN recall audit, simhash64) + any
-# changed-plan --musts + the oldest r8 greens to 50 (5 + 47 = 52, so
-# 2 r8 greens spill to r14 — the staleness bound keeps its one-round
-# cadence). At graduation, simhash64 keeps its bench=True flag
-# (round-11 verdict, demand 4 — already carried in the r12 headline
-# set via the staged-bench rule in bench.py). gen_driver_window.py
-# derives the window mechanically, as always.
+# ROUND-13 ROTATION — EXECUTED (per the round-11 demand-6 pre-plan):
+# the 5 r12 graduates (silhouette, bigram surprisal, perplexity
+# drift, ANN recall audit, simhash64 — simhash64 keeping its
+# bench=True flag) graduated to REGISTRY; the 5 queue entries
+# (hubness, minhash calibration, PQ distortion, IDF-weighted jaccard,
+# IVF cell balance) promoted to STAGED, emptying the queue. The r13
+# optimization round also registered ONE new serve-twin query,
+# dedup_semdedup_cells_pretrained (the ann_cosine_topk_ivf →
+# _pretrained semantics-preserving split applied to SemDeDup, r12
+# verdict demand 4) — never-green, so it takes a window slot. Window:
+# 6 never-green (slots 1-6) + 8 changed-plan --musts (slots 7-14, the
+# round's k-means-assignment/pagerank/semdedup plan changes — a green
+# row must certify the CURRENT plan) + the 36 stalest r8 greens
+# (slots 15-50). Registry 244 (238 + 5 graduates + 1 serve twin).
 STAGED: dict[str, Query] = {}
 
 # Build-ahead queue: fully implemented and oracle-tested (the pytest
@@ -187,8 +190,8 @@ STAGED: dict[str, Query] = {}
 #                               over LSH candidates (boilerplate-robust)
 #   eval_ivf_cell_balance       IVF cell-occupancy balance / dead-cell
 #                               audit (the partition-skew capacity plan)
-# — promotion at the r13 boundary, oldest-first, under the same
-# ≤5-new-staged-per-round cap.
+# — ALL 5 promoted to STAGED at the r13 boundary (executed; queue now
+# empty), under the same ≤5-new-staged-per-round cap.
 QUEUE: dict[str, Query] = {}
 
 
@@ -222,69 +225,67 @@ def register(
 # (every query beyond slot 50 holds a prior green row) is pinned by
 # tests/test_registry_contract.py.
 #
-# — round-12 window (50 slots), generated by
-#   tools/gen_driver_window.py  (no --must: no registered plan
-#   changed since its newest green row — the round's code changes
-#   are bench/tooling instrumentation and the alias retirement,
-#   neither of which alters any surviving query's plan bytes) —
-# Slots 1-5: the round-12 graduation — the 5 formerly-STAGED round-11
-# queries (pytest oracle-green at sf0.001/sf0.01, no driver row yet).
-# Slots 6-47: the ENTIRE remaining r7-stale cohort (42 queries,
-# including dedup_paragraph_scrub, displaced from the r11 window by
-# its fifth must), clearing the r7 tier completely.
-# Slots 48-50: the 3 alphabetically-first r8 greens (the r8 tier —
-# the next rotation's target — shrinks 50 -> 47).
+# — round-13 window (50 slots), generated by
+#   tools/gen_driver_window.py --must <the 8 changed-plan queries> —
+# Slots 1-6: never-green — the 5 r12 graduates plus the new
+# dedup_semdedup_cells_pretrained serve twin.
+# Slots 7-14: the changed-plan re-cert cohort (this optimization
+# round's plan changes: the inline-|c|² k-means assignment — every
+# registered query downstream of _assign_cells — plus the pagerank
+# window-degree shape and the SemDeDup c2c truncation).
+# Slots 15-50: the 36 alphabetically-first r8 greens (r8 tier, the
+# rotation target, shrinks 47 -> 11).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "mine_bitext_margin",  # slot 1: NEVER
-    "corpus_chi2_keywords",  # slot 2: NEVER
-    "graph_kcore_coreness",  # slot 3: NEVER
-    "eval_signal_spearman",  # slot 4: NEVER
-    "sample_kcenter_coreset",  # slot 5: NEVER
-    "dedup_paragraph_scrub",  # slot 6: green r07
-    "dq_referential_integrity",  # slot 7: green r07
-    "embed_label_separation",  # slot 8: green r07
-    "eval_auc_exact",  # slot 9: green r07
-    "eval_decile_lift",  # slot 10: green r07
-    "eval_knn_label_accuracy",  # slot 11: green r07
-    "fact_assembly_star",  # slot 12: green r07
-    "graph_triangle_count",  # slot 13: green r07
-    "multimodal_audio_envelope",  # slot 14: green r07
-    "pit_join_fact_dim",  # slot 15: green r07
-    "profile_histogram_equidepth",  # slot 16: green r07
-    "q14_promo_revenue",  # slot 17: green r07
-    "q18_large_volume",  # slot 18: green r07
-    "q19_disjunctive_join",  # slot 19: green r07
-    "q4_late_orders",  # slot 20: green r07
-    "q6_selective_filter",  # slot 21: green r07
-    "q7_nation_trade",  # slot 22: green r07
-    "sample_deterministic",  # slot 23: green r07
-    "sample_temperature_mixture",  # slot 24: green r07
-    "scalar_clean_cast",  # slot 25: green r07
-    "scalar_date_suite",  # slot 26: green r07
-    "scalar_json_suite",  # slot 27: green r07
-    "scalar_string_suite",  # slot 28: green r07
-    "scalar_surrogate_keys",  # slot 29: green r07
-    "scd2_user_dim",  # slot 30: green r07
-    "search_phrase_positional",  # slot 31: green r07
-    "seed_lookup_fx",  # slot 32: green r07
-    "setops_intersect_except",  # slot 33: green r07
-    "shard_rendezvous_routing",  # slot 34: green r07
-    "split_leakage_safe",  # slot 35: green r07
-    "stats_autocorr_daily_revenue",  # slot 36: green r07
-    "stats_benford_first_digit",  # slot 37: green r07
-    "stats_chi2_lang_source",  # slot 38: green r07
-    "stats_ks_drift_sources",  # slot 39: green r07
-    "text_bigram_next_word",  # slot 40: green r07
-    "unpivot_measures",  # slot 41: green r07
-    "window_global_pctrank",  # slot 42: green r07
-    "window_lag_lead_running",  # slot 43: green r07
-    "window_moving_avg_rows",  # slot 44: green r07
-    "window_ranking_suite",  # slot 45: green r07
-    "window_rolling_range",  # slot 46: green r07
-    "window_topk_per_group",  # slot 47: green r07
-    "agg_argmax_suite",  # slot 48: green r08
-    "agg_distinct_domain",  # slot 49: green r08
-    "agg_group_min",  # slot 50: green r08
+    "dedup_simhash64_hamming_pairs",  # slot 1: NEVER
+    "eval_ann_recall_ivf",  # slot 2: NEVER
+    "quality_bigram_surprisal",  # slot 3: NEVER
+    "quality_perplexity_drift",  # slot 4: NEVER
+    "dedup_semdedup_cells_pretrained",  # slot 5: NEVER
+    "eval_cluster_silhouette",  # slot 6: NEVER
+    "graph_pagerank_supply",  # slot 7: re-cert
+    "ann_cosine_topk_ivf",  # slot 8: re-cert
+    "ann_cosine_topk_ivf_pretrained",  # slot 9: re-cert
+    "ann_cosine_topk_ivfpq",  # slot 10: re-cert
+    "dedup_semdedup_cells",  # slot 11: re-cert
+    "sample_cluster_balanced",  # slot 12: re-cert
+    "eval_cluster_balance_audit",  # slot 13: re-cert
+    "eval_ivf_recall",  # slot 14: re-cert
+    "ann_cosine_topk_brute",  # slot 15: green r08
+    "ann_cosine_topk_rowlocal",  # slot 16: green r08
+    "basket_association_rules",  # slot 17: green r08
+    "corpus_collocations_lift",  # slot 18: green r08
+    "corpus_heaps_vocab_growth",  # slot 19: green r08
+    "corpus_quality_filter",  # slot 20: green r08
+    "corpus_source_diversity",  # slot 21: green r08
+    "corpus_stats",  # slot 22: green r08
+    "corpus_tfidf_topterms",  # slot 23: green r08
+    "corpus_token_spectrum",  # slot 24: green r08
+    "corpus_zipf_rank_curve",  # slot 25: green r08
+    "date_spine_generate",  # slot 26: green r08
+    "decontaminate_overlap",  # slot 27: green r08
+    "dedup_connected_components",  # slot 28: green r08
+    "dedup_embedding_cosine",  # slot 29: green r08
+    "dedup_exact_docs",  # slot 30: green r08
+    "dedup_incremental_batch",  # slot 31: green r08
+    "dedup_materialize_corpus",  # slot 32: green r08
+    "dedup_minhash_lsh",  # slot 33: green r08
+    "dedup_source_survival",  # slot 34: green r08
+    "dedup_winnowing_pairs",  # slot 35: green r08
+    "dq_column_profile",  # slot 36: green r08
+    "embed_pq_codes",  # slot 37: green r08
+    "eval_cosine_calibration",  # slot 38: green r08
+    "eval_langid_confusion",  # slot 39: green r08
+    "eval_langid_kappa",  # slot 40: green r08
+    "eval_matryoshka_prefix_recall",  # slot 41: green r08
+    "eval_ndcg_at10",  # slot 42: green r08
+    "graph_supplier_overlap",  # slot 43: green r08
+    "multimodal_frame_overlap",  # slot 44: green r08
+    "sample_priority_weighted",  # slot 45: green r08
+    "sample_target_mix_weights",  # slot 46: green r08
+    "search_bm25_topk",  # slot 47: green r08
+    "search_hybrid_rrf",  # slot 48: green r08
+    "stats_halfsample_ci",  # slot 49: green r08
+    "stats_mannwhitney_doclen",  # slot 50: green r08
 )
 
 
