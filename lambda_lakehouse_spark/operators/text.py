@@ -1386,10 +1386,14 @@ def source_contamination(docs: DataFrame) -> DataFrame:
     # sf0.1) computes every hash on a single core. Spread first —
     # no-op at real scale (sources/readers.spread_if_narrow).
     # Round-12 measurement: 6.83 s -> 1.70 s isolated best-of-3.
-    # (spread key = text, the only guaranteed high-cardinality column
-    # of the (source, text) contract — source alone may have too few
-    # distinct values to fill the cores)
-    docs = spread_if_narrow(docs, "text")
+    # Keyless round-robin (round-12 advice): hashing the full text was
+    # the costliest possible partition key, and EXACT-DUPLICATE texts
+    # — the case this operator exists to detect — all hash to one
+    # partition, re-creating the single-core hot spot on contaminated
+    # corpora. Nothing downstream relies on the spread's distribution
+    # (the gh shuffle follows), so round-robin is safe and collision-
+    # free by construction.
+    docs = spread_if_narrow(docs, None)
     postings = (
         docs.select(
             "source",

@@ -22,6 +22,30 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _default_driver_mem() -> str:
+    """Default driver heap: 16g pre-touched — but never more than the
+    host can actually commit (round-12 advice: the pre-touch turned
+    the old lazy-overcommit failure mode into a hard JVM start
+    failure/thrash on hosts with < ~16 GiB free). On a small host the
+    default degrades to roughly half of MemAvailable; the env override
+    always wins, and note the 48g -> 16g default means plans that
+    relied on the old lazy 48g headroom now need the override."""
+    override = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if override:
+        return override
+    try:
+        with open("/proc/meminfo") as f:
+            avail_kb = next(
+                int(line.split()[1]) for line in f if line.startswith("MemAvailable:")
+            )
+        avail_g = avail_kb // (1024 * 1024)
+    except Exception:
+        return "16g"
+    if avail_g >= 20:
+        return "16g"
+    return f"{max(avail_g // 2, 1)}g"
+
+
 def get_spark(
     app_name: str = "lambda_lakehouse_spark",
     master: str | None = None,
@@ -75,17 +99,12 @@ def get_spark(
         # 29.45 s dedup_jaccard_prefix_filter reading vs its 6.16 s
         # floor). Cluster deployments size executors explicitly; this
         # is local-harness provisioning, overridable via env.
-        .config(
-            "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
-        )
+        .config("spark.driver.memory", _default_driver_mem())
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get(
                 "SPARK_GRAFT_DRIVER_JVM_OPTS",
-                "-Xms"
-                + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
-                + " -XX:+AlwaysPreTouch",
+                "-Xms" + _default_driver_mem() + " -XX:+AlwaysPreTouch",
             ),
         )
         .config("spark.ui.enabled", "false")

@@ -35,7 +35,7 @@ TESTDATA_TABLES = (
 )
 
 
-def spread_if_narrow(df: DataFrame, key: str) -> DataFrame:
+def spread_if_narrow(df: DataFrame, key: str | None) -> DataFrame:
     """Spread a CPU-bound per-row map across all cores when the scan
     would arrive in fewer splits than ``defaultParallelism`` — WITHOUT
     touching ``.rdd`` (which forces a Python-side RDD conversion of
@@ -51,6 +51,15 @@ def spread_if_narrow(df: DataFrame, key: str) -> DataFrame:
     through unchanged: they either already carry shuffle parallelism
     or are tiny.
 
+    ``key=None`` spreads round-robin (keyless ``repartition(n)``):
+    use it when no downstream grouping relies on the distribution AND
+    the natural key can collide — e.g. exact-duplicate document texts
+    (the very case source_contamination targets) all hash one text key
+    to a single partition, re-creating the hot spot the spread exists
+    to remove (round-12 advice). Keyless repartition pays the
+    sort-before-repartition pass (SPARK-23207) but only inside this
+    small-input guard, never at real scale.
+
     Lives here (not operators/dedup) so every operator module can use
     it without import cycles; dedup re-exports the historical
     ``_spread_if_narrow`` name.
@@ -58,7 +67,7 @@ def spread_if_narrow(df: DataFrame, key: str) -> DataFrame:
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     files = df.inputFiles()
     if files and len(files) < n_parts:
-        return df.repartition(n_parts, key)
+        return df.repartition(n_parts) if key is None else df.repartition(n_parts, key)
     return df
 
 

@@ -63,18 +63,14 @@ def test_never_graded_queries_fit_in_driver_window():
     assert not no_row_ever
 
 
-def test_every_query_has_unique_output_columns(spark):
+def test_every_query_has_unique_output_columns(built_queries):
     """Duplicate output column names would silently corrupt the
-    driver's sort-by-name value compare — build every query's plan and
-    assert column-name uniqueness (no execution beyond what plan
-    construction itself requires)."""
-    from tests.conftest import SF_DIR
-
-    from lambda_lakehouse_spark.registry import load_queue, load_staged
-
+    driver's sort-by-name value compare — check every query's analyzed
+    schema for column-name uniqueness (plans shared with the scale
+    guardrails via the session-scoped built_queries cache)."""
     offenders = []
-    for name, q in {**load_all(), **load_staged(), **load_queue()}.items():
-        cols = q.spark(spark, SF_DIR).columns
+    for name, df in built_queries.items():
+        cols = df.columns
         if len(set(cols)) != len(cols):
             offenders.append((name, cols))
     assert not offenders, offenders

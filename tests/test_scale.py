@@ -233,13 +233,11 @@ def test_aqe_skew_join_engages_on_hot_key(spark):
             spark.conf.set(k, v)
 
 
-def test_no_pathological_join_plans(spark):
+def test_no_pathological_join_plans(spark, built_queries):
     """Guardrail: no registry query may plan a CartesianProduct, and
     BroadcastNestedLoopJoin is allowed only where a deliberate 1-row
     broadcast cross join exists (simhash's reference-signature join).
     Catches accidental non-equi joins before they reach a cluster."""
-    from lambda_lakehouse_spark.registry import load_all, load_queue, load_staged
-
     # both entries join a deliberate 1-row broadcast side (simhash's
     # reference signature; the sketch query's merge-identity flag) —
     # bounded by aggregation, harmless at any scale
@@ -299,8 +297,8 @@ def test_no_pathological_join_plans(spark):
         "formatted"
     )
     offenders = []
-    for name, q in sorted({**load_all(), **load_staged(), **load_queue()}.items()):
-        plan = q.spark(spark, SF_DIR)._jdf.queryExecution().explainString(mode)
+    for name, df in built_queries.items():
+        plan = df._jdf.queryExecution().explainString(mode)
         if "CartesianProduct" in plan:
             offenders.append((name, "CartesianProduct"))
         if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
@@ -308,7 +306,7 @@ def test_no_pathological_join_plans(spark):
     assert not offenders, offenders
 
 
-def test_no_unpartitioned_window_over_unbounded_input(spark):
+def test_no_unpartitioned_window_over_unbounded_input(spark, built_queries):
     """Third plan guardrail (round-5 verdict): no registry query may
     execute a WindowExec with an empty partition spec ("No Partition
     Defined … moving all data to a single partition") unless its input
@@ -319,8 +317,6 @@ def test_no_unpartitioned_window_over_unbounded_input(spark):
     the ten single-partition global-sort plans fixed this round
     (operators/ranking.py holds the sanctioned replacements)."""
     import re
-
-    from lambda_lakehouse_spark.registry import load_all, load_queue, load_staged
 
     # Unpartitioned windows whose input relation is bounded by an
     # AGGREGATE on a fixed-cardinality key (a limit would be visible to
@@ -385,10 +381,8 @@ def test_no_unpartitioned_window_over_unbounded_input(spark):
         return hits
 
     offenders, allowlist_hits = [], set()
-    for name, q in sorted({**load_all(), **load_staged(), **load_queue()}.items()):
-        for order, bounded in unpartitioned_global_windows(
-            q.spark(spark, SF_DIR)
-        ):
+    for name, df in built_queries.items():
+        for order, bounded in unpartitioned_global_windows(df):
             if bounded:
                 continue
             if name in global_window_ok:

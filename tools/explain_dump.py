@@ -4,10 +4,16 @@ headline query) to plans/<tag>/<query>_<suffix>.txt.
 Usage:
     python tools/explain_dump.py <tag> <suffix> [query ...]
 
-With no query names, dumps the whole bench headline set. Plan-only —
-builds each DataFrame and formats its physical plan; nothing executes
-(lazy localCheckpoints stay lazy), so the dump is cheap and safe to run
-alongside other work.
+With no query names, dumps the whole bench headline set. Mostly
+plan-only — each DataFrame is built and its physical plan formatted —
+but NOT job-free (round-12 advice): trained-quantizer queries execute
+their training jobs during construction (train_ivf_cells ends in an
+eager localCheckpoint; the pretrained paths populate the session
+centroid cache at build time), and with AQE even a lazy
+localCheckpoint materializes its subtree's shuffle stages at
+construction. Plans ending in a lazy checkpoint therefore show only
+the post-checkpoint tail. Uses private DataFrame internals
+(_sc/_jdf), which do not exist under Spark Connect.
 """
 
 from __future__ import annotations
