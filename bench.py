@@ -150,48 +150,50 @@ LEGACY_ORDER = (
 # floor for each query — wide enough that codegen/JIT jitter and
 # ordinary host noise never trip a retry, tight enough that the 4-6x
 # phantom movers the last three driver artifacts recorded always do.
-# Floors: round-11 verdict measurements (artifact minima where the
-# artifact was clean, idle-gated singles where it was not). Update a
-# query's entry whenever its plan change ships with a new measured
-# floor; a missing entry simply disables band-defense for that query.
+# Floors: the round-13 final sweep (one contiguous idle-gated isolated
+# run, controls 0.114/0.149 s, zero retries — per-query minima in its
+# detail line), with extra headroom on the train-inclusive and
+# known-wide-dispersion entries (pagerank, IVF) where the A/B rounds
+# showed honest spread above the floor. Update a query's entry
+# whenever its plan change ships with a new measured floor; a missing
+# entry simply disables band-defense for that query (and the registry
+# contract test pins BAND_MAX == headline set, so adding bench=True
+# forces a conscious band choice here).
 BAND_MAX: dict[str, float] = {
-    "ann_cosine_topk_brute": 4.0,  # r11 artifact 1.94
-    "ann_cosine_topk_hyperlsh": 3.5,  # r12 floor 1.63 (spread _flat)
-    "ann_cosine_topk_ivf": 8.0,  # r11 artifact 3.82 (train-inclusive)
-    "ann_cosine_topk_ivf_pretrained": 3.0,  # r11 artifact 1.20
-    "ann_cosine_topk_ivfpq": 14.0,  # r12 A/B floor 6.70 (train-inclusive)
-    "ann_cosine_topk_rowlocal": 2.5,  # r11 artifact 0.85
-    "basket_association_rules": 4.0,  # r11 artifact 1.95
-    "corpus_token_spectrum": 2.5,  # r11 artifact 0.88
-    "corpus_top_ngrams": 2.5,  # r11 artifact 0.88
-    "dedup_incremental_batch": 4.0,  # r11 artifact 1.98
-    "dedup_minhash_lsh": 3.0,  # r11 artifact 1.26
-    "dedup_ngram_jaccard": 11.0,  # verified floor single 6.16 (the
-    #   plan formerly also registered as dedup_jaccard_prefix_filter,
-    #   whose 29.45 s r11 artifact reading was the phantom this
-    #   mechanism exists for)
-    "dedup_semdedup_cells": 12.0,  # r13 A/B floor 5.58 (train-inclusive)
-    "dedup_semdedup_cells_pretrained": 7.0,  # r13 A/B serve floor 2.94
-    "dedup_simhash64_hamming_pairs": 4.0,  # r12 floor 1.78 (16g pre-touched heap)
-    "dedup_winnowing_pairs": 11.0,  # verified floor single 7.04
-    "eval_cluster_balance_audit": 20.0,  # r12 isolated floor 9.68 (train-inclusive)
-    "eval_source_contamination": 4.0,  # r12 floor 1.70 (spread gram explode)
-    "fact_assembly_star": 6.5,  # r11 artifact 3.60
-    "fuzzy_pairs_edit1": 3.0,  # r11 artifact 1.07
-    "graph_pagerank_supply": 9.0,  # steady 4.4-4.5, artifact 5.74
-    "pack_sequences_nextfit": 2.0,  # r11 artifact 0.43
-    "pit_join_fact_dim": 7.0,  # r11 artifact 4.03
-    "q1_pricing_summary": 3.5,  # r11 artifact 1.70
-    "q3_shipping_priority": 2.5,  # r11 artifact 0.92
-    "q5_nation_revenue": 2.5,  # r11 artifact 1.04
-    "quality_lm_surprisal": 3.0,  # r11 artifact 1.28
-    "rfm_customer_segments": 6.5,  # r11 artifact 3.39
-    "scd2_user_dim": 3.0,  # r11 artifact 1.30
-    "search_bm25_topk": 3.0,  # r12 floor 1.40 (tf index checkpoint)
-    "search_hybrid_rrf": 6.5,  # r11 artifact 3.54
-    "sessionize_events": 4.5,  # r11 artifact 2.41
-    "snapshot_wap_publish": 5.0,  # r11 artifact 2.49
-    "timeseries_gap_fill": 2.5,  # r11 artifact 0.88
+    "ann_cosine_topk_brute": 2.0,  # r13 floor 0.70
+    "ann_cosine_topk_hyperlsh": 3.0,  # r13 floor 1.12
+    "ann_cosine_topk_ivf": 6.0,  # r13 floor 2.35 (train-inclusive; JIT dispersion to ~4.4 in A/B rounds)
+    "ann_cosine_topk_ivf_pretrained": 3.0,  # r13 floor 0.99
+    "ann_cosine_topk_ivfpq": 11.0,  # r13 floor 5.21 (train-inclusive)
+    "ann_cosine_topk_rowlocal": 2.0,  # r13 floor 0.62
+    "basket_association_rules": 3.5,  # r13 floor 1.57
+    "corpus_token_spectrum": 1.5,  # r13 floor 0.54
+    "corpus_top_ngrams": 2.0,  # r13 floor 0.69
+    "dedup_incremental_batch": 3.0,  # r13 floor 1.15
+    "dedup_minhash_lsh": 2.5,  # r13 floor 0.93
+    "dedup_ngram_jaccard": 8.0,  # r13 floor 3.91
+    "dedup_semdedup_cells": 10.0,  # r13 floor 4.88 (train-inclusive)
+    "dedup_semdedup_cells_pretrained": 5.5,  # r13 serve floor 2.32
+    "dedup_simhash64_hamming_pairs": 3.0,  # r13 floor 1.27
+    "dedup_winnowing_pairs": 10.5,  # r13 floor 5.21
+    "eval_cluster_balance_audit": 5.5,  # r13 floor 2.32 (train-inclusive)
+    "eval_source_contamination": 3.0,  # r13 floor 1.30
+    "fact_assembly_star": 4.0,  # r13 floor 1.69
+    "fuzzy_pairs_edit1": 1.5,  # r13 floor 0.51
+    "graph_pagerank_supply": 7.0,  # r13 floor 2.73 (widest honest dispersion: 2.7-3.9 across A/B rounds)
+    "pack_sequences_nextfit": 1.5,  # r13 floor 0.38
+    "pit_join_fact_dim": 3.0,  # r13 floor 1.05
+    "q1_pricing_summary": 3.0,  # r13 floor 1.14
+    "q3_shipping_priority": 2.0,  # r13 floor 0.69
+    "q5_nation_revenue": 2.5,  # r13 floor 0.89
+    "quality_lm_surprisal": 2.5,  # r13 floor 0.87
+    "rfm_customer_segments": 4.0,  # r13 floor 1.75
+    "scd2_user_dim": 2.5,  # r13 floor 0.88
+    "search_bm25_topk": 3.0,  # r13 floor 1.10
+    "search_hybrid_rrf": 5.5,  # r13 floor 2.66
+    "sessionize_events": 1.5,  # r13 floor 0.46
+    "snapshot_wap_publish": 4.5,  # r13 floor 1.96
+    "timeseries_gap_fill": 2.0,  # r13 floor 0.70
 }
 
 
