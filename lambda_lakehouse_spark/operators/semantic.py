@@ -376,19 +376,28 @@ def train_pq_codebook(
 
 def _assign_codes(sub: DataFrame, cb: DataFrame) -> DataFrame:
     """(vec_id, m, code, rk): codes ranked nearest-first per (vector,
-    subspace) by the exact integer score cn2s - 2·dots."""
-    cbn = cb.groupBy("m", "code").agg(
-        _scaled_sum_raw(F.col("cval") * F.col("cval")).alias("cn2s")
-    )
+    subspace) by the exact integer score cn2s - 2·dots.
+
+    cn2s is folded INTO the assignment aggregate (round 13, the same
+    fold as similarity._assign_cells): the (m, spos) equi-join gives
+    each (vec_id, m, code) group exactly the codeword's DSUB
+    (spos, cval) rows, so summing floor(cval·cval·SCALE) over the
+    group reproduces the separate ``cb.groupBy(m, code)`` norm
+    bit-for-bit. The separate cbn relation cost one extra broadcast
+    build (a second evaluation of the cb subtree) plus a join per
+    assignment call — one per Lloyd round plus one per encode."""
     dots = (
         sub.join(F.broadcast(cb), ["m", "spos"])
         .groupBy("vec_id", "m", "code")
-        .agg(_scaled_sum_raw(F.col("val") * F.col("cval")).alias("dots"))
+        .agg(
+            _scaled_sum_raw(F.col("val") * F.col("cval")).alias("dots"),
+            _scaled_sum_raw(F.col("cval") * F.col("cval")).alias("cn2s"),
+        )
     )
     w = W.partitionBy("vec_id", "m").orderBy(
         (F.col("cn2s") - 2 * F.col("dots")), "code"
     )
-    return dots.join(F.broadcast(cbn), ["m", "code"]).select(
+    return dots.select(
         "vec_id", "m", "code", F.row_number().over(w).alias("rk")
     )
 
