@@ -116,20 +116,24 @@ def _flat(emb: DataFrame) -> DataFrame:
     )
 
 
-def _score_topk(dots: DataFrame, nq: DataFrame, nc: DataFrame, k: int) -> DataFrame:
+def _score_topk(dots: DataFrame, k: int) -> DataFrame:
     """Shared scoring tail for the brute and IVF paths (kept single so
     they cannot diverge; the probe-all==brute test relies on this):
-    ``dots``=(query_id, neighbor_id, dot), ``nq``=(query_id, qn2)
-    bounded → broadcast, ``nc``=(neighbor_id, cn2) corpus-sized → AQE
-    decides. Deterministic top-k per query via (cos desc, neighbor)."""
-    scored = (
-        dots.join(F.broadcast(nq), "query_id")
-        .join(nc, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            (F.col("dot") / F.sqrt(F.col("qn2") * F.col("cn2"))).alias("cos_sim"),
-        )
+    ``dots``=(query_id, neighbor_id, dot, qn2, cn2) — one row per
+    scored pair with BOTH norms already folded into the pair aggregate
+    (round 13): the pos equi-join that feeds each pair's dot sum
+    carries the query's and the neighbor's full per-position values,
+    so ``sum(floor(val·val·SCALE))`` inside the SAME aggregate
+    reproduces the old corpus-wide ``norms`` relation bit-for-bit for
+    exactly the rows that need it. The old shape paid a full-corpus
+    norms aggregate PLUS a corpus-sized shuffle join (nc) per path —
+    at scale, one full pass and one full shuffle of the corpus that
+    this fold removes outright. Deterministic top-k per query via
+    (cos desc, neighbor)."""
+    scored = dots.select(
+        "query_id",
+        "neighbor_id",
+        (F.col("dot") / F.sqrt(F.col("qn2") * F.col("cn2"))).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (
@@ -149,9 +153,6 @@ def cosine_topk(
     if same_label_only and diff_label_only:
         raise ValueError("same_label_only and diff_label_only are exclusive")
     flat = _flat(emb)
-    norms = flat.groupBy("vec_id").agg(
-        _scaled_sum(F.col("val") * F.col("val")).alias("n2")
-    )
     q = flat.where(query_filter).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("q_label"),
@@ -164,17 +165,17 @@ def cosine_topk(
         j = j.where(F.col("label") == F.col("q_label"))
     if diff_label_only:
         j = j.where(F.col("label") != F.col("q_label"))
+    # Both norms fold into the pair aggregate (see _score_topk): each
+    # (query, corpus-vector) group holds the full per-position row set
+    # of both vectors (the label/identity filters are per-pair, never
+    # per-position), so the qn2/cn2 sums are term-identical to the old
+    # q-side and corpus-wide norm aggregates.
     dots = j.groupBy("query_id", "vec_id").agg(
-        _scaled_sum(F.col("qval") * F.col("val")).alias("dot")
+        _scaled_sum(F.col("qval") * F.col("val")).alias("dot"),
+        _scaled_sum(F.col("qval") * F.col("qval")).alias("qn2"),
+        _scaled_sum(F.col("val") * F.col("val")).alias("cn2"),
     )
-    # Query norms computed from q itself, so nq is bounded by
-    # construction (q is the filtered query set) — not by the optimizer
-    # propagating the filter through the corpus-sized norms aggregate.
-    nq = q.groupBy("query_id").agg(
-        _scaled_sum(F.col("qval") * F.col("qval")).alias("qn2")
-    )
-    nc = norms.select(F.col("vec_id").alias("neighbor_id"), F.col("n2").alias("cn2"))
-    return _score_topk(dots.withColumnRenamed("vec_id", "neighbor_id"), nq, nc, k)
+    return _score_topk(dots.withColumnRenamed("vec_id", "neighbor_id"), k)
 
 
 def _brute_oracle(same_label: bool, k: int) -> str:
@@ -456,6 +457,11 @@ def _rescore_candidates(flat: DataFrame, cand: DataFrame, query_filter, k: int) 
     nf = flat.select(
         F.col("vec_id").alias("neighbor_id"), "pos", F.col("val").alias("nval")
     )
+    # Both norms fold into the pair aggregate (see _score_topk): each
+    # candidate pair's group carries the neighbor's AND the query's
+    # full per-position rows — candidate generators never emit a
+    # (query, neighbor) pair twice (a vector lives in exactly one IVF
+    # cell / LSH bucket), which the dot sum itself already relies on.
     dots = (
         cand.join(nf, "neighbor_id")
         # queries are bounded (the filtered set × dim) → broadcast
@@ -464,16 +470,13 @@ def _rescore_candidates(flat: DataFrame, cand: DataFrame, query_filter, k: int) 
             (F.col("query_id") == F.col("q_id")) & (F.col("pos") == F.col("q_pos")),
         )
         .groupBy("query_id", "neighbor_id")
-        .agg(_scaled_sum(F.col("qval") * F.col("nval")).alias("dot"))
+        .agg(
+            _scaled_sum(F.col("qval") * F.col("nval")).alias("dot"),
+            _scaled_sum(F.col("qval") * F.col("qval")).alias("qn2"),
+            _scaled_sum(F.col("nval") * F.col("nval")).alias("cn2"),
+        )
     )
-    norms = flat.groupBy("vec_id").agg(
-        _scaled_sum(F.col("val") * F.col("val")).alias("n2")
-    )
-    nq = qf.groupBy("q_id").agg(
-        _scaled_sum(F.col("qval") * F.col("qval")).alias("qn2")
-    ).withColumnRenamed("q_id", "query_id")
-    nc = norms.select(F.col("vec_id").alias("neighbor_id"), F.col("n2").alias("cn2"))
-    return _score_topk(dots, nq, nc, k)
+    return _score_topk(dots, k)
 
 
 def ivf_cosine_topk(
